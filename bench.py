@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver-side collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family (relational star join, scan-agg,
+# window, as-of, product mapreduce, metadata grid, dedup, similarity, text)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_topk_per_group",
+    "asof_join",
+    "sessionize_events",
+    "which_partition",
+    "pmapreduce_sum_squares",
+    "productsplit_partition_agg",
+    "elementwise_sum_arrays",
+    "dedup_exact",
+    "minhash_near_dup",
+    "ann_cosine_topk",
+    "simhash_fingerprint",
+    "text_quality_score",
+    "windowed_event_counts",
+]
+
+
+def main() -> None:
+    from parallelutilities_jl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="pu_bench")
+    qs = entrymod.queries()
+    # warmup: JVM + parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,784 @@
+"""Relational operator surface over the star-schema fixtures (SURVEY §7
+phase 4).
+
+The reference has no relational operators (distinct/joins/windows/set ops
+are absent — SURVEY §2.5 note); hosting the engine on Spark brings them
+in natively. Each query is declared with DuckDB oracle SQL.
+
+Scale notes (these run on a 1000-executor cluster against ~100 TB):
+* Dimension tables (region/nation/supplier/part/customer) are broadcast —
+  no shuffle of the fact table for star joins. `F.broadcast` pins it
+  rather than trusting the 10 MB autoBroadcast threshold.
+* Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  handles skew. Filters are applied before joins so Catalyst pushes them
+  into the parquet scans.
+* Double-typed aggregates are rounded at the output edge only (never
+  mid-plan) so results are reproducible bit-for-bit against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: scan-heavy group-agg; whole-stage-codegen'd,
+    partial/final hash agg — no Python in the hot path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective dimension filter broadcast into a
+    fact-fact join, top-10 by revenue (deterministic tie-break)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1997-01-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: the full star join; every dimension broadcast, the
+    only shuffle is lineitem ⋈ orders + the final group-agg."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1999-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure filter + scalar aggregate; the filters reach
+    the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_FORECAST = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: returned-item revenue per customer, top 20."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# join strategies
+# ---------------------------------------------------------------------------
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer with their order count (0 kept)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS): customers with at least one open order."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (NOT EXISTS): customers with no urgent orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast star edge: parts by brand revenue."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_JOIN_BROADCAST = """
+SELECT p_brand, ROUND(SUM(l_extendedprice), 2) AS brand_revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value — the canonical top-k-per-group
+    window; at scale this shuffles once on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order history (frame query)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: gap in days between consecutive orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_ts = F.lag("o_orderdate").over(w)
+    gap_days = (
+        (F.unix_timestamp("o_orderdate") - F.unix_timestamp(prev_ts)) / 86400.0
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(gap_days, 4).alias("days_since_prev"),
+    )
+
+
+ORACLE_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(epoch(o_orderdate) -
+             epoch(LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             AS DOUBLE) / 86400.0, 4) AS days_since_prev
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouping extensions / distinct / set ops / top-k / scalars
+# ---------------------------------------------------------------------------
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy of customer balances."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "n_cust",
+            "total_bal",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(r_name, '(all)') AS region_name,
+       COALESCE(n_name, '(all)') AS nation_name,
+       COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + distinct aggregation per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets, tagged."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    u = building.union(rich).distinct().withColumn("op", F.lit("union"))
+    i = building.intersect(rich).withColumn("op", F.lit("intersect"))
+    e = building.exceptAll(rich).distinct().withColumn("op", F.lit("except"))
+    return u.unionAll(i).unionAll(e)
+
+
+ORACLE_SET_OPS = """
+WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     r AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'union' AS op FROM (SELECT * FROM b UNION SELECT * FROM r)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM r)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM r)
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface in one projection."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+    )
+
+
+ORACLE_SCALARS = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       SUBSTRING(p_type, 1, 3) AS type_prefix,
+       CONCAT_WS('-', p_brand, p_type) AS brand_type,
+       CAST(ABS(p_size - 25) AS BIGINT) AS size_dev,
+       ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+       ROUND(LN(p_retailprice + 1), 6) AS price_ln,
+       CAST(p_size % 7 AS BIGINT) AS size_mod
+FROM part
+"""
+
+
+def q_date_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + per-year/month aggregation of order volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+        )
+    )
+
+
+ORACLE_DATES = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS volume
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation) of quantity by linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)),
+            2,
+        ).alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)),
+            2,
+        ).alias("qty_filled"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (beyond-reference: as-of / range)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time. Spark lacks a native as-of join; implemented as
+    a union + running `last_value(ignoreNulls)` window — one shuffle on
+    user_id, linear in rows, no range explosion (guide: "As-of / range
+    join" pattern). Orders deduped per (user, ts) to make the match
+    deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("o_orderkey").alias("orderkey"))
+    )
+    ev = events.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("event_id"),
+        F.lit(None).cast("long").alias("orderkey"),
+        F.lit(1).alias("tag"),
+    )
+    od = orders.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        "orderkey",
+        F.lit(0).alias("tag"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = ev.unionByName(od).withColumn(
+        "matched_orderkey", F.last("orderkey", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("tag") == 1)
+        .filter(F.col("matched_orderkey").isNotNull())
+        .select("event_id", "user_id", "matched_orderkey")
+    )
+
+
+ORACLE_ASOF = """
+WITH o AS (SELECT o_custkey AS user_id, o_orderdate AS ots,
+                  MAX(o_orderkey) AS orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, o.orderkey AS matched_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.ots
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events within 90 days after one of the user's orders.
+    Equi-join on user_id bounds the blow-up; the range predicate filters
+    inside each user group."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (events.user_id == orders.o_custkey)
+        & (events.ts >= orders.o_orderdate)
+        & (
+            events.ts
+            < orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+        )
+    )
+    return (
+        events.join(orders, cond)
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_recent_orders"))
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT event_id, user_id, COUNT(*) AS n_recent_orders
+FROM events JOIN orders
+  ON user_id = o_custkey
+ AND ts >= o_orderdate
+ AND ts < o_orderdate + INTERVAL 90 DAY
+GROUP BY event_id, user_id
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits sessions (lag +
+    cumulative sum — the batch analog of session_window)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wcum).cast("long"))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q_pricing_summary,
+    "q3_shipping_priority": q_shipping_priority,
+    "q5_local_supplier_volume": q_local_supplier_volume,
+    "q6_forecast_revenue": q_forecast_revenue,
+    "q10_returned_items": q_returned_items,
+    "join_left_outer": q_join_left,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_broadcast_dim": q_join_broadcast_dim,
+    "window_topk_per_group": q_window_topk_orders,
+    "window_running_sum": q_window_running_sum,
+    "window_lag_lead": q_window_lag_lead,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "distinct_agg": q_distinct_agg,
+    "set_ops": q_set_ops,
+    "topk_orders": q_topk_orders,
+    "scalar_functions": q_scalar_functions,
+    "date_breakdown": q_date_breakdown,
+    "pivot_status": q_pivot_status,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "sessionize_events": q_sessionize,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_PRICING,
+    "q3_shipping_priority": ORACLE_SHIPPING,
+    "q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
+    "q6_forecast_revenue": ORACLE_FORECAST,
+    "q10_returned_items": ORACLE_RETURNED,
+    "join_left_outer": ORACLE_JOIN_LEFT,
+    "join_semi": ORACLE_JOIN_SEMI,
+    "join_anti": ORACLE_JOIN_ANTI,
+    "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
+    "window_topk_per_group": ORACLE_WINDOW_TOPK,
+    "window_running_sum": ORACLE_WINDOW_RUNNING,
+    "window_lag_lead": ORACLE_WINDOW_LAG,
+    "agg_rollup": ORACLE_ROLLUP,
+    "agg_cube": ORACLE_CUBE,
+    "distinct_agg": ORACLE_DISTINCT,
+    "set_ops": ORACLE_SET_OPS,
+    "topk_orders": ORACLE_TOPK,
+    "scalar_functions": ORACLE_SCALARS,
+    "date_breakdown": ORACLE_DATES,
+    "pivot_status": ORACLE_PIVOT,
+    "asof_join": ORACLE_ASOF,
+    "range_join": ORACLE_RANGE_JOIN,
+    "sessionize_events": ORACLE_SESSIONIZE,
+}

@@ -1,0 +1,483 @@
+"""Oracle-checked queries for the product/split operator family
+(SURVEY §2.1–§2.3) — the driver's correctness surface.
+
+Each entry pairs a Spark query (closed-form, no-scan metadata expressions
+— the 100 TB path) with DuckDB oracle SQL that *brute-forces* the same
+answer by enumerating the product and aggregating. Partition assignment in
+the oracle uses `ntile(np) OVER (ORDER BY i)`, which is an independent
+statement of the balanced block rule (first ``total % np`` buckets get one
+extra row) — so the split semantics are cross-checked, not assumed.
+
+Fixture task sets (reference test/productsplit.jl:19-20):
+  PROD3  = 1:10 × 4:6 × 1:4      (the reference's workhorse 3-D case)
+  PRODF  = 1:0.5:3 × 2:4         (float-stepped)
+  ZIP3   = zip(1:12, 5:16, 0:11)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.functions.codec import idiv
+from parallelutilities_jl_spark.plans import dataframe as pdf
+from parallelutilities_jl_spark.plans import oracle as orc
+from parallelutilities_jl_spark.plans.productsplit import (
+    ProductSpec,
+    nelementsdroptake,
+)
+from parallelutilities_jl_spark.sources.ranges import rng
+
+PROD3 = ProductSpec((rng(1, 10), rng(4, 6), rng(1, 4)))  # total=120
+PRODF = ProductSpec((rng(1.0, 3.0, 0.5), rng(2, 4)))  # total=15
+ZIP3 = (rng(1, 12), rng(5, 16), rng(0, 11))
+NP_MAX = 8
+SPLIT_NP, SPLIT_P = 5, 2  # the canonical fixed split used by lookup queries
+
+
+def _prod3_coords_sql(i: str = "t.i") -> str:
+    return ", ".join(
+        f"{orc.dd_coord(PROD3, k, i)} AS c{k + 1}" for k in range(PROD3.ndims)
+    )
+
+
+def _assigned_sql(np: int) -> str:
+    """Product elements + independent ntile partition assignment."""
+    return (
+        f"SELECT t.i AS i, {_prod3_coords_sql()}, "
+        f"CAST(ntile({np}) OVER (ORDER BY t.i) AS BIGINT) AS p "
+        f"FROM range(0, {PROD3.total}) t(i)"
+    )
+
+
+def _assigned_multi_sql(np_max: int = NP_MAX) -> str:
+    """Same, for every np in 1..np_max."""
+    return (
+        f"SELECT n.np AS np, t.i AS i, {_prod3_coords_sql()}, "
+        f"CAST(ntile(n.np) OVER (PARTITION BY n.np ORDER BY t.i) AS BIGINT) AS p "
+        f"FROM range(1, {np_max + 1}) n(np), range(0, {PROD3.total}) t(i)"
+    )
+
+
+def _grid_with_bounds(spark: SparkSession) -> DataFrame:
+    return pdf.np_p_grid(spark, NP_MAX, PROD3.total)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / scans
+# ---------------------------------------------------------------------------
+
+
+def q_product_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full product enumeration (reference `product`, src/mapreduce.jl:18-30)."""
+    return pdf.product_df(spark, PROD3)
+
+
+def q_product_scan_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-stepped range product, index-generated (SURVEY §7)."""
+    return pdf.product_df(spark, PRODF, np=3)
+
+
+def q_product_section(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-window view, inds 18:66 1-based (reference ProductSection,
+    src/productsplit.jl:89-101)."""
+    return pdf.section_df(spark, PROD3, 17, 65)
+
+
+def q_product_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced 5-way split with logical rank column (reference
+    ProductSplit, src/productsplit.jl:113-165)."""
+    return pdf.product_df(spark, PROD3, np=SPLIT_NP)
+
+
+def q_zip_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip(1:12, 5:16, 0:11) 5-way (reference zipsplit, src/mapreduce.jl:45-78)."""
+    return pdf.zip_df(spark, ZIP3, np=SPLIT_NP)
+
+
+def q_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(np, p) → (drop, take) closed form (reference `nelementsdroptake`,
+    src/productsplit.jl:124-130); oracle recomputes via ntile + COUNT."""
+    g = _grid_with_bounds(spark)
+    return g.select(
+        "np", "p", F.col("drop").alias("drop_n"), F.col("take").alias("take_n")
+    )
+
+
+def q_worker_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranks visible to worker code (reference workerrank/nworkers,
+    src/productsplit.jl:169-170)."""
+    return (
+        pdf.product_df(spark, PROD3, np=SPLIT_NP)
+        .select(F.col("p").alias("rnk"))
+        .distinct()
+        .withColumn("nworkers", F.lit(SPLIT_NP).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / element access / O(1) metadata
+# ---------------------------------------------------------------------------
+
+
+def q_linear_to_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-radix decode i → per-range 1-based indices (reference
+    `childindex`, src/productsplit.jl:264-276)."""
+    base = spark.range(0, PROD3.total).select(F.col("id").alias("i"))
+    return base.select(
+        "i", *pdf.child_index_exprs(PROD3, F.col("i"), one_based=True)
+    )
+
+
+def q_product_getindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(1) random access ps[li] on the (5,2) split — decode of
+    drop + li - 1, no scan (reference getindex, src/productsplit.jl:308-324)."""
+    drop, take = nelementsdroptake(PROD3.total, SPLIT_NP, SPLIT_P)
+    base = spark.range(1, take + 1).select(F.col("id").alias("li"))
+    gidx = F.lit(drop) + F.col("li") - 1
+    return base.select("li", *pdf.coord_exprs(PROD3, gidx))
+
+
+def q_split_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(1) first/last element of every split (reference first/last,
+    src/productsplit.jl:190-210)."""
+    g = _grid_with_bounds(spark)
+    f0 = F.col("drop")
+    l0 = F.col("drop") + F.col("take") - 1
+    return g.select(
+        "np",
+        "p",
+        *pdf.coord_exprs(PROD3, f0, prefix="f"),
+        *pdf.coord_exprs(PROD3, l0, prefix="l"),
+    )
+
+
+def q_split_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(1) split sizes (reference length, src/productsplit.jl:188)."""
+    g = _grid_with_bounds(spark)
+    return g.select("np", "p", F.col("take").alias("n_el"))
+
+
+def _metadata_grid(spark: SparkSession, kind: str) -> DataFrame:
+    """(np, p, dim) → per-dim metadata via closed-form window expressions."""
+    g = _grid_with_bounds(spark)
+    f0 = F.col("drop")
+    l0 = F.col("drop") + F.col("take") - 1
+    parts = []
+    for d in range(PROD3.ndims):
+        mn, mx = pdf.window_extrema_exprs(PROD3, d, f0, l0)
+        nel = pdf.window_nelements_expr(PROD3, d, f0, l0)
+        cols = [
+            F.col("np"),
+            F.col("p"),
+            F.lit(d + 1).cast("long").alias("dim"),
+        ]
+        if kind == "nel":
+            cols.append(nel.alias("nel"))
+        elif kind == "min":
+            cols.append(mn.alias("vmin"))
+        elif kind == "max":
+            cols.append(mx.alias("vmax"))
+        else:
+            cols += [mn.alias("vmin"), mx.alias("vmax")]
+        parts.append(g.select(*cols))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def q_nelements_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count along each dim per split, O(1) closed form vs oracle
+    COUNT(DISTINCT) (reference nelements, src/productsplit.jl:406-432)."""
+    return _metadata_grid(spark, "nel")
+
+
+def q_min_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _metadata_grid(spark, "min")
+
+
+def q_max_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _metadata_grid(spark, "max")
+
+
+def q_extrema_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _metadata_grid(spark, "both")
+
+
+def q_extrema_all_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-dims extrema in one row per split (reference extremadims,
+    src/productsplit.jl:627-634)."""
+    g = _grid_with_bounds(spark)
+    f0 = F.col("drop")
+    l0 = F.col("drop") + F.col("take") - 1
+    sel = [F.col("np"), F.col("p")]
+    for d in range(PROD3.ndims):
+        mn, mx = pdf.window_extrema_exprs(PROD3, d, f0, l0)
+        sel += [mn.alias(f"mn{d + 1}"), mx.alias(f"mx{d + 1}")]
+    return g.select(*sel)
+
+
+def q_extrema_lastdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extrema_commonlastdim (reference src/productsplit.jl:664-691):
+    per leading dim, min coord among elements at the minimal last-dim value
+    and max among those at the maximal, O(1) via the two boundary
+    sub-windows (head of the first last-dim cycle, tail of the last)."""
+    g = _grid_with_bounds(spark)
+    nd = PROD3.ndims
+    s_last = PROD3.strides[nd - 1]
+    f0 = F.col("drop")
+    l0 = F.col("drop") + F.col("take") - 1
+    a_last = idiv(f0, s_last)
+    b_last = idiv(l0, s_last)
+    lastmin, _ = pdf.window_extrema_exprs(PROD3, nd - 1, f0, l0)
+    _, lastmax = pdf.window_extrema_exprs(PROD3, nd - 1, f0, l0)
+    head_hi = F.least(l0, (a_last + 1) * s_last - 1)
+    tail_lo = F.greatest(f0, b_last * s_last)
+    parts = []
+    for d in range(nd - 1):
+        mn, _ = pdf.window_extrema_exprs(PROD3, d, f0, head_hi)
+        _, mx = pdf.window_extrema_exprs(PROD3, d, tail_lo, l0)
+        parts.append(
+            g.select(
+                "np",
+                "p",
+                F.lit(d + 1).cast("long").alias("dim"),
+                mn.alias("vmin"),
+                lastmin.alias("lastmin"),
+                mx.alias("vmax"),
+                lastmax.alias("lastmax"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def q_drop_leading_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropleading of the (5,2) split → section of the tail product
+    (reference src/productsplit.jl:960-968)."""
+    drop, take = nelementsdroptake(PROD3.total, SPLIT_NP, SPLIT_P)
+    n1 = PROD3.lengths[0]
+    tail = ProductSpec(PROD3.ranges[1:])
+    lo, hi = drop // n1, (drop + take - 1) // n1
+    df = pdf.section_df(spark, tail, lo, hi)
+    # rename tail coords c1, c2 → c2, c3 (they are dims 2..N of the parent)
+    return df.select(
+        F.col("i").alias("j"),
+        *[
+            F.col(f"c{k + 1}").alias(f"c{k + 2}")
+            for k in range(tail.ndims)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 partition-pruning / lookup
+# ---------------------------------------------------------------------------
+
+
+def q_index_in_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple → 1-based flat index via the mixed-radix *encode* expression;
+    the oracle reads the index off the enumeration — so encode is checked
+    as the true inverse (reference indexinproduct, src/productsplit.jl:719-728)."""
+    base = pdf.product_df(spark, PROD3)
+    idx, _ = pdf.encode_exprs(PROD3, [F.col(c) for c in PROD3.colnames])
+    return base.select("c1", "c2", "c3", (idx + 1).alias("ind"))
+
+
+def q_split_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(1) membership of every tuple in the (5,3) split — encode + window
+    test, no scan of the split (reference `in`, src/productsplit.jl:730-740)."""
+    drop, take = nelementsdroptake(PROD3.total, SPLIT_NP, 3)
+    base = pdf.product_df(spark, PROD3)
+    idx, valid = pdf.encode_exprs(PROD3, [F.col(c) for c in PROD3.colnames])
+    member = valid & (idx >= drop) & (idx <= drop + take - 1)
+    return base.select("c1", "c2", "c3", member.alias("is_member"))
+
+
+def q_local_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-based local index of members of the (5,2) split (reference
+    localindex, src/productsplit.jl:891-896)."""
+    drop, take = nelementsdroptake(PROD3.total, SPLIT_NP, SPLIT_P)
+    base = pdf.product_df(spark, PROD3)
+    idx, valid = pdf.encode_exprs(PROD3, [F.col(c) for c in PROD3.colnames])
+    return (
+        base.select("c1", "c2", "c3", (idx - drop + 1).alias("li"), valid.alias("ok"), idx.alias("gi"))
+        .filter(F.col("ok") & (F.col("gi") >= drop) & (F.col("gi") <= drop + take - 1))
+        .select("c1", "c2", "c3", "li")
+    )
+
+
+def q_which_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Owning rank of every tuple under a 7-way split, closed form; oracle
+    assigns via ntile(7) (reference whichproc, src/productsplit.jl:774-805)."""
+    base = pdf.product_df(spark, PROD3)
+    idx, _ = pdf.encode_exprs(PROD3, [F.col(c) for c in PROD3.colnames])
+    return base.select(
+        "c1", "c2", "c3", pdf.partition_expr(PROD3.total, 7, idx).alias("rnk")
+    )
+
+
+def q_partition_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank ranges covering each 5-way split re-split over np_new ∈
+    {2, 7, 10} (reference procrange_recast, src/productsplit.jl:831-868)."""
+    g = pdf.np_p_grid(spark, SPLIT_NP, PROD3.total).filter(
+        F.col("np") == SPLIT_NP
+    )
+    np_new = spark.createDataFrame(
+        [(2,), (7,), (10,)], "np_new long"
+    )
+    g = g.crossJoin(np_new)
+    f0 = F.col("drop")
+    l0 = F.col("drop") + F.col("take") - 1
+    return g.select(
+        F.col("p"),
+        F.col("np_new"),
+        pdf.partition_expr(PROD3.total, F.col("np_new"), f0).alias("lo"),
+        pdf.partition_expr(PROD3.total, F.col("np_new"), l0).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def oracle_queries() -> dict[str, str]:
+    a5 = _assigned_sql(SPLIT_NP)
+    a_multi = _assigned_multi_sql()
+    prod = orc.product_cte(PROD3)
+    lead_coord = "CASE dim.d WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END"
+    return {
+        "product_scan": prod,
+        "product_scan_float": orc.product_cte(PRODF, np=3),
+        "product_section": f"SELECT * FROM ({prod}) WHERE i BETWEEN 17 AND 65",
+        "product_split": f"SELECT i, c1, c2, c3, p FROM ({a5})",
+        "zip_split": orc.zip_cte(ZIP3, np=SPLIT_NP),
+        "partition_bounds": (
+            f"SELECT np, p, CAST(MIN(i) AS BIGINT) AS drop_n, "
+            f"CAST(COUNT(*) AS BIGINT) AS take_n "
+            f"FROM ({a_multi}) GROUP BY np, p"
+        ),
+        "worker_rank": (
+            f"SELECT DISTINCT p AS rnk, CAST({SPLIT_NP} AS BIGINT) AS nworkers FROM ({a5})"
+        ),
+        "linear_to_multidim": (
+            "SELECT i, "
+            + ", ".join(
+                f"CAST((i // {PROD3.strides[k]}) % {PROD3.lengths[k]} + 1 AS BIGINT) AS k{k + 1}"
+                for k in range(PROD3.ndims)
+            )
+            + f" FROM range(0, {PROD3.total}) t(i)"
+        ),
+        "product_getindex": (
+            f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT) AS li, c1, c2, c3 "
+            f"FROM ({a5}) WHERE p = {SPLIT_P}"
+        ),
+        "split_first_last": (
+            f"SELECT np, p, "
+            f"arg_min(c1, i) AS f1, arg_min(c2, i) AS f2, arg_min(c3, i) AS f3, "
+            f"arg_max(c1, i) AS l1, arg_max(c2, i) AS l2, arg_max(c3, i) AS l3 "
+            f"FROM ({a_multi}) GROUP BY np, p"
+        ),
+        "split_length": (
+            f"SELECT np, p, CAST(COUNT(*) AS BIGINT) AS n_el "
+            f"FROM ({a_multi}) GROUP BY np, p"
+        ),
+        "nelements_dim": (
+            f"SELECT np, p, CAST(dim.d AS BIGINT) AS dim, "
+            f"CAST(COUNT(DISTINCT CASE dim.d WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) AS BIGINT) AS nel "
+            f"FROM ({a_multi}), range(1, 4) dim(d) GROUP BY np, p, dim.d"
+        ),
+        "min_dim": (
+            f"SELECT np, p, CAST(dim.d AS BIGINT) AS dim, "
+            f"MIN(CASE dim.d WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) AS vmin "
+            f"FROM ({a_multi}), range(1, 4) dim(d) GROUP BY np, p, dim.d"
+        ),
+        "max_dim": (
+            f"SELECT np, p, CAST(dim.d AS BIGINT) AS dim, "
+            f"MAX(CASE dim.d WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) AS vmax "
+            f"FROM ({a_multi}), range(1, 4) dim(d) GROUP BY np, p, dim.d"
+        ),
+        "extrema_dim": (
+            f"SELECT np, p, CAST(dim.d AS BIGINT) AS dim, "
+            f"MIN(CASE dim.d WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) AS vmin, "
+            f"MAX(CASE dim.d WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) AS vmax "
+            f"FROM ({a_multi}), range(1, 4) dim(d) GROUP BY np, p, dim.d"
+        ),
+        "extrema_all_dims": (
+            f"SELECT np, p, MIN(c1) AS mn1, MAX(c1) AS mx1, "
+            f"MIN(c2) AS mn2, MAX(c2) AS mx2, MIN(c3) AS mn3, MAX(c3) AS mx3 "
+            f"FROM ({a_multi}) GROUP BY np, p"
+        ),
+        "extrema_lastdim": (
+            f"WITH a AS ({a_multi}), "
+            f"b AS (SELECT np, p, MIN(c3) AS lastmin, MAX(c3) AS lastmax "
+            f"      FROM a GROUP BY np, p) "
+            f"SELECT a.np, a.p, CAST(dim.d AS BIGINT) AS dim, "
+            f"MIN(CASE WHEN c3 = lastmin THEN {lead_coord} END) AS vmin, "
+            f"ANY_VALUE(lastmin) AS lastmin, "
+            f"MAX(CASE WHEN c3 = lastmax THEN {lead_coord} END) AS vmax, "
+            f"ANY_VALUE(lastmax) AS lastmax "
+            f"FROM a JOIN b USING (np, p), range(1, 3) dim(d) "
+            f"GROUP BY a.np, a.p, dim.d"
+        ),
+        "drop_leading_dim": (
+            f"SELECT DISTINCT i // {PROD3.lengths[0]} AS j, c2, c3 "
+            f"FROM ({a5}) WHERE p = {SPLIT_P}"
+        ),
+        "index_in_product": (
+            f"SELECT c1, c2, c3, i + 1 AS ind FROM ({prod})"
+        ),
+        "split_membership": (
+            f"SELECT c1, c2, c3, (p = 3) AS is_member FROM ({a5})"
+        ),
+        "local_index": (
+            f"SELECT c1, c2, c3, CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT) AS li "
+            f"FROM ({a5}) WHERE p = {SPLIT_P}"
+        ),
+        "which_partition": (
+            f"SELECT c1, c2, c3, CAST(ntile(7) OVER (ORDER BY i) AS BIGINT) AS rnk "
+            f"FROM ({prod})"
+        ),
+        "partition_recast": (
+            f"WITH a AS (SELECT t.i AS i, "
+            f"CAST(ntile({SPLIT_NP}) OVER (ORDER BY t.i) AS BIGINT) AS p "
+            f"FROM range(0, {PROD3.total}) t(i)), "
+            f"n AS (SELECT CAST(v AS BIGINT) AS np_new FROM (VALUES (2), (7), (10)) nn(v)), "
+            f"b AS (SELECT a.i, a.p, n.np_new, "
+            f"CAST(ntile(n.np_new) OVER (PARTITION BY n.np_new ORDER BY a.i) AS BIGINT) AS pn "
+            f"FROM a, n) "
+            f"SELECT p, np_new, MIN(pn) AS lo, MAX(pn) AS hi "
+            f"FROM b GROUP BY p, np_new"
+        ),
+    }
+
+
+QUERIES = {
+    "product_scan": q_product_scan,
+    "product_scan_float": q_product_scan_float,
+    "product_section": q_product_section,
+    "product_split": q_product_split,
+    "zip_split": q_zip_split,
+    "partition_bounds": q_partition_bounds,
+    "worker_rank": q_worker_rank,
+    "linear_to_multidim": q_linear_to_multidim,
+    "product_getindex": q_product_getindex,
+    "split_first_last": q_split_first_last,
+    "split_length": q_split_length,
+    "nelements_dim": q_nelements_dim,
+    "min_dim": q_min_dim,
+    "max_dim": q_max_dim,
+    "extrema_dim": q_extrema_dim,
+    "extrema_all_dims": q_extrema_all_dims,
+    "extrema_lastdim": q_extrema_lastdim,
+    "drop_leading_dim": q_drop_leading_dim,
+    "index_in_product": q_index_in_product,
+    "split_membership": q_split_membership,
+    "local_index": q_local_index,
+    "which_partition": q_which_partition,
+    "partition_recast": q_partition_recast,
+}
