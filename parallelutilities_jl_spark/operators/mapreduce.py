@@ -1,0 +1,354 @@
+"""The map-reduce engine — the reference's five public entry points
+re-expressed Spark-first (reference src/ParallelUtilities.jl:6-10:
+pmapreduce, pmapreduce_productsplit, pmapbatch, pmapbatch_productsplit,
+workerrank).
+
+Execution mapping (SURVEY §3):
+* `pmapreduce(f, op, iters...)` → `product/zip DF → select(f) → agg(op)`.
+  Catalyst plans the partial/final hash aggregation that replaces the
+  reference's hand-built segmented tree (reference src/trees.jl:42-137);
+  same results, the 3-stage local→per-host→cross-host reduce becomes
+  map-side partial agg → shuffle → final agg.
+* **Ordered (non-commutative) reduction** — the one semantic Spark does
+  not give us (reference rank-sorts `pval`s before combining unless the op
+  is `Commutative`, src/mapreduce.jl:138-146): per-partition partials are
+  collected as (rank, value) structs, `array_sort`ed by rank, then folded
+  left with SQL higher-order `aggregate()` — a deterministic left fold in
+  worker-rank order. Skipped for commutative ops.
+* **init-once** — the reference applies `init` exactly once globally, not
+  per partition (src/mapreduce.jl:110-117,213-214); Spark's zeroValue is
+  per-partition, so `init` is folded in *after* the global combine.
+* `pmapreduce_productsplit` → `groupBy(p).applyInPandas` where the UDF
+  receives the O(1) `ProductSplit` descriptor alongside its rows — the
+  MPI-style rank program (reference docs/src/pmapreduce.md:58-91).
+* `pmapbatch` → plain projection; order restored by the explicit linear
+  index (reference: vcat of rank-tagged singletons, src/mapreduce.jl:316-324).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.operators.reductions import (
+    Commutative,
+    ReduceOp,
+    is_commutative,
+    unwrap,
+)
+from parallelutilities_jl_spark.plans.dataframe import product_df, zip_df
+from parallelutilities_jl_spark.plans.productsplit import ProductSpec, ProductSplit
+from parallelutilities_jl_spark.sources.ranges import RangeSpec
+
+
+def pmapreduce(
+    spark: SparkSession,
+    f: Callable[..., Column],
+    op: ReduceOp | Commutative,
+    iterators: Sequence[RangeSpec],
+    *,
+    product: bool = False,
+    np: int = 32,
+    init: Optional[Column] = None,
+) -> DataFrame:
+    """Parallel mapreduce over zipped (default) or producted iterators
+    (reference pmapreduce, src/mapreduce.jl:266-287). Returns a 1-row
+    DataFrame with column `result`.
+
+    ``f`` receives the coordinate Columns and returns the mapped Column;
+    ``op`` a ReduceOp (optionally Commutative-tagged).
+    """
+    if product:
+        spec = ProductSpec(tuple(iterators))
+        df = product_df(spark, spec, np=np)
+        cols = [F.col(c) for c in spec.colnames]
+    else:
+        df = zip_df(spark, tuple(iterators), np=np)
+        cols = [F.col(f"z{k + 1}") for k in range(len(iterators))]
+    mapped = df.select(F.col("p"), f(*cols).alias("v"))
+    return reduce_mapped(mapped, op, init=init)
+
+
+def reduce_mapped(
+    mapped: DataFrame, op: ReduceOp | Commutative, *, init: Optional[Column] = None
+) -> DataFrame:
+    """Reduce a (p, v) DataFrame with the ordered/commutative dichotomy and
+    init-once semantics."""
+    base = unwrap(op)
+    if is_commutative(op):
+        out = mapped.agg(base.agg(F.col("v")).alias("result"))
+    else:
+        out = ordered_fold(mapped, base)
+    if init is not None:
+        # init participates exactly once, after the global combine
+        # (reference src/mapreduce.jl:110-117)
+        out = out.withColumn("init_v", init).select(
+            _merge_cols(base, F.col("init_v"), F.col("result")).alias("result")
+        )
+    return out
+
+
+def _merge_cols(op: ReduceOp, acc: Column, x: Column) -> Column:
+    if op.name == "sum":
+        return acc + x
+    if op.name == "min":
+        return F.least(acc, x)
+    if op.name == "max":
+        return F.greatest(acc, x)
+    if op.name == "prod":
+        return acc * x
+    raise ValueError(f"no column merge for op {op.name}")
+
+
+def ordered_fold(
+    mapped: DataFrame, op: ReduceOp, zero_type: str = "double"
+) -> DataFrame:
+    """Rank-ordered reduction for non-commutative ops: per-partition
+    partial (associativity), then a deterministic left fold in rank order
+    (reference pval sort, src/mapreduce.jl:138-146). The partial agg is
+    map-side; only np partials reach the fold."""
+    partials = mapped.groupBy("p").agg(op.agg(F.col("v")).alias("pv"))
+    return partials.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(p, pv))), "
+            f"CAST({op.zero_sql} AS {zero_type}), "
+            f"(acc, s) -> {op.merge_sql.replace('x', 's.pv')})"
+        ).alias("result")
+    )
+
+
+def ordered_concat(
+    df: DataFrame, p: str, local_order: str, val: str
+) -> DataFrame:
+    """The vcat analog: concatenate per-rank sequences in rank order,
+    emitting (pos, val) with a deterministic global position — the
+    rank-tagged `pval` ordering (reference src/mapreduce.jl:2-16,138-146).
+    Scales as a sort by (rank, local), not a driver-side array build."""
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col(p), F.col(local_order))
+    return df.select(
+        F.row_number().over(w).cast("long").alias("pos"), F.col(val).alias("val")
+    )
+
+
+def pmapbatch(
+    spark: SparkSession,
+    f: Callable[..., Column],
+    iterators: Sequence[RangeSpec],
+    *,
+    product: bool = False,
+    np: int = 32,
+) -> DataFrame:
+    """Order-preserving parallel map (reference pmapbatch,
+    src/mapreduce.jl:316-324): a projection; the linear index `i` carries
+    the global order so no concat/sort is ever needed."""
+    if product:
+        spec = ProductSpec(tuple(iterators))
+        df = product_df(spark, spec, np=np)
+        cols = [F.col(c) for c in spec.colnames]
+    else:
+        df = zip_df(spark, tuple(iterators), np=np)
+        cols = [F.col(f"z{k + 1}") for k in range(len(iterators))]
+    return df.select("i", f(*cols).alias("fx"))
+
+
+def map_product_splits(
+    spark: SparkSession,
+    spec: ProductSpec,
+    np: int,
+    f: Callable[[ProductSplit, pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+) -> DataFrame:
+    """pmapreduce_productsplit's map stage: each rank's function receives
+    the whole split once — as (O(1) descriptor, pandas rows) — mirroring
+    worker code that interrogates `ps` for its bounds/extents (reference
+    src/mapreduce.jl:300-307, docs/src/pmapreduce.md:98-160).
+
+    Arrow-batched `applyInPandas` keyed by the *logical* rank column, so
+    the physical partitioning is free to differ (AQE may coalesce) while
+    rank semantics stay exact."""
+
+    df = product_df(spark, spec, np=np)
+
+    def apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ps = spec.split(np, int(key[0]))
+        return f(ps, pdf)
+
+    return df.groupBy("p").applyInPandas(apply, out_schema)
+
+
+def pmapbatch_productsplit(
+    spark: SparkSession,
+    spec: ProductSpec,
+    np: int,
+    f: Callable[[ProductSplit, pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+) -> DataFrame:
+    """Batch variant (reference src/mapreduce.jl:334-342): per-rank outputs
+    concatenated in rank order — callers sort by the rank column the UDF
+    emits."""
+    return map_product_splits(spark, spec, np, f, out_schema)
+
+
+def pmapreduce_rdd(
+    df: DataFrame, f, op, depth: int = 2
+):
+    """RDD tree-reduce path for API parity with the reference's segmented
+    binary tree (reference src/trees.jl:42-137 → `treeAggregate(depth)`):
+    hierarchical combine in ``depth`` rounds. Only for genuinely opaque
+    Python `f`/`op`; the DataFrame path above is the fast path."""
+    return df.rdd.map(f).treeReduce(op, depth)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (SURVEY §2.4/§2.5 qnames)
+# ---------------------------------------------------------------------------
+
+from parallelutilities_jl_spark.plans.queries import PROD3  # noqa: E402
+from parallelutilities_jl_spark.sources.ranges import rng  # noqa: E402
+
+PRODB = ProductSpec((rng(1, 100), rng(1, 60)))  # 6000-element map grid
+RANGE_N = 10_000
+
+
+def q_pmapreduce_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pmapreduce(x -> x^2, +, 1:10000) — the reference's flagship example
+    (reference README.md:30-36) as a codegen'd scan-agg."""
+    return pmapreduce(
+        spark,
+        lambda x: x * x,
+        Commutative(ReduceOp("sum", F.sum, "acc + x", "0")),
+        [rng(1, RANGE_N)],
+    )
+
+
+def q_reduce_with_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum with init=42 applied exactly once globally, not per partition
+    (reference init-once, src/mapreduce.jl:110-117)."""
+    from parallelutilities_jl_spark.operators.reductions import SUM
+
+    return pmapreduce(
+        spark,
+        lambda c1, c2, c3: c1 + c2,
+        Commutative(SUM),
+        list(PROD3.ranges),
+        product=True,
+        np=8,
+        init=F.lit(42).cast("long"),
+    )
+
+
+def q_ordered_reduce_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered (non-commutative-path) fold: same sum, but through the
+    rank-sorted aggregate() fold — result must equal the shuffle agg
+    (reference ordered pval reduce, src/mapreduce.jl:138-146)."""
+    from parallelutilities_jl_spark.operators.reductions import SUM
+
+    df = zip_df(spark, (rng(1, RANGE_N),), np=16)
+    mapped = df.select("p", (F.col("z1") * 3).alias("v"))
+    return ordered_fold(mapped, SUM, zero_type="bigint")
+
+
+def q_pmapbatch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving parallel map (reference pmapbatch,
+    src/mapreduce.jl:316-324)."""
+    return pmapbatch(
+        spark,
+        lambda c1, c2, c3: c1 * c1 + c2,
+        list(PROD3.ranges),
+        product=True,
+        np=8,
+    )
+
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vcat in rank order: global positions deterministic (reference
+    rank-tagged pval concat, src/mapreduce.jl:2-16; pmapbatch == pmap test
+    paralleltests.jl:661-677)."""
+    df = product_df(spark, PROD3, np=6)
+    val = F.col("c1") * 100 + F.col("c2") * 10 + F.col("c3")
+    return ordered_concat(df.select("p", "i", val.alias("v")), "p", "i", "v")
+
+
+def q_productsplit_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPI-style rank program: each rank's UDF gets (ProductSplit
+    descriptor, rows); uses O(1) descriptor metadata alongside the data
+    (reference pmapreduce_productsplit, src/mapreduce.jl:300-307)."""
+
+    def f(ps: ProductSplit, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": [ps.p],
+                "partial": [int((pdf["c1"] * pdf["c2"]).sum())],
+                "n_el": [len(ps)],  # O(1), not len(pdf)
+                "first_c1": [ps.first_el[0]],  # O(1) decode
+            }
+        )
+
+    return map_product_splits(spark, PRODB, 8, f, "p long, partial long, n_el long, first_c1 long")
+
+
+def q_dict_merge_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-merge reduction: map x -> {x % 10: x}, merge with + (reference
+    test paralleltests.jl:502-514) — a shuffle agg on the dict key."""
+    df = zip_df(spark, (rng(1, 200),), np=8)
+    return (
+        df.select((F.col("z1") % 10).alias("key"), F.col("z1").alias("v"))
+        .groupBy("key")
+        .agg(F.sum("v").alias("merged"))
+    )
+
+
+def _mapreduce_oracles() -> dict[str, str]:
+    from parallelutilities_jl_spark.plans.oracle import product_cte
+
+    prod3 = product_cte(PROD3)
+    prodb_assigned = (
+        f"SELECT CAST(ntile(8) OVER (ORDER BY i) AS BIGINT) AS p, i, c1, c2 "
+        f"FROM ({product_cte(PRODB)})"
+    )
+    return {
+        "pmapreduce_sum_squares": (
+            f"SELECT CAST(SUM((i + 1) * (i + 1)) AS BIGINT) AS result "
+            f"FROM range(0, {RANGE_N}) t(i)"
+        ),
+        "reduce_with_init": (
+            f"SELECT CAST(42 + SUM(c1 + c2) AS BIGINT) AS result FROM ({prod3})"
+        ),
+        "ordered_reduce_sum": (
+            f"SELECT CAST(SUM((i + 1) * 3) AS BIGINT) AS result "
+            f"FROM range(0, {RANGE_N}) t(i)"
+        ),
+        "pmapbatch_map": f"SELECT i, c1 * c1 + c2 AS fx FROM ({prod3})",
+        "ordered_concat": (
+            f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT) AS pos, "
+            f"c1 * 100 + c2 * 10 + c3 AS val FROM ({prod3})"
+        ),
+        "productsplit_partition_agg": (
+            "SELECT p, CAST(SUM(c1 * c2) AS BIGINT) AS partial, "
+            "CAST(COUNT(*) AS BIGINT) AS n_el, arg_min(c1, i) AS first_c1 "
+            f"FROM ({prodb_assigned}) GROUP BY p"
+        ),
+        "dict_merge_reduce": (
+            "SELECT CAST((i + 1) % 10 AS BIGINT) AS key, "
+            "CAST(SUM(i + 1) AS BIGINT) AS merged "
+            "FROM range(0, 200) t(i) GROUP BY 1"
+        ),
+    }
+
+
+QUERIES = {
+    "pmapreduce_sum_squares": q_pmapreduce_sum_squares,
+    "reduce_with_init": q_reduce_with_init,
+    "ordered_reduce_sum": q_ordered_reduce_sum,
+    "pmapbatch_map": q_pmapbatch_map,
+    "ordered_concat": q_ordered_concat,
+    "productsplit_partition_agg": q_productsplit_partition_agg,
+    "dict_merge_reduce": q_dict_merge_reduce,
+}
+
+ORACLES = _mapreduce_oracles()

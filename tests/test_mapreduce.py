@@ -1,0 +1,178 @@
+"""Parallel-vs-serial equivalence + worker-count invariance for the
+map-reduce engine (the reference's dominant end-to-end test pattern,
+test/paralleltests.jl:488-590 and the np matrix in test/singlehost.jl:7-15).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.operators.mapreduce import (
+    map_product_splits,
+    ordered_concat,
+    ordered_fold,
+    pmapbatch,
+    pmapreduce,
+)
+from parallelutilities_jl_spark.operators.reductions import (
+    MAX,
+    MIN,
+    PROD,
+    SUM,
+    Commutative,
+    broadcast_stack,
+    elementwise_reduce,
+    explode_long,
+    zip_with_combine,
+)
+from parallelutilities_jl_spark.plans.dataframe import product_df, zip_df
+from parallelutilities_jl_spark.plans.productsplit import ProductSpec
+from parallelutilities_jl_spark.sources.ranges import rng
+
+
+@pytest.mark.parametrize("np_parts", [1, 2, 4, 8])
+def test_pmapreduce_equals_serial_mapreduce(spark, np_parts):
+    # pmapreduce(x -> x^2, +, 1:100) == mapreduce(x -> x^2, +, 1:100)
+    got = pmapreduce(
+        spark, lambda x: x * x, Commutative(SUM), [rng(1, 100)], np=np_parts
+    ).collect()[0]["result"]
+    assert got == sum(x * x for x in range(1, 101))
+
+
+@pytest.mark.parametrize("np_parts", [1, 3, 8])
+def test_pmapreduce_product_iterators(spark, np_parts):
+    # product analog: mapreduce over 1:10 × 4:6
+    got = pmapreduce(
+        spark,
+        lambda a, b: a * b,
+        Commutative(SUM),
+        [rng(1, 10), rng(4, 6)],
+        product=True,
+        np=np_parts,
+    ).collect()[0]["result"]
+    assert got == sum(a * b for b in range(4, 7) for a in range(1, 11))
+
+
+def test_init_applied_exactly_once(spark):
+    # reference strips init on all ranks but one (src/mapreduce.jl:110-117);
+    # a per-partition zeroValue would give 42 * np instead.
+    for np_parts in (1, 4, 8):
+        got = pmapreduce(
+            spark,
+            lambda x: x,
+            Commutative(SUM),
+            [rng(1, 50)],
+            np=np_parts,
+            init=F.lit(42).cast("long"),
+        ).collect()[0]["result"]
+        assert got == 42 + sum(range(1, 51))
+
+
+@pytest.mark.parametrize("np_parts", [1, 2, 5, 16])
+def test_ordered_fold_matches_commutative(spark, np_parts):
+    df = zip_df(spark, (rng(1, 500),), np=np_parts)
+    mapped = df.select("p", (F.col("z1") * 2).alias("v"))
+    ordered = ordered_fold(mapped, SUM, zero_type="bigint").collect()[0]["result"]
+    plain = mapped.agg(F.sum("v")).collect()[0][0]
+    assert ordered == plain == 500 * 501
+
+
+def test_ordered_fold_min_max(spark):
+    df = zip_df(spark, (rng(1, 100),), np=7)
+    mapped = df.select("p", F.col("z1").alias("v"))
+    assert ordered_fold(mapped, MIN, "bigint").collect()[0]["result"] == 1
+    assert ordered_fold(mapped, MAX, "bigint").collect()[0]["result"] == 100
+
+
+@pytest.mark.parametrize("np_parts", [1, 3, 6])
+def test_ordered_concat_is_rank_then_local_order(spark, np_parts):
+    # pmapbatch == pmap: concat order must equal serial enumeration
+    # (reference test/paralleltests.jl:661-677)
+    spec = ProductSpec((rng(1, 5), rng(2, 4)))
+    df = product_df(spark, spec, np=np_parts)
+    out = ordered_concat(
+        df.select("p", "i", (F.col("c1") * 10 + F.col("c2")).alias("v")),
+        "p",
+        "i",
+        "v",
+    ).collect()
+    serial = [
+        a * 10 + b for b in range(2, 5) for a in range(1, 6)
+    ]
+    got = [r["val"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert got == serial
+
+
+def test_pmapbatch_preserves_order(spark):
+    out = pmapbatch(
+        spark, lambda x: x * 7, [rng(1, 30)], np=4
+    ).orderBy("i").collect()
+    assert [r["fx"] for r in out] == [x * 7 for x in range(1, 31)]
+
+
+def test_map_product_splits_descriptor_consistency(spark):
+    # every rank's descriptor metadata must agree with the rows it got
+    spec = ProductSpec((rng(1, 12), rng(1, 7)))
+    np_parts = 5
+
+    def f(ps, pdf: pd.DataFrame) -> pd.DataFrame:
+        assert len(ps) == len(pdf)  # O(1) length == actual rows
+        assert ps.minimumelement(0) == int(pdf["c1"].min())
+        assert ps.maximumelement(1) == int(pdf["c2"].max())
+        assert ps.nelements(0) == pdf["c1"].nunique()
+        return pd.DataFrame({"p": [ps.p], "n": [len(ps)]})
+
+    rows = map_product_splits(spark, spec, np_parts, f, "p long, n long").collect()
+    assert sorted((r["p"], r["n"]) for r in rows) == [
+        (p, len(spec.split(np_parts, p))) for p in range(1, np_parts + 1)
+    ]
+
+
+def test_flip_swaps_arguments():
+    from parallelutilities_jl_spark.operators.reductions import ReduceOp, flip
+
+    op = ReduceOp("custom", F.sum, "acc - x", "0")
+    assert flip(op).merge_sql == "x - acc"
+
+
+def test_broadcast_stack_offset_axes(spark):
+    # reference misctests_singleprocess.jl:55-63: axes 2:4 ∪ 3:5 — overlap
+    # combined, flanks copied
+    a = spark.createDataFrame([(2, 10.0), (3, 20.0), (4, 30.0)], "idx long, val double")
+    b = spark.createDataFrame([(3, 1.0), (4, 2.0), (5, 3.0)], "idx long, val double")
+    got = {
+        r["idx"]: r["val"] for r in broadcast_stack(a, b, "x + y").collect()
+    }
+    assert got == {2: 10.0, 3: 21.0, 4: 32.0, 5: 3.0}
+
+
+def test_elementwise_reduce_matches_pandas(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1, 2, 3], "arr": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]}
+        )
+    )
+    long_df = explode_long(df, "arr", ["vec_id"])
+    got = {
+        r["idx"]: r["val"]
+        for r in elementwise_reduce(long_df, SUM).collect()
+    }
+    assert got == {1: 9.0, 2: 12.0}
+
+
+def test_zip_with_combine_ops(spark):
+    df = spark.createDataFrame(
+        [([1.0, 5.0], [4.0, 2.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        zip_with_combine(F.col("a"), F.col("b"), "x + y").alias("add"),
+        zip_with_combine(F.col("a"), F.col("b"), "x * y").alias("mul"),
+        zip_with_combine(F.col("a"), F.col("b"), "least(x, y)").alias("mn"),
+        zip_with_combine(F.col("a"), F.col("b"), "greatest(x, y)").alias("mx"),
+    ).collect()[0]
+    assert row["add"] == [5.0, 7.0]
+    assert row["mul"] == [4.0, 10.0]
+    assert row["mn"] == [1.0, 2.0]
+    assert row["mx"] == [4.0, 5.0]
