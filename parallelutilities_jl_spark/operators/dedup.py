@@ -1,0 +1,336 @@
+"""Deduplication operators over the `documents` fixture — the
+training-data-pipeline surface (BASELINE.json north star; SURVEY §7
+phase 5).
+
+Four dedup families, all oracle-checked:
+
+* **exact** — sha256 over normalized text, group + flag.
+* **MinHash + LSH** — shingle → 16 salted-md5 min-hashes → 4×4 banding →
+  bucket self-join for candidates → exact-Jaccard verification. The
+  min-hash 'functions' are lexicographic MIN over salted md5 *strings*
+  (functions/texthash.py), so Spark and DuckDB compute identical
+  signatures.
+* **SimHash** — 32-bit sign-aggregated fingerprint from 48-bit md5 term
+  hashes; hamming-adjacent fingerprints ≈ near-dups.
+* **n-gram Jaccard** — exact pairwise Jaccard over word 3-grams,
+  restricted to pairs sharing ≥1 shingle (the same candidate space LSH
+  approximates).
+
+Scale design (100 TB corpora):
+* every stage is explode → shuffle-on-key → agg: no driver state, no
+  cross join; candidate generation is the banded self-join (linear in
+  bucket sizes, the standard MinHashLSH layout);
+* signatures are 16 fixed columns (one map-side pass, no UDF);
+* the exact-Jaccard verify joins only LSH candidates, not all pairs.
+
+Reference parity note: the reference has no dedup operators (it is a
+map-reduce library); these are the north-star extensions built on the
+same engine primitives (explode/groupBy/join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.functions import texthash as TH
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.3
+SHINGLE_K = 3
+
+
+# ---------------------------------------------------------------------------
+# building blocks (engine API)
+# ---------------------------------------------------------------------------
+
+
+def shingle_docs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh): distinct word k-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words(F.col("text"))
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select("doc_id", F.explode(TH.shingles(F.col("ws"), k)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh_df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """One row per doc with h0..h{n-1} min-hash columns — a single
+    map-side-combinable pass."""
+    aggs = [
+        F.min(TH.salted_md5(F.col("sh"), i)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh_df.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, key): band key = md5 of the band's signature rows."""
+    parts = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        )
+        parts.append(
+            sig.select(
+                "doc_id", F.lit(b).cast("long").alias("band"), key.alias("key")
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Docs sharing any band bucket (doc_a < doc_b), deduped."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for the candidate pairs only."""
+    sizes = sh_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh_df.alias("sa")
+    sb = sh_df.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("ni")
+    )
+    return (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 of normalized text; keeps the canonical
+    (minimum) doc_id per group and flags duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(TH.norm_text(F.col("text")), 256).alias("text_hash")
+    )
+    groups = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return hashed.join(groups, "text_hash").select(
+        "doc_id",
+        "text_hash",
+        "canonical_id",
+        (F.col("n_docs") > 1).alias("is_dup"),
+    )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.3."""
+    sh = shingle_docs(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    cands = candidate_pairs(lsh_bands(sig))
+    return jaccard_verify(cands, sh, JACCARD_THRESHOLD)
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signatures themselves (first 4 hash columns) — checks the
+    sketch layer independently of banding."""
+    sig = minhash_signatures(shingle_docs(spark, sf_dir))
+    return sig.select("doc_id", "h0", "h1", "h2", "h3")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing a shingle (the ground
+    truth LSH approximates); j ≥ 0.3."""
+    sh = shingle_docs(spark, sf_dir)
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    pairs = (
+        sa.join(
+            sb,
+            (F.col("sa.sh") == F.col("sb.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("ni").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("ni")
+    )
+    return (
+        pairs.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from 48-bit md5 term hashes: bit b of
+    the fingerprint is the sign of Σ_tokens (±1 at bit b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(TH.words(F.col("text"))).alias("w"))
+        .distinct()
+        .select("doc_id", TH.md5_int48(F.col("w")).alias("h"))
+    )
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    ).select(
+        "doc_id",
+        "b",
+        (F.expr("(h >> b) & 1") * 2 - 1).alias("contrib"),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(
+        F.sum("contrib").alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (same pipeline, DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _dd_shingle_cte() -> str:
+    ws = TH.dd_words("text")
+    return (
+        f"w AS (SELECT doc_id, {ws} AS ws FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, "
+        f"UNNEST(list_transform(generate_series(1, len(ws) - {SHINGLE_K - 1}), "
+        f"j -> array_to_string(ws[j:j+{SHINGLE_K - 1}], ' '))) AS sh "
+        f"FROM w WHERE len(ws) >= {SHINGLE_K})"
+    )
+
+
+def _dd_sig_cte(n_hashes: int = N_HASHES) -> str:
+    mins = ", ".join(
+        f"MIN({TH.dd_salted_md5('sh', i)}) AS h{i}" for i in range(n_hashes)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+def _dd_bands_cte() -> str:
+    cases = " ".join(
+        f"WHEN {b} THEN md5(concat_ws('|', "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + "))"
+        for b in range(BANDS)
+    )
+    return (
+        f"bands AS (SELECT doc_id, CAST(t.b AS BIGINT) AS band, "
+        f"CASE t.b {cases} END AS key FROM sig, range(0, {BANDS}) t(b))"
+    )
+
+
+_DD_JACCARD_TAIL = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT doc_a, doc_b, COUNT(*) AS ni
+          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+          GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b,
+       ROUND(CAST(ni AS DOUBLE) / (x.n + y.n - ni), 6) AS jaccard
+FROM inter JOIN sizes x ON x.doc_id = doc_a
+JOIN sizes y ON y.doc_id = doc_b
+WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _oracles() -> dict[str, str]:
+    nt = TH.dd_norm_text("text")
+    return {
+        "dedup_exact": f"""
+WITH h AS (SELECT doc_id, sha256({nt}) AS text_hash FROM documents),
+g AS (SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS c
+      FROM h GROUP BY text_hash)
+SELECT doc_id, h.text_hash, canonical_id, (c > 1) AS is_dup
+FROM h JOIN g ON h.text_hash = g.text_hash
+""",
+        "minhash_near_dup": (
+            f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+            "AND a.doc_id < b.doc_id), "
+            + _DD_JACCARD_TAIL
+        ),
+        "minhash_signature": (
+            f"WITH {_dd_shingle_cte()}, {_dd_sig_cte(4)} "
+            "SELECT doc_id, h0, h1, h2, h3 FROM sig"
+        ),
+        "ngram_jaccard_pairs": (
+            f"WITH {_dd_shingle_cte()}, "
+            "cand AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b "
+            "FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id "
+            "GROUP BY 1, 2), "
+            + _DD_JACCARD_TAIL
+        ),
+        "simhash_fingerprint": f"""
+WITH toks AS (SELECT DISTINCT doc_id, UNNEST({TH.dd_words('text')}) AS w
+              FROM documents),
+th AS (SELECT doc_id, {TH.dd_md5_int48('w')} AS h FROM toks),
+bits AS (SELECT doc_id, t.b AS b,
+                SUM(((h >> t.b) & 1) * 2 - 1) AS s
+         FROM th, range(0, 32) t(b) GROUP BY doc_id, t.b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id
+""",
+    }
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_near_dup": q_minhash_near_dup,
+    "minhash_signature": q_minhash_signature,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+}
+
+ORACLES = _oracles()

@@ -1,0 +1,188 @@
+"""Multimodal-column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata (BASELINE.json north star).
+
+The *Spark-side* machinery is real and tested — schemas, Arrow-batched
+`mapInPandas` decode/feature/resize/frame-sample operators, partitioning
+notes — while the actual codec calls are stubbed (`NotImplementedError`)
+behind a deterministic fake, because the image/audio libraries are not in
+this container. Swapping `_decode_stub` for a real `PIL.Image.open` /
+`soundfile.read` changes nothing structurally: the UDF signatures,
+schemas and batch shapes are what a real deployment uses.
+
+Scale design:
+* binary payloads stay columnar (parquet BYTE_ARRAY) and are only
+  materialized inside the Arrow batch being decoded;
+* decode → feature-extract is `mapInPandas` (per-partition batch
+  iterator): no per-row Python, one Arrow exchange per batch;
+* `spark.sql.files.maxPartitionBytes` bounds per-task memory — a 100 TB
+  corpus of ~1 MB blobs lands ~128 blobs per task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _decode_stub(content: bytes, modality: str) -> dict:
+    """STUB for the real codec (PIL / soundfile / pyav are not in this
+    container). Deterministic fake: metadata derived from the byte
+    stream so tests are reproducible. Replace the body with the real
+    decoder in deployment."""
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for modality {modality!r}")
+    h = hashlib.sha256(content).digest()
+    return {
+        "width": 16 + h[0] % 64,
+        "height": 16 + h[1] % 64,
+        "sample_rate": 8000 + (h[2] % 4) * 8000,
+        "n_frames": 1 + h[3] % 32,
+    }
+
+
+def _features_stub(content: bytes) -> list[float]:
+    """Deterministic fake embedding: FEATURE_DIM floats from sha256
+    bytes. Replace with the real encoder in deployment."""
+    h = hashlib.sha256(content).digest()
+    return [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
+
+
+def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a multimodal asset table from the documents fixture: text
+    bytes stand in for encoded media (binary column + modality tag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+    )
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode: (asset_id, modality, content) → + decoded
+    metadata columns. Arrow-batched; per-batch Python, not per-row."""
+
+    out_schema = (
+        "asset_id long, modality string, n_bytes long, width int, "
+        "height int, sample_rate int, n_frames int"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _decode_stub(c, m)
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                }
+            )
+
+    return assets.mapInPandas(decode, out_schema)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction → array<double> embedding column."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "features": [_features_stub(c) for c in pdf["content"]],
+                }
+            )
+
+    return assets.mapInPandas(feats, "asset_id long, features array<double>")
+
+
+def frame_sample(decoded: DataFrame, every_k: int = 8) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame index —
+    pure column ops (sequence + explode), no decode until the downstream
+    consumer fetches the frame."""
+    vids = decoded.filter(F.col("modality") == "video")
+    return vids.select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(every_k)
+            )
+        ).alias("frame_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked query: the binary plumbing itself (byte length, content
+# hash, magic prefix) — engine-agnostic ground truth
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthesize_assets(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha256_hex"),
+        F.lower(F.hex(F.expr("substring(content, 1, 4)"))).alias("magic_hex"),
+    )
+
+
+ORACLES = {
+    "multimodal_binary_stats": """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
+FROM documents
+""",
+}
+
+QUERIES = {
+    "multimodal_binary_stats": q_multimodal_binary_stats,
+}

@@ -1,0 +1,232 @@
+"""Similarity search over the `embeddings` fixture (array<float>, 64-d) —
+approximate-nearest-neighbor surface for the training-data pipeline
+(BASELINE.json north star; SURVEY §7 phase 5).
+
+Three tiers, all oracle-checked:
+
+* **brute-force cosine top-k** — the baseline: broadcast the query set,
+  JVM-side dot products via `aggregate(zip_with(*))` (no Python in the
+  loop), window top-k per query.
+* **IVF top-k** — the scale path: candidates restricted to the query's
+  coarse cell (the fixture's `label` column stands in for the nearest
+  centroid id; on a real corpus the cells come from a k-means fit). Equi
+  join on cell → per-cell linear scan → top-k: shuffle is O(cell size),
+  not O(corpus).
+* **LSH-bucket cosine** — random-hyperplane signs (deterministic axis
+  hyperplanes over the first 8 dims, so both engines agree) → 8-bit
+  bucket → equi-join on bucket.
+
+At 100 TB: brute force is O(Q × N) and exists as the correctness oracle;
+IVF/LSH turn the candidate set into an equi-join key, which is the only
+ANN layout that shuffles well. Norms are precomputed once per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+N_QUERIES = 5
+TOP_K = 5
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: left fold over zip_with — whole-stage
+    codegen'd, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid", "cid", F.round("cos", 6).alias("score"), "rnk"
+        )
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5: broadcast
+    queries × all candidates; the baseline every ANN tier is checked
+    against."""
+    emb = _emb_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (norm(F.col("qe")) * norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(scored, TOP_K)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: search only the query's coarse cell (label) — candidate
+    generation becomes an equi-join on the cell id."""
+    emb = _emb_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("cell"),
+        F.col("emb").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("cell"),
+        F.col("emb").alias("ce"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (norm(F.col("qe")) * norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(scored, 3)
+
+
+def _bucket_expr(emb: Column) -> Column:
+    """8-bit random-hyperplane signature: bit j = sign(v[j]) for the first
+    8 dims (deterministic 'hyperplanes', identical in both engines)."""
+    out = F.lit(0)
+    for j in range(8):
+        out = out + F.when(emb[j] > 0, F.lit(1 << j)).otherwise(0)
+    return out.cast("long")
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH: bucket on sign bits, search within bucket."""
+    emb = _emb_double(spark, sf_dir).withColumn(
+        "bucket", _bucket_expr(F.col("emb"))
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("bucket"), F.col("emb").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("bucket"),
+        F.col("emb").alias("ce"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (norm(F.col("qe")) * norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(scored, 3)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_DD_LF = (
+    "lf AS (SELECT vec_id, label, "
+    "UNNEST(generate_series(1, len(embedding))) AS k, "
+    "UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v "
+    "FROM embeddings), "
+    "norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM lf GROUP BY vec_id)"
+)
+
+
+def _dd_topk(filter_sql: str, join_sql: str, k: int) -> str:
+    return f"""
+WITH {_DD_LF},
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.v * b.v) AS dot
+         FROM lf a JOIN lf b ON a.k = b.k {join_sql}
+         WHERE {filter_sql} AND b.vec_id <> a.vec_id
+         GROUP BY 1, 2),
+scored AS (SELECT qid, cid, dot / (nq.nrm * nc.nrm) AS cos
+           FROM dots JOIN norms nq ON nq.vec_id = qid
+           JOIN norms nc ON nc.vec_id = cid)
+SELECT qid, cid, ROUND(cos, 6) AS score, rnk FROM (
+  SELECT qid, cid, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+_DD_BUCKET = (
+    "buckets AS (SELECT vec_id, CAST(("
+    + " + ".join(
+        f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    + ") AS BIGINT) AS bucket FROM embeddings)"
+)
+
+ORACLES = {
+    "ann_cosine_topk": _dd_topk(f"a.vec_id < {N_QUERIES}", "", TOP_K),
+    "ann_ivf_topk": _dd_topk(
+        "a.vec_id < 20", "AND a.label = b.label", 3
+    ),
+    "ann_lsh_bucket": f"""
+WITH {_DD_LF},
+{_DD_BUCKET},
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.v * b.v) AS dot
+         FROM lf a JOIN lf b ON a.k = b.k
+         JOIN buckets ba ON ba.vec_id = a.vec_id
+         JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+         WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+         GROUP BY 1, 2),
+scored AS (SELECT qid, cid, dot / (nq.nrm * nc.nrm) AS cos
+           FROM dots JOIN norms nq ON nq.vec_id = qid
+           JOIN norms nc ON nc.vec_id = cid)
+SELECT qid, cid, ROUND(cos, 6) AS score, rnk FROM (
+  SELECT qid, cid, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+""",
+}
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+}

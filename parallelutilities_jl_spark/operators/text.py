@@ -1,0 +1,208 @@
+"""Text-analysis operators over `documents` — language ID, quality
+scoring, token statistics, fingerprinting (BASELINE.json north star;
+SURVEY §7 phase 5).
+
+Everything is built from portable scalar expressions (no UDF, no Python
+in the hot path): counting via length-difference tricks and `filter` on
+word arrays, so the DuckDB oracle evaluates the very same formulas.
+
+At 100 TB these are embarrassingly-parallel projections — one scan, no
+shuffle; the per-language marker lists ride along as literals (on a real
+pipeline, a broadcast map).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.functions import texthash as TH
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# marker-word heuristics per language (n-gram-style language ID)
+LANG_MARKERS = {
+    "en": ("the", "of", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "les", "des"),
+    "es": ("el", "los", "las"),
+}
+
+
+def _count_in(ws: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(ws, lambda w: w.isin(*markers))).cast("long")
+
+
+def _dd_count_in(ws: str, markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter({ws}, w -> w IN ({lst}))) AS BIGINT)"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words, chars, mean word length, and a
+    BPE-ish token estimate (ceil(chars / 4) — the common ~4-chars/token
+    heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = TH.norm_text(F.col("text"))
+    ws = F.split(nt, " ")
+    n_words = F.size(ws).cast("long")
+    n_chars = F.length(nt).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_norm"),
+        F.round(
+            (n_chars - (n_words - 1)).cast("double") / n_words, 6
+        ).alias("avg_word_len"),
+        F.ceil(n_chars / F.lit(4.0)).cast("long").alias("bpe_tokens_est"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation density, stopword ratio,
+    mean word length — combined into a [0, 1]-ish score."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.col("text")
+    nt = TH.norm_text(raw)
+    ws = F.split(nt, " ")
+    n_words = F.size(ws).cast("double")
+    n_chars = F.length(raw).cast("double")
+    punct = (
+        n_chars - F.length(F.regexp_replace(raw, r"[.,!?;:]", ""))
+    ).cast("double")
+    stop = _count_in(ws, STOPWORDS).cast("double")
+    punct_ratio = punct / n_chars
+    stop_ratio = stop / n_words
+    len_score = F.least(n_words / 100.0, F.lit(1.0))
+    score = (
+        0.5 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count per-language marker hits, argmax
+    with a fixed precedence (en > de > fr > es; 'und' = undetermined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words(F.col("text"))
+    counts = {
+        lang: _count_in(ws, marks) for lang, marks in LANG_MARKERS.items()
+    }
+    c = {lang: F.col(f"n_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*c.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(c["en"] == best, "en")
+        .when(c["de"] == best, "de")
+        .when(c["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            *[counts[lang].alias(f"n_{lang}") for lang in LANG_MARKERS],
+        )
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            *[f"n_{lang}" for lang in LANG_MARKERS],
+            pred.alias("pred_lang"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the k minimal shingle hashes summarise
+    the document (here k=1 plus the distinct-shingle count) — the
+    order-statistic sketch reused from MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(TH.shingles(F.col("ws"), 3)).alias("sh"))
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("sh"))).alias("fingerprint"),
+        F.countDistinct("sh").alias("n_shingles"),
+    )
+
+
+def _oracles() -> dict[str, str]:
+    nt = TH.dd_norm_text("text")
+    ws = f"string_split({nt}, ' ')"
+    raw_ws = TH.dd_words("text")
+    marker_counts = ", ".join(
+        f"{_dd_count_in('ws', marks)} AS n_{lang}"
+        for lang, marks in LANG_MARKERS.items()
+    )
+    return {
+        "token_stats": f"""
+WITH t AS (SELECT doc_id, {nt} AS nt FROM documents),
+s AS (SELECT doc_id, nt, string_split(nt, ' ') AS ws FROM t)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(length(nt) AS BIGINT) AS n_chars_norm,
+       ROUND(CAST(length(nt) - (len(ws) - 1) AS DOUBLE) / len(ws), 6)
+         AS avg_word_len,
+       CAST(CEIL(length(nt) / 4.0) AS BIGINT) AS bpe_tokens_est
+FROM s
+""",
+        "text_quality_score": f"""
+WITH s AS (SELECT doc_id, text,
+                  CAST(length(text) AS DOUBLE) AS n_chars,
+                  CAST(length(text) -
+                       length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS DOUBLE) AS punct,
+                  string_split({nt}, ' ') AS ws
+           FROM documents),
+r AS (SELECT doc_id,
+             punct / n_chars AS punct_ratio,
+             CAST({_dd_count_in('ws', STOPWORDS)} AS DOUBLE) / len(ws)
+               AS stop_ratio,
+             LEAST(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) AS len_score
+      FROM s)
+SELECT doc_id, ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(0.5 * len_score + 0.3 * LEAST(stop_ratio * 5, 1.0)
+             + 0.2 * (1 - LEAST(punct_ratio * 10, 1.0)), 6) AS quality_score
+FROM r
+""",
+        "lang_id_ngram": f"""
+WITH s AS (SELECT doc_id, lang, {raw_ws} AS ws FROM documents),
+c AS (SELECT doc_id, lang AS labeled_lang, {marker_counts} FROM s)
+SELECT doc_id, labeled_lang, n_en, n_de, n_fr, n_es,
+       CASE WHEN GREATEST(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+            WHEN n_en = GREATEST(n_en, n_de, n_fr, n_es) THEN 'en'
+            WHEN n_de = GREATEST(n_en, n_de, n_fr, n_es) THEN 'de'
+            WHEN n_fr = GREATEST(n_en, n_de, n_fr, n_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM c
+""",
+        "doc_fingerprint": f"""
+WITH w AS (SELECT doc_id, {raw_ws} AS ws FROM documents),
+sh AS (SELECT doc_id,
+              UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                     j -> array_to_string(ws[j:j+2], ' '))) AS sh
+       FROM w WHERE len(ws) >= 3)
+SELECT doc_id, MIN(md5(sh)) AS fingerprint,
+       COUNT(DISTINCT sh) AS n_shingles
+FROM sh GROUP BY doc_id
+""",
+    }
+
+
+QUERIES = {
+    "token_stats": q_token_stats,
+    "text_quality_score": q_text_quality,
+    "lang_id_ngram": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = _oracles()

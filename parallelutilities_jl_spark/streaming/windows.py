@@ -1,0 +1,177 @@
+"""Structured Streaming surface over the `events` fixture (SURVEY §7
+phase 6 — the reference has no streaming; this is the Spark-native
+extension the north star mandates).
+
+Streaming entry points (`stream_events` → windowed/session aggregations →
+memory/foreachBatch sinks) are exercised by tests/test_streaming.py with
+`processAllAvailable()`; the oracle-checked queries below are the *batch
+equivalents* of the same window specs (identical semantics by Spark's
+unified batch/streaming model), so the driver can hash-check them against
+DuckDB.
+
+Watermark notes for the real stream: 10-minute watermark bounds state for
+tumbling/sliding windows; session windows merge while events arrive within
+the gap. At scale, state lives in the checkpointed state store partitioned
+by group key — the same shuffle key as the batch equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+EVENTS_LONG_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP_SEC = 1800
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as nanos —
+    converted to a microsecond timestamp, same as the batch loader).
+
+    The parquet file source wants a *directory* it can watch for new
+    files; the fixture is a single file, so it is exposed through a
+    temp directory symlink (in production the directory is the landing
+    zone new files arrive into)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="pu_events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_LONG_SCHEMA)
+        .format("parquet")
+        .load(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: bool = True) -> DataFrame:
+    """1-hour tumbling window × event_type counts (+ watermark when
+    streaming)."""
+    src = events.withWatermark("ts", "10 minutes") if watermark else events
+    return (
+        src.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, watermark: bool = True) -> DataFrame:
+    """1-hour window sliding every 30 minutes."""
+    src = events.withWatermark("ts", "10 minutes") if watermark else events
+    return (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, watermark: bool = True) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    src = events.withWatermark("ts", "10 minutes") if watermark else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on event_id bounded by the watermark."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked batch equivalents
+# ---------------------------------------------------------------------------
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"), watermark=False)
+
+
+def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_avg(load_table(spark, sf_dir, "events"), watermark=False)
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(load_table(spark, sf_dir, "events"), watermark=False)
+
+
+ORACLES = {
+    "windowed_event_counts": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "sliding_window_avg": """
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+w AS (SELECT (sec // 1800) * 1800 - off.o AS win_start, value
+      FROM e, (VALUES (0), (1800)) off(o))
+SELECT win_start, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM w GROUP BY win_start
+""",
+    # session semantics: a new session starts when the gap since the
+    # previous event is >= the 30 min inactivity gap (Spark merges an
+    # event into a session iff ts < last_ts + gap)
+    "session_window_agg": f"""
+WITH g AS (
+  SELECT user_id, value, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+s AS (
+  SELECT user_id, value, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+}
+
+QUERIES = {
+    "windowed_event_counts": q_windowed_event_counts,
+    "sliding_window_avg": q_sliding_window_avg,
+    "session_window_agg": q_session_window_agg,
+}
