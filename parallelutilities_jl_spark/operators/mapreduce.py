@@ -292,6 +292,35 @@ def q_productsplit_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_product_splits(spark, PRODB, 8, f, "p long, partial long, n_el long, first_c1 long")
 
 
+def q_pmapbatch_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pmapbatch_productsplit: per-rank batch map, outputs concatenated in
+    (rank, local) order (reference src/mapreduce.jl:334-342)."""
+
+    def f(ps: ProductSplit, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")  # group rows arrive shuffle-ordered
+        return pd.DataFrame(
+            {
+                "p": ps.p,
+                "li": range(1, len(pdf) + 1),
+                "fx": (pdf["c1"] + pdf["c2"] * 2).astype("int64"),
+            }
+        )
+
+    return pmapbatch_productsplit(
+        spark, PRODB, 8, f, "p long, li long, fx long"
+    )
+
+
+def q_pmapreduce_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput probe: sum over a 10^8-element product expression,
+    entirely inside whole-stage codegen (the 100 TB shape: no Python, no
+    shuffle beyond the final partial-agg exchange)."""
+    n = 100_000_000
+    return spark.range(0, n, 1, 64).selectExpr(
+        "CAST(SUM((id % 1000) * (id DIV 1000)) AS BIGINT) AS result"
+    )
+
+
 def q_dict_merge_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dict-merge reduction: map x -> {x % 10: x}, merge with + (reference
     test paralleltests.jl:502-514) — a shuffle agg on the dict key."""
@@ -338,6 +367,14 @@ def _mapreduce_oracles() -> dict[str, str]:
             "CAST(SUM(i + 1) AS BIGINT) AS merged "
             "FROM range(0, 200) t(i) GROUP BY 1"
         ),
+        "pmapbatch_partitions": (
+            "SELECT p, CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY i) AS BIGINT) AS li, "
+            f"c1 + c2 * 2 AS fx FROM ({prodb_assigned})"
+        ),
+        "pmapreduce_bigsum": (
+            "SELECT CAST(SUM((i % 1000) * (i // 1000)) AS BIGINT) AS result "
+            "FROM range(0, 100000000) t(i)"
+        ),
     }
 
 
@@ -348,6 +385,8 @@ QUERIES = {
     "pmapbatch_map": q_pmapbatch_map,
     "ordered_concat": q_ordered_concat,
     "productsplit_partition_agg": q_productsplit_partition_agg,
+    "pmapbatch_partitions": q_pmapbatch_partitions,
+    "pmapreduce_bigsum": q_pmapreduce_bigsum,
     "dict_merge_reduce": q_dict_merge_reduce,
 }
 

@@ -320,6 +320,23 @@ def q_which_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_and_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined (rank, 1-based local index) ownership lookup for every
+    tuple under the 5-way split, fully closed-form (reference
+    whichproc_localindex, src/productsplit.jl:922-928)."""
+    base = pdf.product_df(spark, PROD3)
+    idx, _ = pdf.encode_exprs(PROD3, [F.col(c) for c in PROD3.colnames])
+    p = pdf.partition_expr(PROD3.total, SPLIT_NP, idx)
+    drop, _take = pdf.droptake_exprs(PROD3.total, F.lit(SPLIT_NP), p)
+    return base.select(
+        "c1",
+        "c2",
+        "c3",
+        p.alias("rnk"),
+        (idx - drop + 1).cast("long").alias("li"),
+    )
+
+
 def q_partition_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank ranges covering each 5-way split re-split over np_new ∈
     {2, 7, 10} (reference procrange_recast, src/productsplit.jl:831-868)."""
@@ -442,6 +459,11 @@ def oracle_queries() -> dict[str, str]:
             f"SELECT c1, c2, c3, CAST(ntile(7) OVER (ORDER BY i) AS BIGINT) AS rnk "
             f"FROM ({prod})"
         ),
+        "partition_and_index": (
+            f"SELECT c1, c2, c3, p AS rnk, "
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY i) AS BIGINT) AS li "
+            f"FROM ({a5})"
+        ),
         "partition_recast": (
             f"WITH a AS (SELECT t.i AS i, "
             f"CAST(ntile({SPLIT_NP}) OVER (ORDER BY t.i) AS BIGINT) AS p "
@@ -479,5 +501,6 @@ QUERIES = {
     "split_membership": q_split_membership,
     "local_index": q_local_index,
     "which_partition": q_which_partition,
+    "partition_and_index": q_partition_and_index,
     "partition_recast": q_partition_recast,
 }

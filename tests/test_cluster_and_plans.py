@@ -1,0 +1,162 @@
+"""Cluster-topology diagnostics (§2.7), error-path propagation (reference
+test/paralleltests.jl:644-659), partition-count invariance matrix
+(reference test/singlehost.jl:7-15), and physical-plan quality gates —
+the 100 TB checks: pushdown reaches parquet, dimensions broadcast, hot
+paths stay in whole-stage codegen."""
+
+from __future__ import annotations
+
+import socket
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark import cluster as C
+from parallelutilities_jl_spark.operators import relational
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+
+# ---- cluster diagnostics -------------------------------------------------
+
+
+def test_hostnames_probe(spark):
+    rows = C.hostnames(spark, n_probes=4).collect()
+    assert len(rows) == 4
+    assert {r["host"] for r in rows} == {socket.gethostname()}
+    assert sorted(r["rnk"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_nodenames_single_host(spark):
+    assert C.nodenames(spark) == [socket.gethostname()]
+
+
+def test_procs_node_partition(spark):
+    pn = C.procs_node(spark)
+    me = socket.gethostname()
+    assert list(pn) == [me]
+    assert pn[me] == sorted(pn[me])
+    assert C.nprocs_node(spark)[me] == len(pn[me])
+    assert C.oneworkerpernode(spark) == [pn[me][0]]
+    assert C.workers_myhost(spark) == pn[me]
+
+
+def test_pool_trimming(spark):
+    par = spark.sparkContext.defaultParallelism
+    assert C.maybetrimmedworkerpool(spark, 3) == 3
+    assert C.maybetrimmedworkerpool(spark, 10**9) == par
+    assert C.workersactive(spark, 2) == [1, 2]
+
+
+# ---- error propagation ---------------------------------------------------
+
+
+def test_failing_map_udf_aborts_job(spark):
+    # reference: mapper throwing on any worker surfaces at the caller
+    import pandas as pd
+
+    from parallelutilities_jl_spark.operators.mapreduce import map_product_splits
+    from parallelutilities_jl_spark.plans.productsplit import ProductSpec
+    from parallelutilities_jl_spark.sources.ranges import rng
+
+    def bad(ps, pdf: pd.DataFrame) -> pd.DataFrame:
+        if ps.p == 2:
+            raise RuntimeError("boom on rank 2")
+        return pd.DataFrame({"p": [ps.p]})
+
+    spec = ProductSpec((rng(1, 20),))
+    with pytest.raises(Exception, match="boom on rank 2"):
+        map_product_splits(spark, spec, 4, bad, "p long").collect()
+
+
+def test_failing_reduce_expr_aborts_job(spark):
+    # ANSI mode: divide-by-zero inside an agg raises (error short-circuit)
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    with pytest.raises(Exception):
+        li.select((F.col("l_quantity") / F.lit(0)).alias("x")).agg(
+            F.sum("x")
+        ).collect()
+
+
+# ---- worker-count invariance matrix --------------------------------------
+
+INVARIANT_SAMPLE = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "window_topk_per_group",
+    "dedup_exact",
+    "minhash_near_dup",
+    "ann_cosine_topk",
+    "elementwise_sum_arrays",
+    "ordered_concat",
+    "sessionize_events",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANT_SAMPLE)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    import __spark_entry__ as m
+
+    fn = m.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = fn(spark, sf_dir).collect()
+            results.append(sorted((tuple(r) for r in rows), key=repr))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]
+
+
+# ---- physical-plan quality gates -----------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(relational.q_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge/shuffle join permitted is lineitem ⋈ orders
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_filters_push_into_parquet_scan(spark, sf_dir):
+    plan = _plan(relational.q_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = relational.q_pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    # only the 7 needed columns should be read, never the full 11
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_product_scan_is_codegen_only(spark):
+    from parallelutilities_jl_spark.plans.dataframe import product_df
+    from parallelutilities_jl_spark.plans.queries import PROD3
+
+    df = product_df(spark, PROD3, np=5)
+    plan = _plan(df)
+    assert "*(1)" in plan  # one whole-stage-codegen span
+    assert "Exchange" not in plan  # no shuffle: range + projections only
+    assert "Range (0, 120" in plan
+
+
+def test_pmapreduce_plan_is_partial_final_agg(spark):
+    from parallelutilities_jl_spark.operators.mapreduce import (
+        q_pmapreduce_sum_squares,
+    )
+
+    plan = _plan(q_pmapreduce_sum_squares(spark, "unused"))
+    # partial agg before the exchange, final after — the Spark rendering of
+    # the reference's local-mapreduce → tree-combine
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
