@@ -32,6 +32,8 @@ HEADLINE = [
     "sessionize_events",
     "which_partition",
     "pmapreduce_sum_squares",
+    "pmapreduce_bigsum",
+    "pmapreduce_dense_elsum",
     "productsplit_partition_agg",
     "elementwise_sum_arrays",
     "dedup_exact",

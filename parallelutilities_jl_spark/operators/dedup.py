@@ -160,8 +160,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.3."""
-    sh = shingle_docs(spark, sf_dir)
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.3.
+
+    The shingle table feeds three consumers (signatures, intersection
+    join ×2, sizes) — cache it so the explode+distinct shuffle happens
+    once. At cluster scale the same role is played by checkpointing the
+    shingle table to parquet between stages."""
+    sh = shingle_docs(spark, sf_dir).cache()
     sig = minhash_signatures(sh)
     cands = candidate_pairs(lsh_bands(sig))
     return jaccard_verify(cands, sh, JACCARD_THRESHOLD)
@@ -177,7 +182,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing a shingle (the ground
     truth LSH approximates); j ≥ 0.3."""
-    sh = shingle_docs(spark, sf_dir)
+    sh = shingle_docs(spark, sf_dir).cache()
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     pairs = (

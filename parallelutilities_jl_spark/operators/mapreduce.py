@@ -204,6 +204,44 @@ def pmapreduce_rdd(
     return df.rdd.map(f).treeReduce(op, depth)
 
 
+def pmapreduce_dense_elsum(
+    spark: SparkSession,
+    n_tasks: int,
+    make_array,
+    *,
+    num_partitions: int | None = None,
+    depth: int = 2,
+):
+    """The reference's headline workload: `pmapreduce(f, elsum, 1:n)` over
+    dense arrays (reference docs/src/index.md:22-46 — in-place elementwise
+    sum of one generated matrix per worker).
+
+    Spark rendering: generate + *accumulate locally inside each partition*
+    (the in-place combine of `broadcastinplace`, reference
+    src/reductionfunctions.jl:69-71 — numpy `out=` add), then tree-combine
+    the per-partition partials. Only num_partitions arrays ever cross the
+    wire, regardless of n_tasks. On a multi-node cluster `depth=2` gives
+    the reference's per-host → cross-host staging."""
+    import numpy as np
+
+    sc = spark.sparkContext
+    n_parts = num_partitions or min(n_tasks, sc.defaultParallelism)
+
+    def part_sum(it):
+        acc = None
+        for i in it:
+            m = make_array(i)
+            acc = m if acc is None else np.add(acc, m, out=acc)
+        if acc is not None:
+            yield acc
+
+    return (
+        sc.range(0, n_tasks, numSlices=n_parts)
+        .mapPartitions(part_sum)
+        .treeReduce(lambda a, b: np.add(a, b, out=a), depth)
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle-checked queries (SURVEY §2.4/§2.5 qnames)
 # ---------------------------------------------------------------------------
@@ -321,6 +359,27 @@ def q_pmapreduce_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable wrapper for the dense elsum workload: 32 tasks ×
+    1000×1000 ones, elementwise-summed; emits shape + corner + total."""
+    import numpy as np
+
+    out = pmapreduce_dense_elsum(
+        spark, 32, lambda i: np.ones((1000, 1000))
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(out.shape[0]),
+                int(out.shape[1]),
+                float(out[0, 0]),
+                float(out.sum()),
+            )
+        ],
+        "n_rows long, n_cols long, corner double, total double",
+    )
+
+
 def q_dict_merge_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dict-merge reduction: map x -> {x % 10: x}, merge with + (reference
     test paralleltests.jl:502-514) — a shuffle agg on the dict key."""
@@ -375,6 +434,10 @@ def _mapreduce_oracles() -> dict[str, str]:
             "SELECT CAST(SUM((i % 1000) * (i // 1000)) AS BIGINT) AS result "
             "FROM range(0, 100000000) t(i)"
         ),
+        "pmapreduce_dense_elsum": (
+            "SELECT CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_cols, "
+            "CAST(32.0 AS DOUBLE) AS corner, CAST(32000000.0 AS DOUBLE) AS total"
+        ),
     }
 
 
@@ -387,6 +450,7 @@ QUERIES = {
     "productsplit_partition_agg": q_productsplit_partition_agg,
     "pmapbatch_partitions": q_pmapbatch_partitions,
     "pmapreduce_bigsum": q_pmapreduce_bigsum,
+    "pmapreduce_dense_elsum": q_dense_elsum,
     "dict_merge_reduce": q_dict_merge_reduce,
 }
 

@@ -731,6 +731,81 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of order value per
+    status — at scale, swap for percentile_approx with a t-digest."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+ORACLE_PERCENTILE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery shape: customers above their segment's
+    average balance — rendered as broadcast join against the tiny
+    per-segment aggregate (the scalable form of the subquery)."""
+    cust = load_table(spark, sf_dir, "customer")
+    seg_avg = cust.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("seg_avg")
+    )
+    return (
+        cust.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.round("seg_avg", 4).alias("seg_avg"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS bal,
+       ROUND(seg_avg, 4) AS seg_avg
+FROM (SELECT *, AVG(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_avg
+      FROM customer)
+WHERE c_acctbal > seg_avg
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: nation list per region."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+ORACLE_STRING_AGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -755,9 +830,15 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "sessionize_events": q_sessionize,
+    "percentile_stats": q_percentile_stats,
+    "above_segment_avg": q_above_segment_avg,
+    "string_agg_nations": q_string_agg,
 }
 
 ORACLES = {
+    "percentile_stats": ORACLE_PERCENTILE,
+    "above_segment_avg": ORACLE_ABOVE_AVG,
+    "string_agg_nations": ORACLE_STRING_AGG,
     "q1_pricing_summary": ORACLE_PRICING,
     "q3_shipping_priority": ORACLE_SHIPPING,
     "q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER,

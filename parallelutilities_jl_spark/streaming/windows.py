@@ -63,7 +63,13 @@ def tumbling_counts(events: DataFrame, watermark: bool = True) -> DataFrame:
         src.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # sum in DECIMAL (exact, order-independent), cast to double, no
+            # ROUND: Spark rounds a double's shortest decimal repr while
+            # DuckDB rounds its binary value, so ROUND on the same double
+            # can disagree at exact ties (e.g. x.xxx75/8)
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
@@ -81,7 +87,10 @@ def sliding_avg(events: DataFrame, watermark: bool = True) -> DataFrame:
         src.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
@@ -98,7 +107,9 @@ def session_agg(events: DataFrame, watermark: bool = True) -> DataFrame:
         src.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "user_id",
@@ -136,14 +147,16 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES = {
     "windowed_event_counts": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
-       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
     "sliding_window_avg": """
 WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
 w AS (SELECT (sec // 1800) * 1800 - off.o AS win_start, value
       FROM e, (VALUES (0), (1800)) off(o))
-SELECT win_start, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+SELECT win_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
 FROM w GROUP BY win_start
 """,
     # session semantics: a new session starts when the gap since the
@@ -165,7 +178,8 @@ s AS (
   FROM g
 )
 SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start,
-       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, sid
 """,
 }

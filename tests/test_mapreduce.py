@@ -130,6 +130,26 @@ def test_map_product_splits_descriptor_consistency(spark):
     ]
 
 
+@pytest.mark.parametrize("n_parts", [1, 4, 8])
+def test_pmapreduce_dense_elsum(spark, n_parts):
+    # reference docs/src/index.md:22-46 workload shape: per-task arrays,
+    # in-place elementwise sum; result invariant to partitioning
+    import numpy as np
+
+    from parallelutilities_jl_spark.operators.mapreduce import (
+        pmapreduce_dense_elsum,
+    )
+
+    out = pmapreduce_dense_elsum(
+        spark,
+        10,
+        lambda i: np.full((20, 30), float(i)),
+        num_partitions=n_parts,
+    )
+    assert out.shape == (20, 30)
+    assert np.all(out == sum(range(10)))
+
+
 def test_flip_swaps_arguments():
     from parallelutilities_jl_spark.operators.reductions import ReduceOp, flip
 
