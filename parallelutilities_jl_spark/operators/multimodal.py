@@ -138,6 +138,46 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(feats, "asset_id long, features array<double>")
 
 
+RESIZE_BOX = 224
+
+
+def resize_plan(decoded: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
+    """mapInPandas resize: fit decoded images into a `box`×`box` square
+    preserving aspect ratio. The pixel transform itself is the stubbed
+    part (no PIL in this container — content passes through untouched);
+    the dimension arithmetic, batch shape, and schema are the real
+    deployment surface."""
+    imgs = decoded.filter(F.col("modality") == "image")
+
+    out_schema = (
+        "asset_id long, width int, height int, new_w int, new_h int"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            new_w, new_h = [], []
+            for w, h in zip(pdf["width"], pdf["height"]):
+                scale = box / max(int(w), int(h))
+                # floor, not round: round-half ties differ across engines
+                new_w.append(max(1, math.floor(int(w) * scale)))
+                new_h.append(max(1, math.floor(int(h) * scale)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_w": pd.array(new_w, dtype="int32"),
+                    "new_h": pd.array(new_h, dtype="int32"),
+                }
+            )
+
+    return imgs.select("asset_id", "width", "height", "modality").mapInPandas(
+        resize, out_schema
+    )
+
+
 def frame_sample(decoded: DataFrame, every_k: int = 8) -> DataFrame:
     """Video frame sampling plan: one row per sampled frame index —
     pure column ops (sequence + explode), no decode until the downstream
@@ -170,7 +210,70 @@ def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decode pipeline over the synthesized asset table."""
+    return decode_assets(synthesize_assets(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: binary content → array<double> embedding."""
+    return extract_features(synthesize_assets(spark, sf_dir))
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → video filter → every-8th-frame sampling plan."""
+    return frame_sample(decode_assets(synthesize_assets(spark, sf_dir)))
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → image filter → aspect-preserving resize plan."""
+    return resize_plan(decode_assets(synthesize_assets(spark, sf_dir)))
+
+
+# the decode stub derives metadata from sha256 bytes; DuckDB reproduces it
+# from the hex digest, making the whole stubbed pipeline oracle-checkable
+def _byte(i: int) -> str:
+    return f"('0x' || substring(sha256(text), {2 * i + 1}, 2))::INT"
+
+
+_DD_DECODED = f"""
+decoded AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(16 + {_byte(0)} % 64 AS INT) AS width,
+         CAST(16 + {_byte(1)} % 64 AS INT) AS height,
+         CAST(8000 + ({_byte(2)} % 4) * 8000 AS INT) AS sample_rate,
+         CAST(1 + {_byte(3)} % 32 AS INT) AS n_frames
+  FROM documents)
+"""
+
 ORACLES = {
+    "multimodal_decode": f"""
+WITH {_DD_DECODED}
+SELECT * FROM decoded
+""",
+    "multimodal_features": f"""
+SELECT doc_id AS asset_id,
+       [{", ".join(f"ROUND({_byte(i)} / 255.0, 6)" for i in range(FEATURE_DIM))}]
+           AS features
+FROM documents
+""",
+    "multimodal_frame_sample": f"""
+WITH {_DD_DECODED}
+SELECT asset_id, CAST(UNNEST(generate_series(0, n_frames - 1, 8)) AS INT)
+           AS frame_idx
+FROM decoded WHERE modality = 'video'
+""",
+    "multimodal_resize": f"""
+WITH {_DD_DECODED}
+SELECT asset_id, width, height,
+       CAST(GREATEST(1, FLOOR(width * ({RESIZE_BOX}.0 / GREATEST(width, height)))) AS INT) AS new_w,
+       CAST(GREATEST(1, FLOOR(height * ({RESIZE_BOX}.0 / GREATEST(width, height)))) AS INT) AS new_h
+FROM decoded WHERE modality = 'image'
+""",
     "multimodal_binary_stats": """
 SELECT doc_id AS asset_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -185,4 +288,8 @@ FROM documents
 
 QUERIES = {
     "multimodal_binary_stats": q_multimodal_binary_stats,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
 }

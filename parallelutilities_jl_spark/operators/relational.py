@@ -806,6 +806,392 @@ GROUP BY r_name
 """
 
 
+# New-query float policy: sum doubles through DECIMAL (exact, order-
+# independent) and cast back to double at the edge, no ROUND — double
+# ROUND can disagree between engines at exact half ties.
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast("decimal(28,6)")).cast("double")
+
+
+_DD_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
+def _volume() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+_DD_VOLUME = "l_extendedprice * (1 - l_discount)"
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: priority counts for orders with at least one line
+    shipped after the order date — EXISTS rendered as a left-semi join
+    (shuffle on orderkey; the semi side is pre-projected to one column)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("2000-01-01"))
+        & (F.col("o_orderdate") < _ts("2000-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o_orderdate < TIMESTAMP '2000-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by
+    ship year. Both nation dimensions broadcast; the lineitem⋈orders
+    shuffle dominates and is shared with every other fact-fact query."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(_volume()).alias("revenue"))
+    )
+
+
+ORACLE_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: NATION_5's share of PROMO-part revenue by order
+    year. Conditional aggregation over one pass — no second join."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = _volume()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _dsum(F.when(F.col("n_name") == "NATION_5", vol).otherwise(0.0))
+                / _dsum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {_DD_DSUM.format(e=f"CASE WHEN n_name = 'NATION_5' THEN {_DD_VOLUME} ELSE 0.0 END")}
+       / {_DD_DSUM.format(e=_DD_VOLUME)} AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp fixture → cost term dropped): profit
+    by supplier nation × ship year for widget parts."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(_dsum(_volume()).alias("sum_profit"))
+    )
+
+
+ORACLE_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+       {_DD_DSUM.format(e=_DD_VOLUME)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (no shipmode fixture → keyed on return flag):
+    high- vs low-priority line counts per return flag for one ship year."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("2000-01-01"))
+        & (F.col("l_shipdate") < _ts("2001-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_PRIORITY_LINES = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate < TIMESTAMP '2001-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: PROMO revenue share per ship month of one year —
+    conditional agg, part dimension broadcast."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("2000-01-01"))
+        & (F.col("l_shipdate") < _ts("2001-01-01"))
+    )
+    vol = _volume()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("l_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * _dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / _dsum(vol)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_PROMO = f"""
+SELECT CAST(month(l_shipdate) AS INT) AS l_month,
+       100.0 * {_DD_DSUM.format(e=f"CASE WHEN p_type = 'PROMO' THEN {_DD_VOLUME} ELSE 0.0 END")}
+       / {_DD_DSUM.format(e=_DD_VOLUME)} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate < TIMESTAMP '2001-01-01'
+GROUP BY 1
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: top-100 large-volume orders. The HAVING subquery
+    is a self-aggregation of lineitem reused via semi join — at scale this
+    is one shuffle on l_orderkey for both the filter and the final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: disjunctive brand/size/quantity brackets — one
+    broadcast join, the OR-of-ANDs evaluated post-join (Catalyst pushes
+    the common p_partkey equi-key; the disjunction can't be pushed)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brackets = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(brackets)
+        .agg(_dsum(_volume()).alias("revenue"))
+    )
+
+
+ORACLE_BRACKETED = f"""
+SELECT {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column → typed stats per
+    event_type (get_json_object runs JVM-side — no Python)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over customer: (segment, nation), (segment), () —
+    one shuffle, Spark expands the sets in a single Expand node."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupingSets(
+            [["c_mktsegment", "c_nationkey"], ["c_mktsegment"], []],
+            "c_mktsegment",
+            "c_nationkey",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(F.col("c_acctbal")).alias("sum_bal"),
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+       {_DD_DSUM.format(e="c_acctbal")} AS sum_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+"""
+
+
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) of part metrics — the long-format
+    normalization used throughout the reduction algebra (SURVEY §2.5)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
+
+
+ORACLE_UNPIVOT = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -833,9 +1219,31 @@ QUERIES = {
     "percentile_stats": q_percentile_stats,
     "above_segment_avg": q_above_segment_avg,
     "string_agg_nations": q_string_agg,
+    "q4_order_priority": q_order_priority_check,
+    "q7_volume_shipping": q_volume_shipping,
+    "q8_market_share": q_market_share,
+    "q9_profit_by_nation": q_profit_by_nation,
+    "q12_priority_lines": q_priority_lines,
+    "q14_promo_revenue": q_promo_revenue,
+    "q18_large_orders": q_large_orders,
+    "q19_bracketed_revenue": q_bracketed_revenue,
+    "json_props_stats": q_json_props,
+    "grouping_sets_customer": q_grouping_sets,
+    "unpivot_part_metrics": q_unpivot_part,
 }
 
 ORACLES = {
+    "q4_order_priority": ORACLE_ORDER_PRIORITY,
+    "q7_volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "q8_market_share": ORACLE_MARKET_SHARE,
+    "q9_profit_by_nation": ORACLE_PROFIT,
+    "q12_priority_lines": ORACLE_PRIORITY_LINES,
+    "q14_promo_revenue": ORACLE_PROMO,
+    "q18_large_orders": ORACLE_LARGE_ORDERS,
+    "q19_bracketed_revenue": ORACLE_BRACKETED,
+    "json_props_stats": ORACLE_JSON_PROPS,
+    "grouping_sets_customer": ORACLE_GROUPING_SETS,
+    "unpivot_part_metrics": ORACLE_UNPIVOT,
     "percentile_stats": ORACLE_PERCENTILE,
     "above_segment_avg": ORACLE_ABOVE_AVG,
     "string_agg_nations": ORACLE_STRING_AGG,

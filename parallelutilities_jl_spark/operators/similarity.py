@@ -158,6 +158,44 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored, 3)
 
 
+COSINE_DUP_THRESHOLD = 0.4  # fixture embeddings are random: max pair ≈ 0.51
+
+
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup tier of the ANN
+    surface): all (a < b) pairs with cosine ≥ τ.
+
+    Here the exact all-pairs form — norms precomputed once per side, the
+    smaller side broadcast, dot products JVM-side. At 100 TB the candidate
+    set comes from the hyperplane-LSH bucket join above (equi-join shuffle
+    instead of a cross join); the exact form stays as its verifier on a
+    sampled bucket."""
+    emb = _emb_double(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("ia", "ib", F.round("cos", 6).alias("cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -200,6 +238,17 @@ _DD_BUCKET = (
 )
 
 ORACLES = {
+    "embedding_cosine_dups": f"""
+WITH {_DD_LF},
+dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.v * b.v) AS dot
+         FROM lf a JOIN lf b ON a.k = b.k AND a.vec_id < b.vec_id
+         GROUP BY 1, 2)
+SELECT ia, ib, ROUND(cos, 6) AS cos FROM (
+  SELECT ia, ib, dot / (na.nrm * nb.nrm) AS cos
+  FROM dots JOIN norms na ON na.vec_id = ia
+  JOIN norms nb ON nb.vec_id = ib)
+WHERE cos >= {COSINE_DUP_THRESHOLD}
+""",
     "ann_cosine_topk": _dd_topk(f"a.vec_id < {N_QUERIES}", "", TOP_K),
     "ann_ivf_topk": _dd_topk(
         "a.vec_id < 20", "AND a.label = b.label", 3
@@ -226,6 +275,7 @@ WHERE rnk <= 3
 }
 
 QUERIES = {
+    "embedding_cosine_dups": q_embedding_cosine_dups,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
