@@ -71,6 +71,38 @@ def dd_salted_md5(c: str, salt: int) -> str:
     return f"md5(concat('{salt}:', {c}))"
 
 
+# 16 fixed 60-bit XOR salts (sha256("minhash-salt-i") prefixes): the i-th
+# MinHash permutation is h ^ SALT_i — bijective on the key space, one md5
+# per shingle instead of 16, and long-MIN instead of string-MIN
+MINHASH_XOR_SALTS = [
+    483291645130881913,
+    192313266627952707,
+    46511529719453629,
+    229682027053926461,
+    1012574316821123761,
+    387298897153328784,
+    348529395492917096,
+    961242794025948293,
+    30688731411734644,
+    394698870446021566,
+    1078757444551220716,
+    380664530389144689,
+    1063364376831300577,
+    1043780275513490536,
+    245848404549710323,
+    1050719261431329877,
+]
+
+
+def md5_int60(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT (MinHash base hash)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def dd_md5_int60(c: str) -> str:
+    return f"('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+
 def md5_int48(c: Column) -> Column:
     """First 48 bits of md5 as a non-negative BIGINT (SimHash term hash)."""
     return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")

@@ -5,11 +5,11 @@ phase 5).
 Four dedup families, all oracle-checked:
 
 * **exact** — sha256 over normalized text, group + flag.
-* **MinHash + LSH** — shingle → 16 salted-md5 min-hashes → 4×4 banding →
-  bucket self-join for candidates → exact-Jaccard verification. The
-  min-hash 'functions' are lexicographic MIN over salted md5 *strings*
-  (functions/texthash.py), so Spark and DuckDB compute identical
-  signatures.
+* **MinHash + LSH** — shingle → one md5 → 16 XOR-permuted 60-bit
+  min-hashes → 4×4 banding → bucket self-join for candidates →
+  exact-Jaccard verification. The permutations are `h ^ SALT_i` over the
+  md5 prefix (functions/texthash.py), so Spark and DuckDB compute
+  identical signatures with one hash invocation per shingle.
 * **SimHash** — 32-bit sign-aggregated fingerprint from 48-bit md5 term
   hashes; hamming-adjacent fingerprints ≈ near-dups.
 * **n-gram Jaccard** — exact pairwise Jaccard over word 3-grams,
@@ -34,7 +34,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallelutilities_jl_spark.functions import texthash as TH
-from parallelutilities_jl_spark.sources.fixtures import load_table
+from parallelutilities_jl_spark.sources.fixtures import (
+    load_table,
+    load_table_parallel,
+)
 
 N_HASHES = 16
 BANDS = 4
@@ -50,42 +53,57 @@ SHINGLE_K = 3
 
 def shingle_docs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, sh): distinct word k-gram shingles per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     ws = TH.words(F.col("text"))
+    # dedup within the array before exploding: distinctness is per-doc,
+    # so array_distinct does it map-side — no shuffle at all (a global
+    # .distinct() here would shuffle the whole shingle table)
     return (
         docs.select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= k)
-        .select("doc_id", F.explode(TH.shingles(F.col("ws"), k)).alias("sh"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(TH.shingles(F.col("ws"), k))).alias("sh"),
+        )
     )
 
 
 def minhash_signatures(sh_df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """One row per doc with h0..h{n-1} min-hash columns — a single
-    map-side-combinable pass."""
+    map-side-combinable pass. One md5 per shingle; the i-th 'hash
+    function' is an XOR permutation of its 60-bit prefix (16× less
+    hashing than salted-md5-per-function, and long-MIN beats
+    string-MIN in the agg)."""
+    hashed = sh_df.select("doc_id", TH.md5_int60(F.col("sh")).alias("h"))
     aggs = [
-        F.min(TH.salted_md5(F.col("sh"), i)).alias(f"h{i}")
+        F.min(F.col("h").bitwiseXOR(F.lit(TH.MINHASH_XOR_SALTS[i]))).alias(
+            f"h{i}"
+        )
         for i in range(n_hashes)
     ]
-    return sh_df.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, band, key): band key = md5 of the band's signature rows."""
-    parts = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+    """(doc_id, band, key): band key = md5 of the band's signature rows.
+
+    One pass over the signature table (explode of an inline array) — a
+    union of per-band selects would recompute the signature aggregation
+    once per band."""
+    entries = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("key"),
         )
-        parts.append(
-            sig.select(
-                "doc_id", F.lit(b).cast("long").alias("band"), key.alias("key")
-            )
-        )
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionAll(df)
-    return out
+        for b in range(bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
 
 
 def candidate_pairs(bands_df: DataFrame) -> DataFrame:
@@ -214,7 +232,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from 48-bit md5 term hashes: bit b of
     the fingerprint is the sign of Σ_tokens (±1 at bit b)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(TH.words(F.col("text"))).alias("w"))
         .distinct()
@@ -255,9 +273,13 @@ def _dd_shingle_cte() -> str:
 
 def _dd_sig_cte(n_hashes: int = N_HASHES) -> str:
     mins = ", ".join(
-        f"MIN({TH.dd_salted_md5('sh', i)}) AS h{i}" for i in range(n_hashes)
+        f"MIN(xor(h, {TH.MINHASH_XOR_SALTS[i]})) AS h{i}"
+        for i in range(n_hashes)
     )
-    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    return (
+        f"shh AS (SELECT doc_id, {TH.dd_md5_int60('sh')} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id)"
+    )
 
 
 def _dd_bands_cte() -> str:

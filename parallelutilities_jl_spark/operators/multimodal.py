@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from parallelutilities_jl_spark.sources.fixtures import load_table
+from parallelutilities_jl_spark.sources.fixtures import load_table_parallel
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -80,7 +80,7 @@ def _features_stub(content: bytes) -> list[float]:
 def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a multimodal asset table from the documents fixture: text
     bytes stand in for encoded media (binary column + modality tag)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     modality = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallelutilities_jl_spark.functions import texthash as TH
-from parallelutilities_jl_spark.sources.fixtures import load_table
+from parallelutilities_jl_spark.sources.fixtures import load_table_parallel
 
 STOPWORDS = ("the", "a", "of", "and", "in")
 
@@ -43,7 +43,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace words, chars, mean word length, and a
     BPE-ish token estimate (ceil(chars / 4) — the common ~4-chars/token
     heuristic)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     nt = TH.norm_text(F.col("text"))
     ws = F.split(nt, " ")
     n_words = F.size(ws).cast("long")
@@ -62,7 +62,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, punctuation density, stopword ratio,
     mean word length — combined into a [0, 1]-ish score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     raw = F.col("text")
     nt = TH.norm_text(raw)
     ws = F.split(nt, " ")
@@ -90,7 +90,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count per-language marker hits, argmax
     with a fixed precedence (en > de > fr > es; 'und' = undetermined)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     ws = TH.words(F.col("text"))
     counts = {
         lang: _count_in(ws, marks) for lang, marks in LANG_MARKERS.items()
@@ -123,7 +123,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: the k minimal shingle hashes summarise
     the document (here k=1 plus the distinct-shingle count) — the
     order-statistic sketch reused from MinHash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 3)

@@ -54,6 +54,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """`load_table` + repartition to the session's core count.
+
+    For CPU-heavy downstream work (regex/shingling/hashing) over a
+    fixture that arrives as one parquet file — one input split would
+    serialize the whole pipeline on a single core. On a real cluster the
+    scan has thousands of splits and the repartition collapses into a
+    no-op-sized shuffle of the raw rows."""
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table and register temp views (for spark.sql)."""
     out = {}
