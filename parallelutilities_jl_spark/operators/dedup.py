@@ -127,28 +127,31 @@ def candidate_pairs(bands_df: DataFrame) -> DataFrame:
 def jaccard_verify(
     pairs: DataFrame, sh_df: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for the candidate pairs only."""
-    sizes = sh_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh_df.alias("sa")
-    sb = sh_df.alias("sb")
-    inter = (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.sh") == F.col("sa.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
+    """Exact Jaccard for the candidate pairs only: two equi-joins pull
+    each doc's shingle *array* onto the pair row, then `array_intersect`
+    computes |∩| JVM-side — no shingle-level join. The candidate set is
+    tiny relative to the corpus (that's the point of LSH), so carrying
+    two bounded arrays per pair beats re-shuffling the exploded shingle
+    table twice."""
+    arrs = sh_df.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("n")
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
-    jac = F.col("ni").cast("double") / (
-        F.col("na.n") + F.col("nb.n") - F.col("ni")
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
     )
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        pairs.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("ni", ni)
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -233,26 +236,27 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from 48-bit md5 term hashes: bit b of
     the fingerprint is the sign of Σ_tokens (±1 at bit b)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(TH.words(F.col("text"))).alias("w"))
-        .distinct()
-        .select("doc_id", TH.md5_int48(F.col("w")).alias("h"))
-    )
-    bits = toks.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    ).select(
+    toks = docs.select(
         "doc_id",
-        "b",
-        (F.expr("(h >> b) & 1") * 2 - 1).alias("contrib"),
+        F.explode(F.array_distinct(TH.words(F.col("text")))).alias("w"),
+    ).select("doc_id", TH.md5_int48(F.col("w")).alias("h"))
+    # one partial-aggregable pass: 32 per-bit vote sums as agg columns
+    # (an explode over bits would shuffle 32× the token rows)
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
     )
-    per_bit = bits.groupBy("doc_id", "b").agg(
-        F.sum("contrib").alias("s")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(0)
-        ).alias("simhash")
-    )
+    fp = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
