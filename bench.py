@@ -38,10 +38,15 @@ HEADLINE = [
     "elementwise_sum_arrays",
     "dedup_exact",
     "minhash_near_dup",
+    "embedding_cosine_dups",
     "ann_cosine_topk",
     "simhash_fingerprint",
     "text_quality_score",
+    "multimodal_decode",
     "windowed_event_counts",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "grouping_sets_customer",
 ]
 
 

@@ -171,6 +171,10 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a cross join); the exact form stays as its verifier on a
     sampled bucket."""
     emb = _emb_double(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
+    # the probe side drives the nested-loop join's parallelism; the
+    # fixture arrives as one parquet split, which would put every dot
+    # product on a single core
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     a = emb.select(
         F.col("vec_id").alias("ia"),
         F.col("emb").alias("ea"),

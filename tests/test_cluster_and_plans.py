@@ -160,3 +160,41 @@ def test_pmapreduce_plan_is_partial_final_agg(spark):
     # the reference's local-mapreduce → tree-combine
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
+
+
+def test_q7_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _plan(relational.q_volume_shipping(spark, sf_dir))
+    # supplier/customer/nation×2 all broadcast; lineitem ⋈ orders is the
+    # only shuffle join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q18_semi_join_reuses_orderkey_shuffle(spark, sf_dir):
+    plan = _plan(relational.q_large_orders(spark, sf_dir))
+    # the HAVING filter must stay a semi join (no materialized subquery)
+    assert "LeftSemi" in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    plan = _plan(relational.q_grouping_sets(spark, sf_dir))
+    # one Expand node, not one aggregation per set
+    assert plan.count("Expand") == 1
+
+
+def test_minhash_signatures_partial_agg(spark, sf_dir):
+    from parallelutilities_jl_spark.operators import dedup as D
+
+    sig = D.minhash_signatures(D.shingle_docs(spark, sf_dir))
+    plan = _plan(sig)
+    # per-doc mins combine map-side before the shuffle
+    assert "partial_min" in plan
+
+
+def test_embedding_dedup_broadcasts_build_side(spark, sf_dir):
+    from parallelutilities_jl_spark.operators.similarity import (
+        q_embedding_cosine_dups,
+    )
+
+    plan = _plan(q_embedding_cosine_dups(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
