@@ -1,0 +1,114 @@
+"""Physical join strategies for cluster scale: bucketed co-located
+joins and skew salting.
+
+The reference sidesteps shuffles entirely — its partitioning is static
+and deterministic (`nelementsdroptake`, reference
+src/productsplit.jl:124-130), so data never moves between workers after
+the initial split. On Spark the analogous discipline is:
+
+* **bucketing** — persist both sides of a recurring fact-fact join
+  bucketed by the join key; Spark then sort-merge-joins bucket-to-bucket
+  with NO Exchange on either side. This is the 100 TB answer to
+  "lineitem ⋈ orders shuffles 100 TB every query".
+* **salting** — when one join key dominates (skew), AQE's skew-join
+  splitting handles sort-merge joins automatically; salting is the
+  explicit fallback that also works for aggregations: spread the hot key
+  across `n_salts` sub-keys, replicate the small side per sub-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist `df` bucketed (and optionally sorted) by `key`.
+
+    Bucket-pruned scans + exchange-free joins for every later query that
+    joins or aggregates on `key` — the write-once-shuffle-never layout."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_equijoin(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key; with matching
+    bucket counts Spark plans a SortMergeJoin with no Exchange.
+
+    The MERGE hint keeps the planner on the sort-merge path even when a
+    side is small enough to broadcast (at fixture scale) — fact-fact
+    joins at 100 TB can't broadcast, and the point here is the
+    exchange-free bucket-to-bucket plan."""
+    return (
+        spark.table(left_table)
+        .hint("MERGE")
+        .join(spark.table(right_table), key)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a deterministic salt
+    in [0, n_salts) (row-content hash — no RNG, so plans stay
+    reproducible), the small side is replicated once per salt value, and
+    the join key becomes (key, salt). A hot key's rows now land on
+    n_salts reducers instead of one.
+
+    Result is identical to `big.join(small, key)` (inner)."""
+    salt_col = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).alias("_salt")
+    big_s = big.select("*", salt_col)
+    small_s = small.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")
+            )
+        ).alias("_salt"),
+    )
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted lineitem ⋈ orders aggregated per order status — must equal
+    the unsalted join (oracle below is the plain join)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, "okey", n_salts=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLES = {
+    "salted_join_orders": """
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+}
+
+QUERIES = {
+    "salted_join_orders": q_salted_join_orders,
+}

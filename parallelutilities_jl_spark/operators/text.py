@@ -39,10 +39,16 @@ def _dd_count_in(ws: str, markers: tuple[str, ...]) -> str:
     return f"CAST(len(list_filter({ws}, w -> w IN ({lst}))) AS BIGINT)"
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+# symbols — the GPT-2-style split points, minus the unicode classes (the
+# char-class subset shared by Spark's and DuckDB's regex dialects)
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace words, chars, mean word length, and a
-    BPE-ish token estimate (ceil(chars / 4) — the common ~4-chars/token
-    heuristic)."""
+    """Token counting: whitespace words, chars, a BPE-ish regex token
+    count (letter/digit runs + symbols), and the ~4-chars/token
+    estimate."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     nt = TH.norm_text(F.col("text"))
     ws = F.split(nt, " ")
@@ -55,6 +61,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (n_chars - (n_words - 1)).cast("double") / n_words, 6
         ).alias("avg_word_len"),
+        F.regexp_count(nt, F.lit(BPE_REGEX)).cast("long").alias(
+            "bpe_tokens_regex"
+        ),
         F.ceil(n_chars / F.lit(4.0)).cast("long").alias("bpe_tokens_est"),
     )
 
@@ -151,6 +160,8 @@ SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
        CAST(length(nt) AS BIGINT) AS n_chars_norm,
        ROUND(CAST(length(nt) - (len(ws) - 1) AS DOUBLE) / len(ws), 6)
          AS avg_word_len,
+       CAST(len(regexp_extract_all(nt, '{BPE_REGEX}')) AS BIGINT)
+         AS bpe_tokens_regex,
        CAST(CEIL(length(nt) / 4.0) AS BIGINT) AS bpe_tokens_est
 FROM s
 """,

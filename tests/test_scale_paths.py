@@ -1,0 +1,96 @@
+"""Cluster-scale physical strategies: bucketed co-located joins (no
+Exchange) and skew salting (same result, spread keys)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.operators.joins import (
+    bucketed_equijoin,
+    q_salted_join_orders,
+    salted_join,
+    write_bucketed,
+)
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    loc = tempfile.mkdtemp(prefix="pu_bucketdemo_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{loc}'")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    write_bucketed(li, "bucketdemo.li_b", "l_orderkey", 8)
+    write_bucketed(orders, "bucketdemo.orders_b", "l_orderkey", 8)
+    yield "bucketdemo.li_b", "bucketdemo.orders_b"
+    spark.sql("DROP DATABASE bucketdemo CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    left, right = bucketed_tables
+    df = bucketed_equijoin(spark, left, right, "l_orderkey")
+    plan = _plan(df)
+    # bucket-to-bucket: the join must not shuffle either side
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
+    left, right = bucketed_tables
+    bucketed_n = bucketed_equijoin(spark, left, right, "l_orderkey").count()
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain_n = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).count()
+    assert bucketed_n == plain_n
+
+
+def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
+    left, _ = bucketed_tables
+    df = spark.table(left).groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    # the groupBy key is the bucket key: aggregation needs no shuffle
+    assert "Exchange" not in _plan(df)
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    salted = salted_join(li, orders, "okey", n_salts=4)
+    plain = li.join(orders, "okey")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("o_orderstatus").count().collect()
+    p = plain.groupBy("o_orderstatus").count().collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, p))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one key owning 90% of rows must land on several salt partitions
+    big = spark.range(10000).select(
+        F.when(F.col("id") < 9000, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    from parallelutilities_jl_spark.operators.joins import salted_join
+
+    out = salted_join(big, small, "k", n_salts=8)
+    assert out.count() == big.join(small, "k").count()
