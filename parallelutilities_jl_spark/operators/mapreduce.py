@@ -126,12 +126,30 @@ def ordered_concat(
     """The vcat analog: concatenate per-rank sequences in rank order,
     emitting (pos, val) with a deterministic global position — the
     rank-tagged `pval` ordering (reference src/mapreduce.jl:2-16,138-146).
-    Scales as a sort by (rank, local), not a driver-side array build."""
+
+    Global position = (elements in earlier ranks) + within-rank position.
+    The within-rank row_number is a partitioned window (scales); the
+    running offsets are a window over only np per-rank counts — the same
+    np-sized funnel as the reference's rank-sorted combine — broadcast
+    back onto the data. No data-sized global window anywhere."""
     from pyspark.sql.window import Window as W
 
-    w = W.orderBy(F.col(p), F.col(local_order))
-    return df.select(
-        F.row_number().over(w).cast("long").alias("pos"), F.col(val).alias("val")
+    w_local = W.partitionBy(p).orderBy(F.col(local_order))
+    with_rn = df.select(
+        F.col(p),
+        F.col(val).alias("val"),
+        F.row_number().over(w_local).cast("long").alias("rn"),
+    )
+    counts = with_rn.groupBy(p).agg(F.max("rn").alias("cnt"))
+    w_off = W.orderBy(F.col(p)).rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col(p),
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    return with_rn.join(F.broadcast(offsets), p).select(
+        (F.col("off") + F.col("rn")).alias("pos"), "val"
     )
 
 
