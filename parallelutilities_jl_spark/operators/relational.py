@@ -1192,6 +1192,80 @@ SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
 """
 
 
+# SQL-entry queries: identical ANSI text runs on Spark AND DuckDB, so the
+# oracle IS the query — these exercise Catalyst's subquery decorrelation
+# (scalar subquery → broadcast join, NOT EXISTS → broadcast anti join)
+_SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    AND l_shipdate < TIMESTAMP '2000-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+_SQL_IDLE_RICH_CUSTOMERS = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q15/Q22-style subquery shapes run as ANSI SQL: Catalyst
+        decorrelates the scalar subquery and the NOT EXISTS into
+        broadcast (anti) joins — no per-row re-execution."""
+        from parallelutilities_jl_spark.sources.fixtures import register_all
+
+        register_all(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+q_top_supplier = _sql_query(_SQL_TOP_SUPPLIER)
+q_idle_rich_customers = _sql_query(_SQL_IDLE_RICH_CUSTOMERS)
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function sampler over a deterministic total order:
+    ntile/percent_rank/cume_dist/first_value per order-status group."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value("o_orderkey").over(w).alias("cheapest_in_status"),
+    )
+
+
+ORACLE_WINDOW_FUNCTIONS = """
+SELECT o_orderkey, o_orderstatus,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_in_status
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -1230,6 +1304,9 @@ QUERIES = {
     "json_props_stats": q_json_props,
     "grouping_sets_customer": q_grouping_sets,
     "unpivot_part_metrics": q_unpivot_part,
+    "q15_top_supplier": q_top_supplier,
+    "q22_idle_rich_customers": q_idle_rich_customers,
+    "window_rank_functions": q_window_functions,
 }
 
 ORACLES = {
@@ -1244,6 +1321,9 @@ ORACLES = {
     "json_props_stats": ORACLE_JSON_PROPS,
     "grouping_sets_customer": ORACLE_GROUPING_SETS,
     "unpivot_part_metrics": ORACLE_UNPIVOT,
+    "q15_top_supplier": _SQL_TOP_SUPPLIER,
+    "q22_idle_rich_customers": _SQL_IDLE_RICH_CUSTOMERS,
+    "window_rank_functions": ORACLE_WINDOW_FUNCTIONS,
     "percentile_stats": ORACLE_PERCENTILE,
     "above_segment_avg": ORACLE_ABOVE_AVG,
     "string_agg_nations": ORACLE_STRING_AGG,
