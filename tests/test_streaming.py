@@ -64,25 +64,12 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
 def test_stateful_running_count(spark, sf_dir):
     """Custom stateful operator: per-user running totals via
     applyInPandasWithState (the reference-lacks-it custom-operator path)."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    from parallelutilities_jl_spark.streaming.stateful import (
+        running_count_per_key,
+    )
 
     ev = SW.stream_events(spark, sf_dir)
-
-    def fn(key, pdfs, state):
-        count = state.getOption[0] if state.exists else 0
-        for pdf in pdfs:
-            count += len(pdf)
-        state.update((count,))
-        yield pd.DataFrame({"user_id": [key[0]], "n": [count]})
-
-    out = ev.groupBy("user_id").applyInPandasWithState(
-        fn,
-        "user_id long, n long",
-        "n long",
-        "update",
-        GroupStateTimeout.NoTimeout,
-    )
+    out = running_count_per_key(ev.groupBy("user_id"))
     rows = _run_stream(spark, out, "t_state", mode="update")
     want = (
         load_table(spark, sf_dir, "events")
@@ -95,3 +82,24 @@ def test_stateful_running_count(spark, sf_dir):
     for r in rows:
         final[r["user_id"]] = r["n"]
     assert final == {r["user_id"]: r["n"] for r in want}
+
+
+def test_stateful_running_sum(spark, sf_dir):
+    from parallelutilities_jl_spark.streaming.stateful import (
+        running_sum_per_key,
+    )
+
+    ev = SW.stream_events(spark, sf_dir)
+    out = running_sum_per_key(ev.groupBy("user_id"))
+    rows = _run_stream(spark, out, "t_state_sum", mode="update")
+    want = {
+        r["user_id"]: (round(r["total"], 6), r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (round(r["total"], 6), r["n"])
+    assert final == want
