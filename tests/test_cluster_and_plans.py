@@ -89,6 +89,11 @@ INVARIANT_SAMPLE = [
     "elementwise_sum_arrays",
     "ordered_concat",
     "sessionize_events",
+    "q7_volume_shipping",
+    "embedding_cosine_dups",
+    "salted_join_orders",
+    "multimodal_decode",
+    "grouping_sets_customer",
 ]
 
 
