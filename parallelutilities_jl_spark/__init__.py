@@ -33,3 +33,29 @@ Layout:
 __version__ = "0.1.0"
 
 from parallelutilities_jl_spark.session import get_spark  # noqa: F401
+
+# the reference's five exports (reference src/ParallelUtilities.jl:6-10),
+# re-expressed Spark-first — plus the planning types they operate on
+
+
+def __getattr__(name):  # lazy: importing the package must not need a JVM
+    if name in (
+        "pmapreduce",
+        "pmapreduce_productsplit",
+        "pmapbatch",
+        "pmapbatch_productsplit",
+        "workerrank",
+        "nworkers",
+    ):
+        from parallelutilities_jl_spark.operators import mapreduce
+
+        return getattr(mapreduce, name)
+    if name in ("ProductSpec", "ProductSplit", "ProductSection"):
+        from parallelutilities_jl_spark.plans import productsplit
+
+        return getattr(productsplit, name)
+    if name == "RangeSpec":
+        from parallelutilities_jl_spark.sources.ranges import RangeSpec
+
+        return RangeSpec
+    raise AttributeError(name)

@@ -199,6 +199,39 @@ def map_product_splits(
     return df.groupBy("p").applyInPandas(apply, out_schema)
 
 
+def pmapreduce_productsplit(
+    spark: SparkSession,
+    spec: ProductSpec,
+    np: int,
+    f: Callable[[ProductSplit, pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+    op: "ReduceOp | Commutative",
+    val: str = "v",
+    *,
+    init: Optional[Column] = None,
+) -> DataFrame:
+    """Reference `pmapreduce_productsplit` (src/mapreduce.jl:300-307):
+    each rank's `f` receives its whole split once (descriptor + Arrow
+    rows, must emit a `p` column and a `val` column), then the per-rank
+    values reduce with the ordered/commutative + init-once semantics."""
+    mapped = map_product_splits(spark, spec, np, f, out_schema).select(
+        F.col("p"), F.col(val).alias("v")
+    )
+    return reduce_mapped(mapped, op, init=init)
+
+
+def workerrank(ps: ProductSplit) -> int:
+    """Reference `workerrank(ps)` (src/productsplit.jl:169): the 1-based
+    rank a split descriptor belongs to; executor-side the same value is
+    the split's `p` column (spark_partition_id()+1 on aligned layouts)."""
+    return ps.workerrank
+
+
+def nworkers(ps: ProductSplit) -> int:
+    """Reference `nworkers(ps)` (src/productsplit.jl:170)."""
+    return ps.nworkers
+
+
 def pmapbatch_productsplit(
     spark: SparkSession,
     spec: ProductSpec,

@@ -196,3 +196,38 @@ def test_zip_with_combine_ops(spark):
     assert row["mul"] == [4.0, 10.0]
     assert row["mn"] == [1.0, 2.0]
     assert row["mx"] == [4.0, 5.0]
+
+
+def test_reference_export_surface():
+    # the reference's five exports resolve at package top level
+    # (reference src/ParallelUtilities.jl:6-10)
+    import parallelutilities_jl_spark as pu
+
+    for name in (
+        "pmapreduce",
+        "pmapreduce_productsplit",
+        "pmapbatch",
+        "pmapbatch_productsplit",
+        "workerrank",
+    ):
+        assert callable(getattr(pu, name))
+
+
+def test_pmapreduce_productsplit_end_to_end(spark):
+    # rank program: emit each split's length (computed from the O(1)
+    # descriptor), sum across ranks == total product size
+    import pandas as pd
+
+    import parallelutilities_jl_spark as pu
+    from parallelutilities_jl_spark.operators.reductions import SUM
+
+    spec = pu.ProductSpec((pu.RangeSpec(1, 1, 6), pu.RangeSpec(0, 2, 5)))
+
+    def f(ps, pdf: pd.DataFrame) -> pd.DataFrame:
+        assert len(pdf) == len(ps)  # descriptor agrees with Arrow rows
+        return pd.DataFrame({"p": [ps.workerrank], "v": [float(len(ps))]})
+
+    out = pu.pmapreduce_productsplit(
+        spark, spec, 4, f, "p long, v double", SUM
+    )
+    assert out.collect()[0]["result"] == float(spec.total)
