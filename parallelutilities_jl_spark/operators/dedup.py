@@ -183,14 +183,51 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.3.
 
-    The shingle table feeds three consumers (signatures, intersection
-    join ×2, sizes) — cache it so the explode+distinct shuffle happens
-    once. At cluster scale the same role is played by checkpointing the
-    shingle table to parquet between stages."""
-    sh = shingle_docs(spark, sf_dir).cache()
-    sig = minhash_signatures(sh)
-    cands = candidate_pairs(lsh_bands(sig))
-    return jaccard_verify(cands, sh, JACCARD_THRESHOLD)
+    The signature mins AND the verify-stage shingle arrays/sizes come
+    out of ONE groupBy(doc_id) pass over the shingle table — the
+    pipeline's only corpus-sized shuffle. The per-doc table is cached
+    and reused by banding, both sides of the candidate join, and the
+    verify; at cluster scale the same role is played by checkpointing
+    it to parquet."""
+    sh = shingle_docs(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id", "sh", TH.md5_int60(F.col("sh")).alias("h")
+    )
+    mins = [
+        F.min(F.col("h").bitwiseXOR(F.lit(TH.MINHASH_XOR_SALTS[i]))).alias(
+            f"h{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    per_doc = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *mins,
+            F.collect_list("sh").alias("shs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .cache()
+    )
+    cands = candidate_pairs(lsh_bands(per_doc))
+    aa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+    )
+    bb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        cands.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("ni", ni)
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
