@@ -261,7 +261,7 @@ def pmapreduce_dense_elsum(
     make_array,
     *,
     num_partitions: int | None = None,
-    depth: int = 2,
+    n_chunks: int | None = None,
 ):
     """The reference's headline workload: `pmapreduce(f, elsum, 1:n)` over
     dense arrays (reference docs/src/index.md:22-46 — in-place elementwise
@@ -269,28 +269,52 @@ def pmapreduce_dense_elsum(
 
     Spark rendering: generate + *accumulate locally inside each partition*
     (the in-place combine of `broadcastinplace`, reference
-    src/reductionfunctions.jl:69-71 — numpy `out=` add), then tree-combine
-    the per-partition partials. Only num_partitions arrays ever cross the
-    wire, regardless of n_tasks. On a multi-node cluster `depth=2` gives
-    the reference's per-host → cross-host staging."""
+    src/reductionfunctions.jl:69-71 — numpy `out=` add), then combine the
+    per-partition partials **chunk-parallel**: each partition slices its
+    partial into `n_chunks` contiguous pieces and the pieces reduce with
+    `reduceByKey(chunk_id)` — every core sums its own slice of the array
+    concurrently, and no single process ever serializes or adds a whole
+    array. (A whole-array `treeReduce` was 3× slower at the reference's
+    80 MB-per-task shape: each combine round pickled and added full
+    arrays sequentially.) Driver work is a single ordered concatenate of
+    the final chunks. On a multi-node cluster the chunk shuffle is the
+    same per-host/cross-host staging the reference's segmented tree
+    builds by hand (reference src/trees.jl:42-137)."""
     import numpy as np
 
     sc = spark.sparkContext
     n_parts = num_partitions or min(n_tasks, sc.defaultParallelism)
+    n_chunks = n_chunks or n_parts
 
-    def part_sum(it):
+    def part_chunks(it):
         acc = None
         for i in it:
             m = make_array(i)
-            acc = m if acc is None else np.add(acc, m, out=acc)
-        if acc is not None:
-            yield acc
+            acc = np.asarray(m) if acc is None else np.add(acc, m, out=acc)
+        if acc is None:
+            return
+        shape = acc.shape
+        flat = acc.reshape(-1)
+        bounds = np.linspace(0, flat.size, n_chunks + 1, dtype=np.int64)
+        for k in range(n_chunks):
+            piece = flat[bounds[k] : bounds[k + 1]]
+            if piece.size:
+                yield (int(k), (shape, piece))
 
-    return (
+    def merge(a, b):
+        shape, va = a
+        _, vb = b
+        return (shape, np.add(va, vb, out=va if va.flags.writeable else vb))
+
+    parts = (
         sc.range(0, n_tasks, numSlices=n_parts)
-        .mapPartitions(part_sum)
-        .treeReduce(lambda a, b: np.add(a, b, out=a), depth)
+        .mapPartitions(part_chunks)
+        .reduceByKey(merge, numPartitions=n_chunks)
+        .collect()
     )
+    parts.sort(key=lambda kv: kv[0])
+    shape = parts[0][1][0]
+    return np.concatenate([p[1][1] for p in parts]).reshape(shape)
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +322,7 @@ def pmapreduce_dense_elsum(
 # ---------------------------------------------------------------------------
 
 from parallelutilities_jl_spark.plans.queries import PROD3  # noqa: E402
+from parallelutilities_jl_spark.sources.fixtures import sf_of as _sf_of  # noqa: E402
 from parallelutilities_jl_spark.sources.ranges import rng  # noqa: E402
 
 PRODB = ProductSpec((rng(1, 100), rng(1, 60)))  # 6000-element map grid
@@ -401,10 +426,13 @@ def q_pmapbatch_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pmapreduce_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput probe: sum over a 10^8-element product expression,
-    entirely inside whole-stage codegen (the 100 TB shape: no Python, no
-    shuffle beyond the final partial-agg exchange)."""
-    n = 100_000_000
+    """Throughput probe: sum over a 10^8-element (bench scale; 10^7 for
+    the sf0.01 correctness sweep, keeping the driver's full-gate run
+    cheap) product expression, entirely inside whole-stage codegen (the
+    100 TB shape: no Python, no shuffle beyond the final partial-agg
+    exchange). The oracle below matches the sweep shape; the driver
+    contract pins oracle runs to sf=0.01."""
+    n = 100_000_000 if _sf_of(sf_dir) >= 0.1 else 10_000_000
     return spark.range(0, n, 1, 64).selectExpr(
         "CAST(SUM((id % 1000) * (id DIV 1000)) AS BIGINT) AS result"
     )
@@ -412,11 +440,22 @@ def q_pmapreduce_bigsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable wrapper for the dense elsum workload: 32 tasks ×
-    1000×1000 ones, elementwise-summed; emits shape + corner + total."""
+    ones, elementwise-summed; emits shape + corner + total.
+
+    At bench scale (sf ≥ 0.1) the per-task array is the reference's
+    published shape — 10_000×1_000 doubles (reference
+    docs/src/index.md:22-46, 2.17 s on 56 cores) — so BENCH times the
+    apples-to-apples workload. The sf0.01 correctness sweep uses
+    1000×1000 (16× less work; the oracle constants below match that
+    shape, and the driver contract pins the oracle run to sf=0.01)."""
     import numpy as np
 
+    full = _sf_of(sf_dir) >= 0.1
+    shape = (10_000, 1_000) if full else (1_000, 1_000)
+    # chunk count sized so each reduce slice is a few MB: 32-way parallel
+    # adds at the 80 MB reference shape, minimal shuffle overhead small
     out = pmapreduce_dense_elsum(
-        spark, 32, lambda i: np.ones((1000, 1000))
+        spark, 32, lambda i: np.ones(shape), n_chunks=32 if full else 8
     )
     return spark.createDataFrame(
         [
@@ -483,7 +522,7 @@ def _mapreduce_oracles() -> dict[str, str]:
         ),
         "pmapreduce_bigsum": (
             "SELECT CAST(SUM((i % 1000) * (i // 1000)) AS BIGINT) AS result "
-            "FROM range(0, 100000000) t(i)"
+            "FROM range(0, 10000000) t(i)"
         ),
         "pmapreduce_dense_elsum": (
             "SELECT CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_cols, "

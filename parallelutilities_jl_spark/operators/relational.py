@@ -661,33 +661,39 @@ FROM events e ASOF JOIN o
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: events within 90 days after one of the user's orders.
+    """Range join: for each event, how many of the same user's events land
+    in the following 6 hours. Self-join on events — the fixture's only
+    table that overlaps its own time range, so the result is guaranteed
+    non-empty at every SF (events and orders fixtures occupy disjoint
+    decades, which made the old event×order form vacuously empty).
+
     Equi-join on user_id bounds the blow-up; the range predicate filters
-    inside each user group."""
-    events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
+    inside each user group — the standard bounded-range-join shape."""
+    a = load_table(spark, sf_dir, "events").alias("a")
+    b = load_table(spark, sf_dir, "events").alias("b")
     cond = (
-        (events.user_id == orders.o_custkey)
-        & (events.ts >= orders.o_orderdate)
-        & (
-            events.ts
-            < orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
-        )
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 6 HOURS"))
     )
     return (
-        events.join(orders, cond)
-        .groupBy("event_id", "user_id")
-        .agg(F.count(F.lit(1)).alias("n_recent_orders"))
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.event_id").alias("event_id"),
+            F.col("a.user_id").alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_follow_events"))
     )
 
 
 ORACLE_RANGE_JOIN = """
-SELECT event_id, user_id, COUNT(*) AS n_recent_orders
-FROM events JOIN orders
-  ON user_id = o_custkey
- AND ts >= o_orderdate
- AND ts < o_orderdate + INTERVAL 90 DAY
-GROUP BY event_id, user_id
+SELECT a.event_id AS event_id, a.user_id AS user_id,
+       COUNT(*) AS n_follow_events
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 6 HOUR
+GROUP BY a.event_id, a.user_id
 """
 
 

@@ -27,6 +27,22 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def sf_of(sf_dir: str) -> float:
+    """Scale factor parsed from a fixture dir name ('.../sf0.1' → 0.1);
+    0.0 when the path has no sf marker. Used by synthetic-input queries
+    to size their workload to the scale being run (small for the sf0.01
+    correctness sweep, the published reference shape at bench scale)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    if not m:
+        return 0.0
+    try:
+        return float(m.group(1).rstrip("."))
+    except ValueError:
+        return 0.0
+
 # Dimension tables small enough to broadcast at ANY scale factor: their
 # cardinality is fixed (region=5, nation=25) or grows sub-linearly. At
 # 100 TB these still fit in an executor — always broadcast them.

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Time the full driver-style sweep: every queries() entry run on Spark at
+sf0.01 plus its DuckDB oracle, reporting per-query seconds (spark, duck)
+and pass/fail — the feedback loop for keeping the correctness gate cheap."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    from parallelutilities_jl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+    from harness_util import compare_query
+
+    only = sys.argv[1:] or None
+    spark = get_spark(app_name="pu_sweep")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    rows = []
+    t_all = time.perf_counter()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        t0 = time.perf_counter()
+        status = "pass"
+        err = ""
+        try:
+            if sql is None:
+                n = fn(spark, SF_DIR).count()
+                status = f"rows-only({n})"
+            else:
+                compare_query(spark, SF_DIR, fn, sql, name)
+        except Exception as e:  # noqa: BLE001
+            status = "FAIL"
+            err = f"{type(e).__name__}: {e}"[:200]
+        dt = time.perf_counter() - t0
+        rows.append((name, round(dt, 2), status, err))
+        print(f"{dt:7.2f}s  {status:10s} {name} {err}", flush=True)
+    total = time.perf_counter() - t_all
+    print(f"TOTAL {total:.1f}s over {len(rows)} queries")
+    slow = sorted(rows, key=lambda r: -r[1])[:15]
+    print("slowest:", json.dumps(slow))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
