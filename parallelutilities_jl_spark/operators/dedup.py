@@ -45,6 +45,17 @@ ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.3
 SHINGLE_K = 3
 
+# Quadratic-blowup guards (standard MinHashLSH practice). A single
+# stopword-like shingle shared by D documents produces a C(D,2) bucket in
+# any shingle- or band-keyed self-join; capping the document frequency of
+# a join key bounds every bucket's pair count at C(cap,2). The caps are
+# far above anything in a normal corpus (fixture max shingle df = 7), so
+# results are unchanged unless a pathological key appears — and then the
+# drop is the documented, bounded approximation. Mirrored in the DuckDB
+# oracles so both engines see identical candidates by construction.
+NGRAM_MAX_DF = 1_000  # shingle-level candidate join (ngram_jaccard_pairs)
+MAX_LSH_BUCKET = 2_000  # band-bucket join (candidate_pairs)
+
 
 # ---------------------------------------------------------------------------
 # building blocks (engine API)
@@ -106,8 +117,27 @@ def lsh_bands(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> 
     )
 
 
-def candidate_pairs(bands_df: DataFrame) -> DataFrame:
-    """Docs sharing any band bucket (doc_a < doc_b), deduped."""
+def candidate_pairs(
+    bands_df: DataFrame, max_bucket: int | None = MAX_LSH_BUCKET
+) -> DataFrame:
+    """Docs sharing any band bucket (doc_a < doc_b), deduped.
+
+    Buckets larger than `max_bucket` are dropped before the self-join —
+    a giant bucket is C(size, 2) pairs and would dominate the shuffle; a
+    near-dup group that large is better handled by exact dedup upstream.
+    The size count rides the same (band, key) shuffle the join needs."""
+    if max_bucket is not None:
+        from pyspark.sql.window import Window as W
+
+        # count-over-window rides the same (band, key) shuffle the
+        # self-join needs — no extra aggregate+join stages
+        bands_df = (
+            bands_df.withColumn(
+                "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+            )
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -238,35 +268,38 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing a shingle (the ground
-    truth LSH approximates); j ≥ 0.3."""
+    """Exact n-gram Jaccard for every pair sharing a (non-hot) shingle —
+    the ground-truth tier LSH approximates; j ≥ 0.3.
+
+    Candidate generation drops shingles with document frequency above
+    NGRAM_MAX_DF before the self-join (a hot shingle is a quadratic
+    bucket; fixture max df is 7, so nothing is dropped at test scale).
+    The Jaccard itself is then EXACT over the full shingle sets via
+    `array_intersect` on the candidates — the df cap only bounds who
+    gets compared, never the similarity value."""
     sh = shingle_docs(spark, sf_dir).cache()
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    pairs = (
+    dfreq = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .select("sh")
+    )
+    sh_cold = sh.join(dfreq, "sh", "left_semi")
+    sa = sh_cold.alias("sa")
+    sb = sh_cold.alias("sb")
+    cands = (
         sa.join(
             sb,
             (F.col("sa.sh") == F.col("sb.sh"))
             & (F.col("sa.doc_id") < F.col("sb.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("sa.doc_id").alias("doc_a"),
             F.col("sb.doc_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("ni"))
+        .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
-    jac = F.col("ni").cast("double") / (
-        F.col("na.n") + F.col("nb.n") - F.col("ni")
-    )
-    return (
-        pairs.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return jaccard_verify(cands, sh, JACCARD_THRESHOLD)
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,8 +395,11 @@ FROM h JOIN g ON h.text_hash = g.text_hash
 """,
         "minhash_near_dup": (
             f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
+            f"bok AS (SELECT band, key FROM bands GROUP BY band, key "
+            f"HAVING COUNT(*) <= {MAX_LSH_BUCKET}), "
+            "bandsf AS (SELECT bands.* FROM bands JOIN bok USING (band, key)), "
             "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+            "FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.key = b.key "
             "AND a.doc_id < b.doc_id), "
             + _DD_JACCARD_TAIL
         ),
@@ -373,8 +409,11 @@ FROM h JOIN g ON h.text_hash = g.text_hash
         ),
         "ngram_jaccard_pairs": (
             f"WITH {_dd_shingle_cte()}, "
+            f"cold AS (SELECT sh FROM sh GROUP BY sh "
+            f"HAVING COUNT(*) <= {NGRAM_MAX_DF}), "
+            "shf AS (SELECT sh.* FROM sh JOIN cold USING (sh)), "
             "cand AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b "
-            "FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id "
+            "FROM shf sa JOIN shf sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id "
             "GROUP BY 1, 2), "
             + _DD_JACCARD_TAIL
         ),

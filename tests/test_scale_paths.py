@@ -94,3 +94,66 @@ def test_salted_join_spreads_hot_key(spark):
 
     out = salted_join(big, small, "k", n_salts=8)
     assert out.count() == big.join(small, "k").count()
+
+
+# ---------------------------------------------------------------------------
+# quadratic-blowup guards in the dedup candidate generators
+# ---------------------------------------------------------------------------
+
+
+def _skewed_shingles(spark, n_docs=60, hot_df=None):
+    """Synthetic (doc_id, sh) shingle table where EVERY doc shares one
+    stopword-like shingle ('the quick brown') plus a few unique ones —
+    the pathological shape a df-uncapped self-join turns into C(n, 2)
+    pairs."""
+    hot_df = hot_df if hot_df is not None else n_docs
+    rows = []
+    for d in range(n_docs):
+        if d < hot_df:
+            rows.append((d, "the quick brown"))
+        for u in range(3):
+            rows.append((d, f"unique shingle {d} {u}"))
+    return spark.createDataFrame(rows, "doc_id long, sh string")
+
+
+def test_ngram_df_cap_bounds_candidates(spark):
+    """With a df cap below the hot shingle's frequency, candidate count is
+    bounded by the cold shingles only (zero here: uniques never collide)."""
+    sh = _skewed_shingles(spark, n_docs=60)
+    dfreq = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("sh")
+    )
+    sh_cold = sh.join(dfreq, "sh", "left_semi")
+    sa, sb = sh_cold.alias("sa"), sh_cold.alias("sb")
+    n_cand = (
+        sa.join(
+            sb,
+            (F.col("sa.sh") == F.col("sb.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select("sa.doc_id", "sb.doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand == 0  # uncapped would be C(60, 2) = 1770
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """candidate_pairs drops band buckets larger than max_bucket: a
+    degenerate all-identical bucket contributes zero pairs under the cap,
+    C(n, 2) without it."""
+    from parallelutilities_jl_spark.operators.dedup import candidate_pairs
+
+    n = 50
+    bands = spark.createDataFrame(
+        [(d, 0, "samekey") for d in range(n)] + [(1, 1, "k1"), (2, 1, "k1")],
+        "doc_id long, band long, key string",
+    )
+    capped = candidate_pairs(bands, max_bucket=10)
+    uncapped = candidate_pairs(bands, max_bucket=None)
+    assert capped.count() == 1  # only the small band-1 bucket survives
+    # (1,2) occurs in both buckets and distinct() collapses it
+    assert uncapped.count() == n * (n - 1) // 2
