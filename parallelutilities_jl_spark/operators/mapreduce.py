@@ -104,18 +104,27 @@ def _merge_cols(op: ReduceOp, acc: Column, x: Column) -> Column:
 
 
 def ordered_fold(
-    mapped: DataFrame, op: ReduceOp, zero_type: str = "double"
+    mapped: DataFrame, op: ReduceOp, zero_type: str | None = None
 ) -> DataFrame:
     """Rank-ordered reduction for non-commutative ops: per-partition
     partial (associativity), then a deterministic left fold in rank order
     (reference pval sort, src/mapreduce.jl:138-146). The partial agg is
-    map-side; only np partials reach the fold."""
+    map-side; only np partials reach the fold.
+
+    The fold accumulator's type defaults to the mapped column's own type
+    (an integer reduction folded in double would silently lose exactness
+    past 2^53); `x` is substituted on word boundaries so identifiers that
+    merely contain the letter (max, xor) survive."""
+    from parallelutilities_jl_spark.operators.reductions import _sub_word
+
+    if zero_type is None:
+        zero_type = mapped.schema["v"].dataType.simpleString()
     partials = mapped.groupBy("p").agg(op.agg(F.col("v")).alias("pv"))
     return partials.agg(
         F.expr(
             "aggregate(array_sort(collect_list(struct(p, pv))), "
             f"CAST({op.zero_sql} AS {zero_type}), "
-            f"(acc, s) -> {op.merge_sql.replace('x', 's.pv')})"
+            f"(acc, s) -> {_sub_word(op.merge_sql, 'x', 's.pv')})"
         ).alias("result")
     )
 
@@ -470,6 +479,67 @@ def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ordered_array_fold(
+    df: DataFrame, p: str, local_order: str, arr: str
+) -> DataFrame:
+    """Rank-ordered fold for ARRAY-valued accumulators — the reference's
+    `pmapreduce(f, vcat/hcat, ...)` where each worker's value is itself an
+    array (reference src/mapreduce.jl:266-287; array-op tests
+    test/paralleltests.jl:488-545). Within-rank arrays concatenate in
+    local order (one partial agg per rank), then the np rank partials
+    concatenate in rank order — the same np-sized funnel as the scalar
+    ordered fold, never a data-sized global sort."""
+    partials = df.groupBy(p).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(local_order, arr))),
+                lambda s: s[arr],
+            )
+        ).alias("arr")
+    )
+    return partials.agg(
+        F.expr(
+            f"flatten(transform(array_sort(collect_list(struct({p}, arr))), "
+            "s -> s.arr))"
+        ).alias("stacked")
+    )
+
+
+def q_ordered_stack_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vcat of array-valued mapped results in deterministic (rank, local)
+    order: x → [2x, 2x+1], all arrays concatenated — emitted as (pos, val)
+    rows so the oracle can check the exact global order."""
+    df = zip_df(spark, (rng(1, 500),), np=8)
+    mapped = df.select(
+        "p",
+        "i",
+        F.array(F.col("z1") * 2, F.col("z1") * 2 + 1).alias("arr"),
+    )
+    folded = ordered_array_fold(mapped, "p", "i", "arr")
+    return folded.select(
+        F.posexplode("stacked").alias("pos0", "val")
+    ).select((F.col("pos0") + 1).cast("long").alias("pos"), "val")
+
+
+def q_dict_merge_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (non-commutative) dict merge: x → {x mod 7: 11x}, dicts
+    merged in (rank, local) order with RIGHT-WINS semantics — Julia's
+    `merge(d1, d2)` keeps d2's value on key collisions, so the globally
+    LAST writer in rank order wins. Rendered as max_by(value, order) per
+    key: one shuffle agg, no actual sequential fold needed (reference
+    dict-accumulator tests, test/paralleltests.jl:502-514)."""
+    df = zip_df(spark, (rng(1, 300),), np=8)
+    kv = df.select(
+        (F.col("z1") % 7).alias("key"),
+        (F.col("z1") * 11).alias("v"),
+        "i",
+    )
+    return kv.groupBy("key").agg(
+        F.expr("max_by(v, i)").alias("merged"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+
+
 def q_dict_merge_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dict-merge reduction: map x -> {x % 10: x}, merge with + (reference
     test paralleltests.jl:502-514) — a shuffle agg on the dict key."""
@@ -516,6 +586,16 @@ def _mapreduce_oracles() -> dict[str, str]:
             "CAST(SUM(i + 1) AS BIGINT) AS merged "
             "FROM range(0, 200) t(i) GROUP BY 1"
         ),
+        "ordered_stack_arrays": (
+            "SELECT CAST((x - 1) * 2 + o + 1 AS BIGINT) AS pos, "
+            "CAST(2 * x + o AS BIGINT) AS val "
+            "FROM range(1, 501) t(x), (VALUES (0), (1)) v(o)"
+        ),
+        "dict_merge_ordered": (
+            "SELECT CAST((i + 1) % 7 AS BIGINT) AS key, "
+            "CAST(arg_max((i + 1) * 11, i) AS BIGINT) AS merged, "
+            "COUNT(*) AS n_src FROM range(0, 300) t(i) GROUP BY 1"
+        ),
         "pmapbatch_partitions": (
             "SELECT p, CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY i) AS BIGINT) AS li, "
             f"c1 + c2 * 2 AS fx FROM ({prodb_assigned})"
@@ -542,6 +622,8 @@ QUERIES = {
     "pmapreduce_bigsum": q_pmapreduce_bigsum,
     "pmapreduce_dense_elsum": q_dense_elsum,
     "dict_merge_reduce": q_dict_merge_reduce,
+    "ordered_stack_arrays": q_ordered_stack_arrays,
+    "dict_merge_ordered": q_dict_merge_ordered,
 }
 
 ORACLES = _mapreduce_oracles()
