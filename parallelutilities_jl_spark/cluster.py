@@ -79,6 +79,26 @@ def oneworkerpernode(spark: SparkSession) -> list[int]:
     return [v[0] for v in procs_node(spark).values()]
 
 
+def chooseworkers(
+    spark: SparkSession, n: int, myhost: str | None = None
+) -> list[int]:
+    """Pick ``n`` worker ranks preferring the caller's host — the
+    reference's locality-aware pool selection (`chooseworkers`,
+    src/clusterquery.jl:90-112): if the local host has enough workers,
+    use only those; otherwise fill with remote ranks in host order.
+
+    Diagnostic parity only: Spark's scheduler already places tasks
+    locality-first, so nothing in the engine consumes this — it answers
+    the same question the reference API answers."""
+    pn = procs_node(spark)
+    myhost = myhost or socket.gethostname()
+    same = list(pn.get(myhost, []))
+    if len(same) >= n:
+        return same[:n]
+    others = [r for h, v in pn.items() if h != myhost for r in v]
+    return (same + others)[:n]
+
+
 def workers_myhost(spark: SparkSession) -> list[int]:
     """Ranks co-located with the driver (reference `workers_myhost`,
     src/clusterquery.jl:143-144)."""

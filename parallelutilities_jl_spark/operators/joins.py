@@ -70,8 +70,17 @@ def salted_join(
     the join key becomes (key, salt). A hot key's rows now land on
     n_salts reducers instead of one.
 
-    Result is identical to `big.join(small, key)` (inner)."""
-    salt_col = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).alias("_salt")
+    Result is identical to `big.join(small, key)` (inner).
+
+    The salt mixes the physical partition id into the row-content hash:
+    fully identical duplicate rows are the *common* shape of real key
+    skew, and a pure content hash would send them all to one salt —
+    a no-op exactly in the pathological case. Partition id is stable
+    within a run, so plans stay reproducible."""
+    salt_col = F.pmod(
+        F.xxhash64(*big.columns) + F.spark_partition_id().cast("long"),
+        F.lit(n_salts),
+    ).alias("_salt")
     big_s = big.select("*", salt_col)
     small_s = small.select(
         "*",

@@ -198,7 +198,9 @@ def map_product_splits(
     Arrow-batched `applyInPandas` keyed by the *logical* rank column, so
     the physical partitioning is free to differ (AQE may coalesce) while
     rank semantics stay exact."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
 
+    ensure_package_on_executors(spark)
     df = product_df(spark, spec, np=np)
 
     def apply(key, pdf: pd.DataFrame) -> pd.DataFrame:

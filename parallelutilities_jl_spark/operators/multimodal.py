@@ -97,6 +97,12 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     """mapInPandas decode: (asset_id, modality, content) → + decoded
     metadata columns. Arrow-batched; per-batch Python, not per-row."""
 
+    # the decode closure references module-level stubs, which cloudpickle
+    # serializes by reference — executors must be able to import the pkg
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(assets.sparkSession)
+
     out_schema = (
         "asset_id long, modality string, n_bytes long, width int, "
         "height int, sample_rate int, n_frames int"
@@ -125,6 +131,9 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
 def extract_features(assets: DataFrame) -> DataFrame:
     """mapInPandas feature extraction → array<double> embedding column."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(assets.sparkSession)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

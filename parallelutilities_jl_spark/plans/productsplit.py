@@ -78,6 +78,16 @@ class ProductSpec:
     def __post_init__(self) -> None:
         if not self.ranges:
             raise ValueError("need at least one range")
+        # the reference rejects non-increasing ranges at construction
+        # (src/productsplit.jl:43 requires step > 0): every O(1) extrema/
+        # bounds formula downstream assumes increasing ranges, so a
+        # decreasing range would silently answer (min, max) swapped.
+        for k, r in enumerate(self.ranges):
+            if r.step <= 0 and r.length > 1:
+                raise ValueError(
+                    f"range {k + 1} has step {r.step} <= 0; product ranges "
+                    "must be increasing (reference src/productsplit.jl:43)"
+                )
 
     @cached_property
     def lengths(self) -> tuple[int, ...]:

@@ -53,3 +53,36 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Arrow-UDF operators (`applyInPandas`/`mapInPandas`) close over
+    classes from this package, and cloudpickle serializes those by
+    REFERENCE — the executor must be able to `import
+    parallelutilities_jl_spark`. That holds when the harness cwd is the
+    repo root but breaks anywhere else, so every UDF-backed operator
+    calls this first. Idempotent per SparkContext; on a real cluster the
+    same zip rides `spark.submit.pyFiles`."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pu_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import parallelutilities_jl_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pu_jl_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._pu_pkg_shipped = True

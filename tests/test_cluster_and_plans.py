@@ -196,10 +196,42 @@ def test_minhash_signatures_partial_agg(spark, sf_dir):
     assert "partial_min" in plan
 
 
-def test_embedding_dedup_broadcasts_build_side(spark, sf_dir):
+def test_embedding_dedup_candidates_are_equijoined(spark, sf_dir):
+    """The cosine-dedup tier must NOT be an all-pairs nested loop: LSH
+    candidate generation is an equi-join (hash-joinable on band/key), the
+    only join shape whose shuffle stays linear at corpus scale."""
     from parallelutilities_jl_spark.operators.similarity import (
         q_embedding_cosine_dups,
+        q_embedding_cosine_exact,
     )
 
     plan = _plan(q_embedding_cosine_dups(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "NestedLoopJoin" not in plan
+    # the bounded-sample exact tier is the one place all-pairs is allowed
+    exact_plan = _plan(q_embedding_cosine_exact(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_chooseworkers_prefers_local_host(spark):
+    from parallelutilities_jl_spark.cluster import chooseworkers, procs_node
+
+    pn = procs_node(spark)
+    # local mode: every rank is on this host — pool is a prefix of ranks
+    all_ranks = [r for v in pn.values() for r in v]
+    got = chooseworkers(spark, 3)
+    assert got == sorted(all_ranks)[:3]
+    # asking from a host with no workers falls back to remote ranks
+    remote = chooseworkers(spark, 2, myhost="no-such-host")
+    assert len(remote) == 2 and set(remote) <= set(all_ranks)
+
+
+def test_product_spec_rejects_decreasing_range():
+    import pytest as _pytest
+
+    from parallelutilities_jl_spark.plans.productsplit import ProductSpec
+    from parallelutilities_jl_spark.sources.ranges import rng
+
+    with _pytest.raises(ValueError, match="increasing"):
+        ProductSpec((rng(10, 1, -1),))
+    # single-element and increasing ranges still construct
+    ProductSpec((rng(5, 5), rng(1, 3)))
