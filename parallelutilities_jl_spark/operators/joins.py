@@ -103,16 +103,20 @@ def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"), "o_orderstatus"
     )
     joined = salted_join(li, orders, "okey", n_salts=8)
+    # decimal sum (repo float-parity policy): exact regardless of the
+    # salt-induced combine order
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 
 ORACLES = {
     "salted_join_orders": """
 SELECT o_orderstatus, COUNT(*) AS n_lines,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """,

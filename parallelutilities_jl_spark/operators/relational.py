@@ -12,8 +12,10 @@ Scale notes (these run on a 1000-executor cluster against ~100 TB):
 * Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
   handles skew. Filters are applied before joins so Catalyst pushes them
   into the parquet scans.
-* Double-typed aggregates are rounded at the output edge only (never
-  mid-plan) so results are reproducible bit-for-bit against the oracle.
+* Float parity policy: double-typed SUMs go through DECIMAL (exact,
+  order-independent) and cast back to double at the edge, never ROUND —
+  double ROUND can disagree between engines at exact half ties, and a
+  rounded value near a tie can flip a row as data changes.
 """
 
 from __future__ import annotations
@@ -27,6 +29,22 @@ from parallelutilities_jl_spark.sources.fixtures import load_table
 
 def _ts(s: str):
     return F.lit(s).cast("timestamp")
+
+
+# Float parity policy helpers (see module docstring): exact decimal sums,
+# identical on both engines regardless of combine order.
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast("decimal(28,6)")).cast("double")
+
+
+_DD_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _volume() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_DD_VOLUME = "l_extendedprice * (1 - l_discount)"
 
 
 # ---------------------------------------------------------------------------
@@ -44,13 +62,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= _ts("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -58,13 +78,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -88,19 +108,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(_volume()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
 
 
-ORACLE_SHIPPING = """
+ORACLE_SHIPPING = f"""
 SELECT l_orderkey, o_orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -135,16 +151,12 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(_volume()).alias("revenue"))
     )
 
 
-ORACLE_LOCAL_SUPPLIER = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+ORACLE_LOCAL_SUPPLIER = f"""
+SELECT n_name, {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -172,16 +184,16 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
 
 
-ORACLE_FORECAST = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+ORACLE_FORECAST = f"""
+SELECT {_DD_DSUM.format(e="l_extendedprice * l_discount")} AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -204,19 +216,15 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(_volume()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
 
 
-ORACLE_RETURNED = """
+ORACLE_RETURNED = f"""
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -296,14 +304,14 @@ def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+            _dsum(F.col("l_extendedprice")).alias("brand_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-ORACLE_JOIN_BROADCAST = """
-SELECT p_brand, ROUND(SUM(l_extendedprice), 2) AS brand_revenue,
+ORACLE_JOIN_BROADCAST = f"""
+SELECT p_brand, {_DD_DSUM.format(e="l_extendedprice")} AS brand_revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -356,15 +364,19 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
 ORACLE_WINDOW_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
 FROM orders
 """
 
@@ -411,7 +423,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
@@ -422,10 +434,10 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ROLLUP = """
+ORACLE_ROLLUP = f"""
 SELECT COALESCE(r_name, '(all)') AS region_name,
        COALESCE(n_name, '(all)') AS nation_name,
-       COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+       COUNT(*) AS n_cust, {_DD_DSUM.format(e="c_acctbal")} AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -440,7 +452,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
@@ -451,10 +463,10 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CUBE = """
+ORACLE_CUBE = f"""
 SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
        COALESCE(l_linestatus, '(all)') AS linestatus,
-       COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+       COUNT(*) AS n_rows, {_DD_DSUM.format(e="l_quantity")} AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -564,15 +576,15 @@ def q_date_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("volume"),
+            _dsum(F.col("o_totalprice")).alias("volume"),
         )
     )
 
 
-ORACLE_DATES = """
+ORACLE_DATES = f"""
 SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
        CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
-       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS volume
+       COUNT(*) AS n_orders, {_DD_DSUM.format(e="o_totalprice")} AS volume
 FROM orders GROUP BY 1, 2
 """
 
@@ -581,21 +593,19 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (conditional aggregation) of quantity by linestatus."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)),
-            2,
+        _dsum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)
         ).alias("qty_open"),
-        F.round(
-            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)),
-            2,
+        _dsum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)
         ).alias("qty_filled"),
     )
 
 
-ORACLE_PIVOT = """
+ORACLE_PIVOT = f"""
 SELECT l_returnflag,
-       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
-       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled
+       {_DD_DSUM.format(e="CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END")} AS qty_open,
+       {_DD_DSUM.format(e="CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END")} AS qty_filled
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -711,7 +721,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        _dsum(F.col("value")).alias("session_value"),
     )
 
 
@@ -732,7 +742,7 @@ s AS (
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS session_value
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -810,19 +820,6 @@ SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
-
-
-# New-query float policy: sum doubles through DECIMAL (exact, order-
-# independent) and cast back to double at the edge, no ROUND — double
-# ROUND can disagree between engines at exact half ties.
-def _dsum(col) -> F.Column:
-    return F.sum(col.cast("decimal(28,6)")).cast("double")
-
-
-_DD_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
-def _volume() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-_DD_VOLUME = "l_extendedprice * (1 - l_discount)"
 
 
 def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,7 +1064,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
         .orderBy(
             F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
         )
@@ -1075,9 +1072,9 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LARGE_ORDERS = """
+ORACLE_LARGE_ORDERS = f"""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
+       {_DD_DSUM.format(e="l_quantity")} AS sum_qty
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
