@@ -312,15 +312,27 @@ def pmapreduce_dense_elsum(
             if piece.size:
                 yield (int(k), (shape, piece))
 
-    def merge(a, b):
-        shape, va = a
-        _, vb = b
-        return (shape, np.add(va, vb, out=va if va.flags.writeable else vb))
+    # partitionBy + in-partition fold, not reduceByKey: every chunk key is
+    # unique within a map partition, so reduceByKey's map-side combine is a
+    # pure overhead pass (dict build + re-pickle of every 2.5 MB piece —
+    # measured ~1.5× slower at the 80 MB-per-task shape).
+    def fold_chunks(it):
+        acc = {}
+        for k, (shape, v) in it:
+            prev = acc.get(k)
+            if prev is None:
+                acc[k] = (shape, v)
+            else:
+                pv = prev[1]
+                out = pv if pv.flags.writeable else v
+                acc[k] = (shape, np.add(pv, v, out=out))
+        return iter(acc.items())
 
     parts = (
         sc.range(0, n_tasks, numSlices=n_parts)
         .mapPartitions(part_chunks)
-        .reduceByKey(merge, numPartitions=n_chunks)
+        .partitionBy(n_chunks, partitionFunc=lambda k: k)
+        .mapPartitions(fold_chunks, preservesPartitioning=True)
         .collect()
     )
     parts.sort(key=lambda kv: kv[0])
