@@ -5,6 +5,12 @@ import pytest
 from parallelutilities_jl_spark.session import get_spark
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: scale-guard tests that read the sf0.1 fixtures"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="pu_tests", cpus=8)
