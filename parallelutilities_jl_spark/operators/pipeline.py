@@ -1,0 +1,270 @@
+"""Training-data pipeline operators over `documents` — deterministic
+splits, paragraph-level dedup, benchmark-contamination checks, and the
+canonical filter chain (BASELINE.json north star; SURVEY §7 phase 5).
+
+These are the corpus-preparation steps between raw crawl and tokenizer:
+assign reproducible train/val/test partitions, drop boilerplate spans
+duplicated across documents, verify the corpus does not contain the eval
+benchmark, and apply the lang/length/quality keep-rules. Everything is
+portable scalar SQL (no UDF, no RNG — splits and hashes are pure integer
+arithmetic / md5, so the DuckDB oracle evaluates identical formulas and
+re-runs are bit-stable).
+
+At 100 TB:
+* `hash_split` / `filter_pipeline` are embarrassingly-parallel
+  projections — one scan, the only shuffle is the tiny stats agg.
+* `paragraph_dedup` shuffles once on chunk-hash (same shape as
+  dedup_exact); hot chunks are bounded by the per-group count agg.
+* `contamination_check` equi-joins corpus shingles against the eval
+  set's; the eval side (a benchmark suite) is orders of magnitude
+  smaller than the corpus, so it broadcasts and the corpus side never
+  shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.functions import texthash as TH
+from parallelutilities_jl_spark.operators.text import (
+    LANG_MARKERS,
+    dd_quality_score,
+    quality_parts,
+)
+from parallelutilities_jl_spark.sources.fixtures import (
+    load_table,
+    load_table_parallel,
+)
+
+# Knuth multiplicative hash — identical BIGINT arithmetic in Spark and
+# DuckDB (doc_id is small enough that the product cannot overflow ANSI
+# bigint), so split assignment is reproducible across engines and runs.
+_KNUTH = 2654435761
+_SPLIT_BUCKETS = 100
+_TRAIN_LT, _VAL_LT = 80, 90  # 80/10/10
+
+_CHUNK_WORDS = 10  # "paragraph" span for chunk-level dedup
+_CONTAM_K = 5  # shingle width for contamination screening
+
+
+def _bucket_col() -> F.Column:
+    return (F.col("doc_id") * _KNUTH) % (2**32) % _SPLIT_BUCKETS
+
+
+_DD_BUCKET = f"(doc_id * {_KNUTH}) % {2**32} % {_SPLIT_BUCKETS}"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) from a
+    multiplicative hash of the stable doc_id — no RNG, so the split is
+    identical on every run, every engine, every cluster size. Emits the
+    per-split × per-lang census a pipeline run logs."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_col()
+    split = (
+        F.when(b < _TRAIN_LT, "train")
+        .when(b < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_HASH_SPLIT = f"""
+SELECT CASE WHEN {_DD_BUCKET} < {_TRAIN_LT} THEN 'train'
+            WHEN {_DD_BUCKET} < {_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (fixed word-window) dedup census: split each doc
+    into {_CHUNK_WORDS}-word chunks, md5 them, and report per-source how
+    much of the text is boilerplate (chunks also appearing elsewhere in
+    the corpus). The dedup itself is the same groupBy(chunk-hash) that
+    would keep min(doc_id) as the canonical copy; here we emit the
+    measurement a pipeline logs before/after."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    n_chunks = F.ceil(
+        F.size(F.col("ws")) / float(_CHUNK_WORDS)
+    ).cast("int")
+    chunks = (
+        docs.select(
+            "doc_id", "source", TH.words(F.col("text")).alias("ws")
+        )
+        .filter(F.size("ws") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("ws"),
+                            i * _CHUNK_WORDS + 1,
+                            _CHUNK_WORDS,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", "source", F.md5("chunk").alias("h"))
+    )
+    # corpus-wide frequency per chunk-hash, then per-source boilerplate rate
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+                "n_boilerplate_chunks"
+            ),
+            F.countDistinct("h").alias("n_distinct_chunks"),
+        )
+    )
+
+
+_DD_WS = TH.dd_words("text")
+ORACLE_PARAGRAPH_DEDUP = f"""
+WITH w AS (SELECT doc_id, source, {_DD_WS} AS ws FROM documents),
+c AS (SELECT doc_id, source,
+             md5(UNNEST(list_transform(
+                 generate_series(0, CAST(CEIL(len(ws) / {_CHUNK_WORDS}.0)
+                                         AS BIGINT) - 1),
+                 i -> array_to_string(
+                     ws[i * {_CHUNK_WORDS} + 1 : i * {_CHUNK_WORDS}
+                        + {_CHUNK_WORDS}], ' ')))) AS h
+      FROM w WHERE len(ws) >= 1),
+f AS (SELECT h, COUNT(*) AS cnt FROM c GROUP BY h)
+SELECT source, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate_chunks,
+       COUNT(DISTINCT c.h) AS n_distinct_chunks
+FROM c JOIN f ON c.h = f.h
+GROUP BY source
+"""
+
+
+EVAL_SOURCE = "src0"  # the held-out "benchmark" slice of the fixtures
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: which corpus docs share a
+    {_CONTAM_K}-word shingle with the eval set (here: documents from
+    EVAL_SOURCE)? The eval side is tiny relative to the corpus (a
+    benchmark suite vs a crawl), so its distinct shingles broadcast and
+    the corpus side is a scan + broadcast-hash-join — no corpus shuffle
+    until the tiny per-doc agg."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    ws = TH.words(F.col("text"))
+    sh = (
+        docs.select("doc_id", "source", ws.alias("ws"))
+        .filter(F.size("ws") >= _CONTAM_K)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(TH.shingles(F.col("ws"), _CONTAM_K)).alias("s"),
+        )
+    )
+    eval_sh = (
+        sh.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.col("s").alias("es"), F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    corpus_sh = sh.filter(F.col("source") != EVAL_SOURCE)
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), corpus_sh.s == eval_sh.es)
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH w AS (SELECT doc_id, source, {_DD_WS} AS ws FROM documents),
+sh AS (SELECT doc_id, source,
+              UNNEST({TH.dd_shingles('ws', _CONTAM_K)}) AS s
+       FROM w WHERE len(ws) >= {_CONTAM_K}),
+ev AS (SELECT DISTINCT s AS es, doc_id AS eval_doc FROM sh
+       WHERE source = '{EVAL_SOURCE}')
+SELECT doc_id, source,
+       COUNT(DISTINCT s) AS n_shared_shingles,
+       COUNT(DISTINCT eval_doc) AS n_eval_docs_hit
+FROM sh JOIN ev ON sh.s = ev.es
+WHERE source <> '{EVAL_SOURCE}'
+GROUP BY doc_id, source
+"""
+
+
+_MIN_CHARS, _MAX_CHARS = 100, 500
+_MIN_QUALITY = 0.5
+
+
+def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical keep-rule chain (lang allowlist, length band,
+    quality threshold) with per-source retention accounting — the
+    numbers a corpus-prep run reports. One scan, all rules evaluated as
+    a single projection; the agg output is tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, score = quality_parts(F.col("text"))
+    keep = (
+        F.col("lang").isin(*LANG_MARKERS.keys())
+        & F.col("n_chars").between(_MIN_CHARS, _MAX_CHARS)
+        & (score >= _MIN_QUALITY)
+    )
+    return (
+        docs.select("source", keep.cast("int").alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+            (
+                F.sum("keep").cast("double") / F.count(F.lit(1))
+            ).alias("retention"),
+        )
+    )
+
+
+_DD_LANGS = ", ".join(f"'{lg}'" for lg in LANG_MARKERS)
+ORACLE_FILTER_PIPELINE = f"""
+WITH k AS (
+  SELECT source,
+         CASE WHEN lang IN ({_DD_LANGS})
+               AND n_chars BETWEEN {_MIN_CHARS} AND {_MAX_CHARS}
+               AND {dd_quality_score('text')} >= {_MIN_QUALITY}
+              THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT source, COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS retention
+FROM k GROUP BY source
+"""
+
+
+QUERIES = {
+    "hash_split_documents": q_hash_split,
+    "paragraph_dedup": q_paragraph_dedup,
+    "contamination_check": q_contamination_check,
+    "corpus_filter_pipeline": q_filter_pipeline,
+}
+
+ORACLES = {
+    "hash_split_documents": ORACLE_HASH_SPLIT,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "contamination_check": ORACLE_CONTAMINATION,
+    "corpus_filter_pipeline": ORACLE_FILTER_PIPELINE,
+}

@@ -68,11 +68,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, punctuation density, stopword ratio,
-    mean word length — combined into a [0, 1]-ish score."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    raw = F.col("text")
+def quality_parts(raw: Column) -> tuple[Column, Column, Column]:
+    """(punct_ratio, stop_ratio, score) — the quality heuristic, exposed
+    so filter pipelines reuse the exact same formula the scorer reports."""
     nt = TH.norm_text(raw)
     ws = F.split(nt, " ")
     n_words = F.size(ws).cast("double")
@@ -88,6 +86,31 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.5 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.2 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
     )
+    return punct_ratio, stop_ratio, score
+
+
+# DuckDB twin of quality_parts: {c} is the raw text column
+DD_QUALITY_SCORE = (
+    "(0.5 * LEAST(CAST(len(string_split({nt}, ' ')) AS DOUBLE) / 100.0, 1.0)"
+    " + 0.3 * LEAST((CAST({stop} AS DOUBLE)"
+    "                / len(string_split({nt}, ' '))) * 5, 1.0)"
+    " + 0.2 * (1 - LEAST((CAST(length({c})"
+    "            - length(regexp_replace({c}, '[.,!?;:]', '', 'g'))"
+    "            AS DOUBLE) / length({c})) * 10, 1.0)))"
+)
+
+
+def dd_quality_score(c: str) -> str:
+    nt = TH.dd_norm_text(c)
+    stop = _dd_count_in(f"string_split({nt}, ' ')", STOPWORDS)
+    return DD_QUALITY_SCORE.format(c=c, nt=nt, stop=stop)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation density, stopword ratio,
+    mean word length — combined into a [0, 1]-ish score."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    punct_ratio, stop_ratio, score = quality_parts(F.col("text"))
     return docs.select(
         "doc_id",
         F.round(punct_ratio, 6).alias("punct_ratio"),
