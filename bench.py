@@ -47,6 +47,10 @@ HEADLINE = [
     "q7_volume_shipping",
     "q18_large_orders",
     "grouping_sets_customer",
+    "hash_split_documents",
+    "paragraph_dedup",
+    "contamination_check",
+    "corpus_filter_pipeline",
 ]
 
 
