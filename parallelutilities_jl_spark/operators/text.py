@@ -79,7 +79,9 @@ def quality_parts(raw: Column) -> tuple[Column, Column, Column]:
         n_chars - F.length(F.regexp_replace(raw, r"[.,!?;:]", ""))
     ).cast("double")
     stop = _count_in(ws, STOPWORDS).cast("double")
-    punct_ratio = punct / n_chars
+    # empty text => 0-char denominator; ANSI mode raises on x/0, and a
+    # real corpus always contains empty docs — score them 0-punctuation
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
     stop_ratio = stop / n_words
     len_score = F.least(n_words / 100.0, F.lit(1.0))
     score = (
@@ -94,9 +96,10 @@ DD_QUALITY_SCORE = (
     "(0.5 * LEAST(CAST(len(string_split({nt}, ' ')) AS DOUBLE) / 100.0, 1.0)"
     " + 0.3 * LEAST((CAST({stop} AS DOUBLE)"
     "                / len(string_split({nt}, ' '))) * 5, 1.0)"
-    " + 0.2 * (1 - LEAST((CAST(length({c})"
+    " + 0.2 * (1 - LEAST((CASE WHEN length({c}) > 0"
+    "            THEN CAST(length({c})"
     "            - length(regexp_replace({c}, '[.,!?;:]', '', 'g'))"
-    "            AS DOUBLE) / length({c})) * 10, 1.0)))"
+    "            AS DOUBLE) / length({c}) ELSE 0.0 END) * 10, 1.0)))"
 )
 
 
@@ -197,7 +200,8 @@ WITH s AS (SELECT doc_id, text,
                   string_split({nt}, ' ') AS ws
            FROM documents),
 r AS (SELECT doc_id,
-             punct / n_chars AS punct_ratio,
+             CASE WHEN n_chars > 0 THEN punct / n_chars
+                  ELSE 0.0 END AS punct_ratio,
              CAST({_dd_count_in('ws', STOPWORDS)} AS DOUBLE) / len(ws)
                AS stop_ratio,
              LEAST(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) AS len_score

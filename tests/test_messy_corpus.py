@@ -1,0 +1,108 @@
+"""Messy-corpus robustness: the text/dedup/pipeline operators must not
+crash (ANSI mode raises on bad casts/overflow) and must produce sane
+rows on inputs real corpora actually contain — NULL text, empty text,
+whitespace-only, unicode, and the empty table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+MESSY = [
+    (0, None, "en", "src0", 0),
+    (1, "", "en", "src0", 0),
+    (2, "   ", "en", "src1", 3),
+    (3, "naïve café — 中文 текст 🙂", "zh", "src1", 24),
+    (4, "the quick brown fox jumps over the lazy dog", "en", "src2", 43),
+    (5, "the quick brown fox jumps over the lazy dog", "en", "src2", 43),
+]
+
+
+@pytest.fixture(scope="module")
+def messy_docs(spark, tmp_path_factory):
+    """Messy rows written as a parquet 'documents' table so the query
+    entry points (which take sf_dir) run unchanged."""
+    d = tmp_path_factory.mktemp("messy")
+    spark.createDataFrame(MESSY, DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty")
+    spark.createDataFrame([], DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def _doc_queries():
+    from parallelutilities_jl_spark.operators import dedup, pipeline, text
+
+    qs = {}
+    qs.update(text.QUERIES)
+    qs.update(pipeline.QUERIES)
+    qs.update(
+        {
+            k: v
+            for k, v in dedup.QUERIES.items()
+            if k in ("dedup_exact", "minhash_near_dup", "simhash_fingerprint")
+        }
+    )
+    return sorted(qs.items())
+
+
+@pytest.mark.parametrize(
+    "name,fn", _doc_queries(), ids=[n for n, _ in _doc_queries()]
+)
+def test_messy_rows_do_not_crash(spark, messy_docs, name, fn):
+    rows = fn(spark, messy_docs).collect()
+    assert isinstance(rows, list)  # completed without raising
+
+
+@pytest.mark.parametrize(
+    "name,fn", _doc_queries(), ids=[n for n, _ in _doc_queries()]
+)
+def test_empty_table(spark, empty_docs, name, fn):
+    assert fn(spark, empty_docs).count() == 0
+
+
+def test_exact_dedup_finds_the_dup(spark, messy_docs):
+    from parallelutilities_jl_spark.operators.dedup import q_dedup_exact
+
+    out = {
+        r["doc_id"]: r["is_dup"]
+        for r in q_dedup_exact(spark, messy_docs).collect()
+    }
+    assert out[4] and out[5]  # the identical pair
+    assert not out[3]  # unicode doc is unique, and hashing didn't mangle it
+
+
+def test_filter_pipeline_counts_null_text_as_dropped(spark, messy_docs):
+    from parallelutilities_jl_spark.operators.pipeline import (
+        q_filter_pipeline,
+    )
+
+    rows = {
+        r["source"]: r for r in q_filter_pipeline(spark, messy_docs).collect()
+    }
+    # src0 is the NULL + empty docs: present in totals, kept by nothing
+    assert rows["src0"]["n_total"] == 2 and rows["src0"]["n_kept"] == 0
