@@ -96,12 +96,22 @@ def signed_product_agg(c: Column) -> Column:
     return F.when(any_zero == 1, F.lit(0.0)).otherwise(sign * mag)
 
 
+def _dsum18(c: Column) -> Column:
+    """Float-parity sum for small-magnitude doubles (embeddings): exact,
+    combine-order-independent decimal(38,18) accumulation — never ROUND
+    a double sum in an oracle-checked path."""
+    return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+
+_DD_DSUM18 = "CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
+
 SUM = ReduceOp("sum", F.sum, "acc + x", "0")
+DSUM = ReduceOp("dsum", _dsum18, "acc + x", "0")
 MIN = ReduceOp("min", F.min, "least(acc, x)", "NULL")
 MAX = ReduceOp("max", F.max, "greatest(acc, x)", "NULL")
 PROD = ReduceOp("prod", signed_product_agg, "acc * x", "1")
 
-COMMUTATIVE_OPS = {"sum", "min", "max", "prod"}
+COMMUTATIVE_OPS = {"sum", "dsum", "min", "max", "prod"}
 
 
 def is_commutative(op) -> bool:
@@ -204,8 +214,8 @@ def q_elementwise_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """elementwisesum! as an N-way per-index reduction (reference
     src/reductionfunctions.jl:84): long-format GROUP BY idx — one shuffle
     regardless of array count or width."""
-    out = elementwise_reduce(_emb_long(spark, sf_dir), SUM)
-    return out.select("idx", F.round("val", 6).alias("val"))
+    out = elementwise_reduce(_emb_long(spark, sf_dir), DSUM)
+    return out.select("idx", "val")
 
 
 def q_elementwise_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,20 +266,23 @@ def q_broadcast_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, odd-vector sums at idx+2; overlap added, flanks copied (reference
     src/reductionfunctions.jl:173-230)."""
     long_df = _emb_long(spark, sf_dir)
-    a = elementwise_reduce(long_df.filter(F.col("vec_id") % 2 == 0), SUM)
+    a = elementwise_reduce(long_df.filter(F.col("vec_id") % 2 == 0), DSUM)
     b = elementwise_reduce(
         long_df.filter(F.col("vec_id") % 2 == 1).select(
             (F.col("idx") + 2).alias("idx"), "val"
         ),
-        SUM,
+        DSUM,
     )
+    # the overlap combine is ONE add of two already-exact doubles —
+    # deterministic, no decimal needed at the edge
     out = broadcast_stack(a, b, "x + y")
-    return out.select("idx", F.round("val", 6).alias("val"))
+    return out.select("idx", "val")
 
 
 ORACLES = {
     "elementwise_sum_arrays": (
-        f"SELECT idx, ROUND(SUM(val), 6) AS val FROM ({_DD_EMB_LONG}) GROUP BY idx"
+        f"SELECT idx, {_DD_DSUM18.format(e='val')} AS val "
+        f"FROM ({_DD_EMB_LONG}) GROUP BY idx"
     ),
     "elementwise_min_arrays": (
         f"SELECT idx, MIN(val) AS val FROM ({_DD_EMB_LONG}) GROUP BY idx"
@@ -296,11 +309,13 @@ ORACLES = {
     ),
     "broadcast_stack_overlap": (
         f"WITH lf AS ({_DD_EMB_LONG}), "
-        "a AS (SELECT idx, SUM(val) AS va FROM lf WHERE vec_id % 2 = 0 GROUP BY idx), "
-        "b AS (SELECT idx + 2 AS idx, SUM(val) AS vb FROM lf WHERE vec_id % 2 = 1 GROUP BY idx) "
+        f"a AS (SELECT idx, {_DD_DSUM18.format(e='val')} AS va "
+        "FROM lf WHERE vec_id % 2 = 0 GROUP BY idx), "
+        f"b AS (SELECT idx + 2 AS idx, {_DD_DSUM18.format(e='val')} AS vb "
+        "FROM lf WHERE vec_id % 2 = 1 GROUP BY idx) "
         "SELECT COALESCE(a.idx, b.idx) AS idx, "
-        "ROUND(CASE WHEN va IS NOT NULL AND vb IS NOT NULL THEN va + vb "
-        "ELSE COALESCE(va, vb) END, 6) AS val "
+        "CASE WHEN va IS NOT NULL AND vb IS NOT NULL THEN va + vb "
+        "ELSE COALESCE(va, vb) END AS val "
         "FROM a FULL OUTER JOIN b ON a.idx = b.idx"
     ),
 }

@@ -774,8 +774,10 @@ def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     average balance — rendered as broadcast join against the tiny
     per-segment aggregate (the scalable form of the subquery)."""
     cust = load_table(spark, sf_dir, "customer")
+    # decimal-sum average (float-parity policy): the threshold must be
+    # identical on both engines or a boundary customer flips in/out
     seg_avg = cust.groupBy("c_mktsegment").agg(
-        F.avg("c_acctbal").alias("seg_avg")
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("seg_avg")
     )
     return (
         cust.join(F.broadcast(seg_avg), "c_mktsegment")
@@ -783,17 +785,19 @@ def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.round("c_acctbal", 2).alias("bal"),
-            F.round("seg_avg", 4).alias("seg_avg"),
+            F.col("c_acctbal").alias("bal"),
+            "seg_avg",
         )
     )
 
 
-ORACLE_ABOVE_AVG = """
-SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS bal,
-       ROUND(seg_avg, 4) AS seg_avg
-FROM (SELECT *, AVG(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_avg
-      FROM customer)
+ORACLE_ABOVE_AVG = f"""
+SELECT c_custkey, c_mktsegment, c_acctbal AS bal, seg_avg
+FROM customer
+JOIN (SELECT c_mktsegment AS seg,
+             {_DD_DSUM.format(e="c_acctbal")} / COUNT(*) AS seg_avg
+      FROM customer GROUP BY 1) s
+  ON c_mktsegment = s.seg
 WHERE c_acctbal > seg_avg
 """
 
