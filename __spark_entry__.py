@@ -37,7 +37,7 @@ def _registries():
         (relational.QUERIES, relational.ORACLES),
     ]
     for name in ("mapreduce", "reductions", "dedup", "similarity", "text",
-                 "multimodal", "joins", "pipeline"):
+                 "multimodal", "joins", "pipeline", "clustering"):
         try:
             import importlib
 

@@ -1,0 +1,173 @@
+"""K-means over the `embeddings` fixture — the trained coarse quantizer
+behind a production IVF index (`similarity.py` uses the fixture's
+pre-assigned `label` as its cells; this operator is how those cells are
+actually learned on a real corpus).
+
+Lloyd's algorithm, Spark-idiomatically:
+
+* **model state on the driver, data on the cluster** — the k×dim
+  centroid matrix (tiny) is collected and re-broadcast as literal
+  arrays each round, exactly MLlib's k-means loop; assignment and mean
+  updates stay fully distributed. The driver never sees a data row.
+* **assignment is a codegen projection** — per-centroid squared-L2 as a
+  sequential `aggregate(zip_with(...))` fold (deterministic order, no
+  UDF), argmin via `array_min` over `struct(dist, cid)` (lexicographic
+  struct order = tie-break on lowest centroid id).
+* **mean update is one shuffle** — long-format `GROUP BY (cluster,
+  dim)` with decimal(38,18) sums (float-parity policy: the centroids
+  feed the next round's assignment, so they must be bit-identical on
+  every engine and combine order).
+
+Determinism: init = the k lowest vec_ids (a fixed "sample"), fixed
+iteration count — no RNG anywhere, so the DuckDB oracle replays the
+identical iterations as chained CTEs.
+
+At 100 TB: k×dim driver state is KB; each iteration is one map-side
+assignment pass + one (cluster, dim)-keyed agg of k×dim output rows.
+An empty cluster drops out of the mean agg on both engines alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.operators.similarity import _emb_double
+from parallelutilities_jl_spark.sources.fixtures import load_table
+
+K = 8
+ITERS = 3
+
+_DSUM18 = "CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
+
+
+def _sq_dist(cent: list[float]) -> F.Column:
+    """Squared L2 between the `emb` array column and a literal centroid —
+    a sequential fold, deterministic evaluation order."""
+    lit = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(F.col("emb"), lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """(vec_id, cluster): nearest centroid, ties to the lowest cid."""
+    entries = [
+        F.struct(
+            _sq_dist(c).alias("d"), F.lit(cid).cast("long").alias("cid")
+        )
+        for cid, c in sorted(centroids.items())
+    ]
+    return emb.select(
+        "vec_id",
+        F.array_min(F.array(*entries)).getField("cid").alias("cluster"),
+    )
+
+
+def kmeans_fit_assign(
+    spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """`iters` Lloyd rounds from the deterministic init, then the final
+    assignment against the last centroids."""
+    emb = _emb_double(spark, sf_dir).select("vec_id", "emb")
+    init = emb.filter(F.col("vec_id") < k).collect()
+    centroids = {int(r["vec_id"]): list(r["emb"]) for r in init}
+    dim = len(init[0]["emb"])
+    emb_long = emb.select(
+        "vec_id", F.posexplode("emb").alias("idx", "val")
+    )
+    for _ in range(iters):
+        assign = _assign(emb, centroids)
+        means = (
+            emb_long.join(assign, "vec_id")
+            .groupBy("cluster", "idx")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .collect()
+        )
+        centroids = {}
+        for r in means:
+            centroids.setdefault(int(r["cluster"]), [0.0] * dim)[
+                int(r["idx"])
+            ] = float(r["cval"])
+    return _assign(emb, centroids)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_fit_assign(spark, sf_dir)
+
+
+def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
+    """The identical iterations as chained CTEs (no RNG → replayable)."""
+    ctes = [
+        "e AS (SELECT vec_id, UNNEST(generate_series(0, len(embedding) - 1)) AS idx, "
+        "UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val "
+        "FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, idx, val AS cval FROM e WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cid AS cluster FROM ("
+            f"SELECT e.vec_id, c.cid, SUM((e.val - c.cval) * (e.val - c.cval)) AS d, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY SUM((e.val - c.cval) * (e.val - c.cval)), c.cid) AS rn "
+            f"FROM e JOIN {prev} c ON e.idx = c.idx "
+            f"GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cluster AS cid, idx, "
+            f"{_DSUM18.format(e='val')} / COUNT(*) AS cval "
+            f"FROM e JOIN a{i} USING (vec_id) GROUP BY cluster, idx)"
+        )
+        prev = f"c{i}"
+    final = (
+        f"SELECT vec_id, cid AS cluster FROM ("
+        f"SELECT e.vec_id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY SUM((e.val - c.cval) * (e.val - c.cval)), c.cid) AS rn "
+        f"FROM e JOIN {prev} c ON e.idx = c.idx "
+        f"GROUP BY e.vec_id, c.cid) WHERE rn = 1"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the *learned* cells: cluster sizes per learned
+    cell — the census that sizes an IVF index build (nprobe planning).
+    The search path itself is `similarity.q_ann_ivf_topk` with these
+    assignments as the cell column."""
+    assign = kmeans_fit_assign(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.join(assign, "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+    )
+
+
+def _oracle_ivf_census(k: int = K, iters: int = ITERS) -> str:
+    return (
+        f"WITH asg AS ({_oracle_kmeans(k, iters)}) "
+        "SELECT cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, "
+        "MAX(vec_id) AS max_vec FROM asg GROUP BY cluster"
+    )
+
+
+QUERIES = {
+    "kmeans_assign": q_kmeans_assign,
+    "ivf_trained_census": q_ivf_trained_topk,
+}
+
+ORACLES = {
+    "kmeans_assign": _oracle_kmeans(),
+    "ivf_trained_census": _oracle_ivf_census(),
+}
