@@ -432,12 +432,100 @@ FROM bits GROUP BY doc_id
     }
 
 
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Undirected connected components by min-label propagation: every
+    node repeatedly takes the minimum label in its neighborhood until
+    fixpoint — the component id is the minimum member id, so the result
+    is the unique fixpoint regardless of iteration order (which is what
+    lets a recursive-SQL oracle verify it).
+
+    Each round is one shuffle on the node key; `localCheckpoint`
+    truncates the growing lineage. Near-dup graphs are shallow (dup
+    clusters, not long chains), so rounds ≈ cluster diameter — single
+    digits. At larger diameters the large-star/small-star alternation
+    halves path lengths per round; same loop shape."""
+    # materialize the edge list once — every propagation round reuses it,
+    # and without this the (possibly expensive) edge-producing pipeline
+    # re-executes per round
+    und = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(
+            edges.select(
+                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        und.select("u").distinct().select(
+            F.col("u").alias("n"), F.col("u").alias("lbl")
+        )
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            und.join(labels, und.v == labels.n)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.n == nbr.u, "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *groups* (what dedup actually deletes against): connected
+    components over the verified MinHash near-dup pairs. Component id =
+    the minimum doc_id, i.e. the canonical survivor."""
+    return connected_components(q_minhash_near_dup(spark, sf_dir))
+
+
+def _oracle_components() -> str:
+    """Recursive transitive closure reaches the same unique fixpoint the
+    propagation loop converges to."""
+    edge_sql = _oracles()["minhash_near_dup"]
+    return f"""
+WITH RECURSIVE
+e2 AS (SELECT doc_a, doc_b FROM ({edge_sql})),
+und AS (SELECT doc_a AS u, doc_b AS v FROM e2
+        UNION ALL SELECT doc_b, doc_a FROM e2),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.n, und.v FROM reach r JOIN und ON r.m = und.u
+)
+SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_signature": q_minhash_signature,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprint": q_simhash_fingerprint,
+    "dedup_components": q_dedup_components,
 }
 
 ORACLES = _oracles()
+ORACLES["dedup_components"] = _oracle_components()
