@@ -37,7 +37,8 @@ def _registries():
         (relational.QUERIES, relational.ORACLES),
     ]
     for name in ("mapreduce", "reductions", "dedup", "similarity", "text",
-                 "multimodal", "joins", "pipeline", "clustering"):
+                 "multimodal", "joins", "pipeline", "clustering",
+                 "sketches"):
         try:
             import importlib
 
