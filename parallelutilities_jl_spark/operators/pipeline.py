@@ -255,11 +255,54 @@ FROM k GROUP BY source
 """
 
 
+# per-language keep rates (mills, i.e. rate*1000): downsample the
+# dominant language, keep the rest whole — corpus rebalancing
+SAMPLE_MILLS = {"en": 400}
+_DEFAULT_MILLS = 1000
+_SAMPLE_BUCKETS = 1000
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-rebalancing sampler: keep-decision from
+    the same multiplicative doc_id hash as the split assignment (a
+    different modulus), so the sample is reproducible run-to-run and
+    engine-to-engine — `sample()`/RAND would re-draw every run. Emits
+    the before/after census per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * _KNUTH) % (2**32) % _SAMPLE_BUCKETS
+    mills = F.lit(_DEFAULT_MILLS)
+    for lang, m in SAMPLE_MILLS.items():
+        mills = F.when(F.col("lang") == lang, m).otherwise(mills)
+    keep = (bucket < mills).cast("int")
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+        )
+    )
+
+
+_DD_MILLS = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {m}" for lg, m in SAMPLE_MILLS.items()
+) + f" ELSE {_DEFAULT_MILLS} END"
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN (doc_id * {_KNUTH}) % {2**32} % {_SAMPLE_BUCKETS}
+                          < {_DD_MILLS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
     "corpus_filter_pipeline": q_filter_pipeline,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -267,4 +310,5 @@ ORACLES = {
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION,
     "corpus_filter_pipeline": ORACLE_FILTER_PIPELINE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }
