@@ -10,9 +10,10 @@ Lloyd's algorithm, Spark-idiomatically:
   arrays each round, exactly MLlib's k-means loop; assignment and mean
   updates stay fully distributed. The driver never sees a data row.
 * **assignment is a codegen projection** — per-centroid squared-L2 as a
-  sequential `aggregate(zip_with(...))` fold (deterministic order, no
-  UDF), argmin via `array_min` over `struct(dist, cid)` (lexicographic
-  struct order = tie-break on lowest centroid id).
+  `aggregate(zip_with(...))` fold over floor-quantized int64 terms (an
+  EXACT sum, identical on every engine/combine order — see `_sq_dist`),
+  argmin via `array_min` over `struct(dist, cid)` (lexicographic struct
+  order = tie-break on lowest centroid id).
 * **mean update is one shuffle** — long-format `GROUP BY (cluster,
   dim)` with decimal(38,18) sums (float-parity policy: the centroids
   feed the next round's assignment, so they must be bit-identical on
@@ -32,7 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parallelutilities_jl_spark.operators.similarity import _emb_double
+from parallelutilities_jl_spark.operators.similarity import (
+    DOT_SCALE,
+    _emb_double,
+)
 from parallelutilities_jl_spark.sources.fixtures import load_table
 
 K = 8
@@ -42,12 +46,23 @@ _DSUM18 = "CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
 
 
 def _sq_dist(cent: list[float]) -> F.Column:
-    """Squared L2 between the `emb` array column and a literal centroid —
-    a sequential fold, deterministic evaluation order."""
+    """Squared L2 between the `emb` array column and a literal centroid,
+    floor-quantized per term to int64 (× DOT_SCALE): the argmin over
+    centroids compares EXACT integer sums, identical on every engine and
+    combine order — a raw double sum differs in the last ulp between
+    Spark's sequential fold and DuckDB's grouped SUM, which can flip the
+    assignment of a near-equidistant vector (float-parity policy).
+    Range: (x-c)² ≤ ~1.5 × 64 dims × 1e16 ≈ 1e18 < 2^63."""
     lit = F.array(*[F.lit(float(v)) for v in cent])
     return F.aggregate(
-        F.zip_with(F.col("emb"), lit, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
+        F.zip_with(
+            F.col("emb"),
+            lit,
+            lambda x, c: F.floor(
+                ((x - c) * (x - c)) * F.lit(float(DOT_SCALE))
+            ),
+        ),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
@@ -71,13 +86,26 @@ def kmeans_fit_assign(
 ) -> DataFrame:
     """`iters` Lloyd rounds from the deterministic init, then the final
     assignment against the last centroids."""
-    emb = _emb_double(spark, sf_dir).select("vec_id", "emb")
+    # cache both layouts: every Lloyd round re-reads them (iters mean
+    # updates + iters+1 assignment passes would otherwise re-scan and
+    # re-derive the parquet each time), and repartition first — the
+    # single-file fixture arrives as one split, which would serialize
+    # the k×dim distance folds on one core
+    emb = (
+        _emb_double(spark, sf_dir)
+        .select("vec_id", "emb")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     init = emb.filter(F.col("vec_id") < k).collect()
-    centroids = {int(r["vec_id"]): list(r["emb"]) for r in init}
-    dim = len(init[0]["emb"])
+    centroids = {
+        int(r["vec_id"]): list(r["emb"])
+        for r in sorted(init, key=lambda r: r["vec_id"])
+    }
+    dim = len(centroids[0])
     emb_long = emb.select(
         "vec_id", F.posexplode("emb").alias("idx", "val")
-    )
+    ).cache()
     for _ in range(iters):
         assign = _assign(emb, centroids)
         means = (
@@ -111,12 +139,18 @@ def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
         "FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, idx, val AS cval FROM e WHERE vec_id < {k})",
     ]
+    # quantized distance, mirroring _sq_dist: exact BIGINT sum (a raw
+    # double SUM is combine-order-dependent and can flip the argmin)
+    qd = (
+        "SUM(CAST(FLOOR(((e.val - c.cval) * (e.val - c.cval)) * "
+        f"{float(DOT_SCALE)}) AS BIGINT))"
+    )
     prev = "c0"
     for i in range(1, iters + 1):
         ctes.append(
             f"a{i} AS (SELECT vec_id, cid AS cluster FROM ("
-            f"SELECT e.vec_id, c.cid, SUM((e.val - c.cval) * (e.val - c.cval)) AS d, "
-            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY SUM((e.val - c.cval) * (e.val - c.cval)), c.cid) AS rn "
+            f"SELECT e.vec_id, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
             f"FROM e JOIN {prev} c ON e.idx = c.idx "
             f"GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
         )
@@ -129,7 +163,7 @@ def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
     final = (
         f"SELECT vec_id, cid AS cluster FROM ("
         f"SELECT e.vec_id, c.cid, "
-        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY SUM((e.val - c.cval) * (e.val - c.cval)), c.cid) AS rn "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
         f"FROM e JOIN {prev} c ON e.idx = c.idx "
         f"GROUP BY e.vec_id, c.cid) WHERE rn = 1"
     )

@@ -433,7 +433,7 @@ FROM bits GROUP BY doc_id
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 20
+    edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """Undirected connected components by min-label propagation: every
     node repeatedly takes the minimum label in its neighborhood until
@@ -463,6 +463,7 @@ def connected_components(
             F.col("u").alias("n"), F.col("u").alias("lbl")
         )
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         nbr = (
             und.join(labels, und.v == labels.n)
@@ -487,7 +488,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # intermediate labels are WRONG dedup groups — never return them
+        # silently; a >max_iters-diameter graph needs the star-contraction
+        # variant, not more of this loop
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "min-label rounds (component diameter exceeds the bound)"
+        )
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("component_id")
     )

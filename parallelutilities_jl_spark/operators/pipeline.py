@@ -219,8 +219,10 @@ def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical keep-rule chain (lang allowlist, length band,
     quality threshold) with per-source retention accounting — the
     numbers a corpus-prep run reports. One scan, all rules evaluated as
-    a single projection; the agg output is tiny."""
-    docs = load_table(spark, sf_dir, "documents")
+    a single projection; the agg output is tiny. Parallel load: the
+    quality score is regex/stopword-heavy CPU work, and the single-file
+    fixture would otherwise run it all on one core."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
     _, _, score = quality_parts(F.col("text"))
     keep = (
         F.col("lang").isin(*LANG_MARKERS.keys())

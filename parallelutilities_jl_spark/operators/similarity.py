@@ -42,27 +42,53 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quantization scale for cross-engine-exact dot products. A double sum's
+# value depends on combine order, and Spark's sequential fold vs DuckDB's
+# grouped SUM need not agree in the last ulp — which flips thresholds and
+# ROUNDs at boundaries (float-parity policy). Quantizing each IEEE
+# product term to an int64 (`floor(x*y*S)` is bit-deterministic in both
+# engines) makes the sum exact and order-independent, so every engine
+# computes the *identical* cosine double. Range: |v| <= ~0.6, 64 dims →
+# |sum of terms| <= ~0.4*64*S ≈ 2.6e17 << 2^63.
+DOT_SCALE = int(1e16)
+
+
 def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product: left fold over zip_with — whole-stage
-    codegen'd, no UDF."""
+    """JVM-side quantized dot product: left fold over zip_with — whole-
+    stage codegen'd, no UDF. Returns SUM(floor(x*y*S)) as int64; divide
+    by DOT_SCALE for the real-valued dot."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor((x * y) * F.lit(float(DOT_SCALE))),
+        ),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    """sqrt of the quantized self-dot: sqrt(int64→double) is correctly
+    rounded IEEE in both engines, so norms are bit-identical too (units:
+    sqrt(S)·||a||; the S factors cancel in dot/(na*nb))."""
+    return F.sqrt(dot(a, a).cast("double"))
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    # score reported as floor(cos*1e6): FLOOR acts on the binary double
+    # (bit-identical across engines, see DOT_SCALE) — unlike ROUND, whose
+    # Spark shortest-repr-HALF_UP vs DuckDB binary-value semantics can
+    # differ on the same bits (float-parity policy)
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select(
-            "qid", "cid", F.round("cos", 6).alias("score"), "rnk"
+            "qid",
+            "cid",
+            F.floor(F.col("cos") * F.lit(1e6)).alias("score_e6"),
+            "rnk",
         )
     )
 
@@ -238,7 +264,9 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select("ia", "ib", F.round("cos", 6).alias("cos"))
+        .select(
+            "ia", "ib", F.floor(F.col("cos") * F.lit(1e6)).alias("cos_e6")
+        )
     )
 
 
@@ -278,7 +306,9 @@ def q_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select("ia", "ib", F.round("cos", 6).alias("cos"))
+        .select(
+            "ia", "ib", F.floor(F.col("cos") * F.lit(1e6)).alias("cos_e6")
+        )
     )
 
 
@@ -286,26 +316,32 @@ def q_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+# mirrors `dot`/`norm`: per-term floor-quantized int64 products, exact
+# BIGINT sums (a raw double SUM is combine-order-dependent and need not
+# match Spark's sequential fold in the last ulp)
+_DD_DOT = f"SUM(CAST(FLOOR((a.v * b.v) * {float(DOT_SCALE)}) AS BIGINT))"
 _DD_LF = (
     "lf AS (SELECT vec_id, label, "
     "UNNEST(generate_series(1, len(embedding))) AS k, "
     "UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v "
     "FROM embeddings), "
-    "norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM lf GROUP BY vec_id)"
+    "norms AS (SELECT vec_id, SQRT(CAST(SUM(CAST(FLOOR((v * v) * "
+    f"{float(DOT_SCALE)}) AS BIGINT)) AS DOUBLE)) AS nrm "
+    "FROM lf GROUP BY vec_id)"
 )
 
 
 def _dd_topk(filter_sql: str, join_sql: str, k: int) -> str:
     return f"""
 WITH {_DD_LF},
-dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.v * b.v) AS dot
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, {_DD_DOT} AS dot
          FROM lf a JOIN lf b ON a.k = b.k {join_sql}
          WHERE {filter_sql} AND b.vec_id <> a.vec_id
          GROUP BY 1, 2),
-scored AS (SELECT qid, cid, dot / (nq.nrm * nc.nrm) AS cos
+scored AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
            FROM dots JOIN norms nq ON nq.vec_id = qid
            JOIN norms nc ON nc.vec_id = cid)
-SELECT qid, cid, ROUND(cos, 6) AS score, rnk FROM (
+SELECT qid, cid, CAST(FLOOR(cos * 1e6) AS BIGINT) AS score_e6, rnk FROM (
   SELECT qid, cid, cos,
          CAST(ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY cos DESC, cid) AS BIGINT) AS rnk
@@ -346,24 +382,24 @@ WITH {_DD_LF},
 cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          FROM cbands a JOIN cbands b
            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-dots AS (SELECT ia, ib, SUM(a.v * b.v) AS dot
+dots AS (SELECT ia, ib, {_DD_DOT} AS dot
          FROM cand JOIN lf a ON a.vec_id = ia
          JOIN lf b ON b.vec_id = ib AND b.k = a.k
          GROUP BY 1, 2)
-SELECT ia, ib, ROUND(cos, 6) AS cos FROM (
-  SELECT ia, ib, dot / (na.nrm * nb.nrm) AS cos
+SELECT ia, ib, CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_e6 FROM (
+  SELECT ia, ib, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
   FROM dots JOIN norms na ON na.vec_id = ia
   JOIN norms nb ON nb.vec_id = ib)
 WHERE cos >= {COSINE_DUP_THRESHOLD}
 """,
     "embedding_cosine_exact": f"""
 WITH {_DD_LF},
-dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.v * b.v) AS dot
+dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, {_DD_DOT} AS dot
          FROM lf a JOIN lf b ON a.k = b.k AND a.vec_id < b.vec_id
          WHERE a.vec_id < {EXACT_SAMPLE_N} AND b.vec_id < {EXACT_SAMPLE_N}
          GROUP BY 1, 2)
-SELECT ia, ib, ROUND(cos, 6) AS cos FROM (
-  SELECT ia, ib, dot / (na.nrm * nb.nrm) AS cos
+SELECT ia, ib, CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_e6 FROM (
+  SELECT ia, ib, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
   FROM dots JOIN norms na ON na.vec_id = ia
   JOIN norms nb ON nb.vec_id = ib)
 WHERE cos >= {COSINE_DUP_THRESHOLD}
@@ -375,16 +411,16 @@ WHERE cos >= {COSINE_DUP_THRESHOLD}
     "ann_lsh_bucket": f"""
 WITH {_DD_LF},
 {_DD_BUCKET},
-dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.v * b.v) AS dot
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, {_DD_DOT} AS dot
          FROM lf a JOIN lf b ON a.k = b.k
          JOIN buckets ba ON ba.vec_id = a.vec_id
          JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
          WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
          GROUP BY 1, 2),
-scored AS (SELECT qid, cid, dot / (nq.nrm * nc.nrm) AS cos
+scored AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
            FROM dots JOIN norms nq ON nq.vec_id = qid
            JOIN norms nc ON nc.vec_id = cid)
-SELECT qid, cid, ROUND(cos, 6) AS score, rnk FROM (
+SELECT qid, cid, CAST(FLOOR(cos * 1e6) AS BIGINT) AS score_e6, rnk FROM (
   SELECT qid, cid, cos,
          CAST(ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY cos DESC, cid) AS BIGINT) AS rnk

@@ -57,43 +57,74 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median order value per priority. The digest returns an actual
-    data value (the exact percentile interpolates), so a value-distance
-    check is gap-dependent; the meaningful assertion is RANK: the
-    fraction of values at or below the sketch's answer must sit within
-    PCTL_RANK_TOL of 0.5."""
+    """Median order value per priority.
+
+    The exact side is the LOWER median — the actual element at rank
+    ceil(n/2) — not an interpolated value: an element passes through
+    both engines bit-identically, whereas interpolation (and any ROUND
+    of it) can differ by 1 ulp cross-engine (float-parity policy).
+
+    The sketch assertion is the two-sided rank condition
+    ``frac(< approx) <= 0.5 + tol AND frac(<= approx) >= 0.5 - tol``,
+    which holds for ANY correct median answer regardless of group size
+    or duplicate mass (a one-sided |frac(<=) - 0.5| test false-fails
+    when n is small or >tol of the rows equal the median)."""
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
-    exact = F.expr("percentile(o_totalprice, 0.5)")
-    approx = F.expr(
-        f"approx_percentile(o_totalprice, 0.5, {PCTL_ACCURACY})"
+    grp = Window.partitionBy("o_orderpriority")
+    ranked = (
+        orders.withColumn(
+            "rn", F.row_number().over(grp.orderBy("o_totalprice"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(grp))
     )
-    per_grp = orders.groupBy("o_orderpriority").agg(
-        F.round(exact, 4).alias("exact_p50"), approx.alias("approx_p50")
+    exact = (
+        ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(
+            "o_orderpriority", F.col("o_totalprice").alias("exact_p50")
+        )
     )
-    return (
-        orders.join(F.broadcast(per_grp), "o_orderpriority")
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, 0.5, {PCTL_ACCURACY})"
+        ).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rank_ok = (
+        orders.join(F.broadcast(approx), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(
-            F.first("exact_p50").alias("exact_p50"),
             (
-                F.abs(
-                    F.avg(
-                        (F.col("o_totalprice") <= F.col("approx_p50"))
-                        .cast("double")
+                (
+                    F.sum(
+                        (F.col("o_totalprice") < F.col("approx_p50"))
+                        .cast("long")
                     )
-                    - 0.5
+                    <= (0.5 + PCTL_RANK_TOL) * F.first("n")
                 )
-                <= PCTL_RANK_TOL
+                & (
+                    F.sum(
+                        (F.col("o_totalprice") <= F.col("approx_p50"))
+                        .cast("long")
+                    )
+                    >= (0.5 - PCTL_RANK_TOL) * F.first("n")
+                )
             ).alias("within_tol"),
         )
     )
+    return exact.join(rank_ok, "o_orderpriority")
 
 
 ORACLE_APPROX_PCTL = """
-SELECT o_orderpriority,
-       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
-       TRUE AS within_tol
-FROM orders GROUP BY o_orderpriority
+SELECT o_orderpriority, exact_p50, TRUE AS within_tol
+FROM (
+  SELECT o_orderpriority, o_totalprice AS exact_p50,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+) WHERE rn = (n + 1) // 2
 """
 
 
