@@ -51,6 +51,8 @@ HEADLINE = [
     "paragraph_dedup",
     "contamination_check",
     "corpus_filter_pipeline",
+    "repetition_stats",
+    "tfidf_top_terms",
 ]
 
 

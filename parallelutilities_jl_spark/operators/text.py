@@ -170,6 +170,126 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 use per-n-gram
+# caps of this magnitude; exact values matter less than the mechanism)
+TOP_BIGRAM_MAX_FRAC = 0.2
+DUP_WORD_MAX_FRAC = 0.7
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: docs dominated by one repeated
+    bigram or by duplicated words are boilerplate/spam — emit the counts
+    and the keep decision. All comparisons are single IEEE divisions of
+    identical integers against identical literals, so the keep flag is
+    deterministic cross-engine.
+
+    Scale shape: one explode + two hash-aggs keyed by (doc_id, bigram) —
+    linear in corpus token count, map-side combinable (same shuffle
+    shape as MinHash signatures)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", TH.words(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= 2)
+    stats = base.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias(
+            "n_distinct_words"
+        ),
+    )
+    bg = base.select(
+        "doc_id",
+        (F.size("ws") - 1).cast("long").alias("n_bigrams"),
+        F.explode(TH.shingles(F.col("ws"), 2)).alias("bg"),
+    )
+    top = (
+        bg.groupBy("doc_id", "n_bigrams", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_bigrams")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    keep = (
+        (
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+            <= TOP_BIGRAM_MAX_FRAC
+        )
+        & (
+            (
+                1
+                - F.col("n_distinct_words").cast("double")
+                / F.col("n_words")
+            )
+            <= DUP_WORD_MAX_FRAC
+        )
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "n_bigrams",
+        "top_bigram_n",
+        keep.alias("keep_repetition"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top characteristic terms per document, tf-idf style — ordered by
+    (tf DESC, df ASC, term ASC), i.e. frequent-in-doc and rare-in-corpus.
+
+    The ordering is INTEGER-keyed on purpose: ranking by the float score
+    tf·ln(N/df) would hinge on ln(), which is not guaranteed identically
+    rounded across engines (float-parity policy) — the integer key gives
+    the same ranking as the score whenever scores differ, and a
+    deterministic tie-break when they don't.
+
+    Scale shape: two hash-aggs — (doc_id, term) then (term) — and an
+    equi-join of tf against the corpus-wide df table on term; the window
+    top-k shuffles on doc_id. All linear, all map-side combinable."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TH.words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
+    )
+    return (
+        tf.join(df_, "w")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", "rnk")
+    )
+
+
+VOCAB_TOP_N = 20
+
+
+def q_vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams — the counting pass a BPE/wordpiece
+    vocab build starts from. orderBy+limit compiles to
+    TakeOrderedAndProject: each partition keeps its local top-20, only
+    those reach the driver — no global sort at any scale."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    bg = (
+        docs.select(TH.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(TH.shingles(F.col("ws"), 2)).alias("bg"))
+    )
+    return (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bg"))
+        .limit(VOCAB_TOP_N)
+        .select(F.col("bg").alias("bigram"), "n")
+    )
+
+
 def _oracles() -> dict[str, str]:
     nt = TH.dd_norm_text("text")
     ws = f"string_split({nt}, ' ')"
@@ -233,6 +353,44 @@ SELECT doc_id, MIN(md5(sh)) AS fingerprint,
        COUNT(DISTINCT sh) AS n_shingles
 FROM sh GROUP BY doc_id
 """,
+        "repetition_stats": f"""
+WITH w AS (SELECT doc_id, {raw_ws} AS ws FROM documents),
+base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+bg AS (SELECT doc_id, CAST(len(ws) - 1 AS BIGINT) AS n_bigrams,
+              UNNEST({TH.dd_shingles('ws', 2)}) AS bg
+       FROM base),
+top AS (SELECT doc_id, n_bigrams, MAX(c) AS top_bigram_n FROM (
+          SELECT doc_id, n_bigrams, bg, COUNT(*) AS c
+          FROM bg GROUP BY 1, 2, 3) GROUP BY 1, 2),
+st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+       FROM base)
+SELECT st.doc_id, n_words, n_distinct_words, n_bigrams,
+       CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
+       (CAST(top_bigram_n AS DOUBLE) / n_bigrams <= {TOP_BIGRAM_MAX_FRAC}
+        AND (1 - CAST(n_distinct_words AS DOUBLE) / n_words)
+            <= {DUP_WORD_MAX_FRAC}) AS keep_repetition
+FROM st JOIN top ON st.doc_id = top.doc_id
+""",
+        "tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, UNNEST({raw_ws}) AS w FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w <> '' GROUP BY 1, 2),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, w AS term, tf, df, rnk FROM (
+  SELECT doc_id, w, tf, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tf DESC, df ASC, w ASC) AS BIGINT) AS rnk
+  FROM tf JOIN df USING (w))
+WHERE rnk <= {TFIDF_TOP_K}
+""",
+        "vocab_top_bigrams": f"""
+WITH w AS (SELECT {raw_ws} AS ws FROM documents),
+bg AS (SELECT UNNEST({TH.dd_shingles('ws', 2)}) AS bigram
+       FROM w WHERE len(ws) >= 2)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {VOCAB_TOP_N}
+""",
     }
 
 
@@ -241,6 +399,9 @@ QUERIES = {
     "text_quality_score": q_text_quality,
     "lang_id_ngram": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "vocab_top_bigrams": q_vocab_top_bigrams,
 }
 
 ORACLES = _oracles()
