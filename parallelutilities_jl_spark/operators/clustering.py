@@ -90,11 +90,15 @@ def kmeans_fit_assign(
     # updates + iters+1 assignment passes would otherwise re-scan and
     # re-derive the parquet each time), and repartition first — the
     # single-file fixture arrives as one split, which would serialize
-    # the k×dim distance folds on one core
+    # the k×dim distance folds on one core. 8 partitions, not the full
+    # core count: each Lloyd round is a driver-blocking job, and at
+    # fixture scale per-task scheduling overhead dominates compute (at
+    # corpus scale the scan arrives already in thousands of splits and
+    # this repartition is a no-op-sized rebalance)
     emb = (
         _emb_double(spark, sf_dir)
         .select("vec_id", "emb")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(min(8, spark.sparkContext.defaultParallelism))
         .cache()
     )
     init = emb.filter(F.col("vec_id") < k).collect()
@@ -196,12 +200,88 @@ def _oracle_ivf_census(k: int = K, iters: int = ITERS) -> str:
     )
 
 
+IVF_N_QUERIES = 6
+IVF_FIT_ITERS = 2  # shallower fit than kmeans_assign: keeps the oracle
+# replay (and the sweep) cheap; the full-depth fit is gated by
+# kmeans_assign itself
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trained-IVF search path: fit the coarse quantizer, then
+    cosine top-3 restricted to the query's LEARNED cell (vs
+    `similarity.q_ann_ivf_topk`, which probes the fixture's pre-assigned
+    label). Candidate generation is an equi-join on the learned cluster
+    id — the shuffle is O(cell size), not O(corpus)."""
+    from parallelutilities_jl_spark.operators.similarity import (
+        _topk,
+        dot,
+        norm,
+    )
+
+    assign = kmeans_fit_assign(spark, sf_dir, iters=IVF_FIT_ITERS)
+    emb = _emb_double(spark, sf_dir).select("vec_id", "emb").join(
+        assign, "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cluster").alias("cell"),
+        F.col("emb").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("cluster").alias("cell"),
+        F.col("emb").alias("ce"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (norm(F.col("qe")) * norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(scored, 3)
+
+
+def _oracle_ivf_trained(k: int = K, iters: int = IVF_FIT_ITERS) -> str:
+    from parallelutilities_jl_spark.operators.similarity import (
+        _DD_DOT,
+        _DD_LF,
+    )
+
+    return f"""
+WITH {_DD_LF},
+asg AS ({_oracle_kmeans(k, iters)}),
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, {_DD_DOT} AS dot
+         FROM lf a JOIN lf b ON a.k = b.k
+         JOIN asg sa ON sa.vec_id = a.vec_id
+         JOIN asg sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+         WHERE a.vec_id < {IVF_N_QUERIES} AND b.vec_id <> a.vec_id
+         GROUP BY 1, 2),
+scored AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+           FROM dots JOIN norms nq ON nq.vec_id = qid
+           JOIN norms nc ON nc.vec_id = cid)
+SELECT qid, cid, CAST(FLOOR(cos * 1e6) AS BIGINT) AS score_e6, rnk FROM (
+  SELECT qid, cid, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "ivf_trained_census": q_ivf_trained_topk,
+    "ann_ivf_trained_topk": q_ann_ivf_trained,
 }
 
 ORACLES = {
     "kmeans_assign": _oracle_kmeans(),
     "ivf_trained_census": _oracle_ivf_census(),
+    "ann_ivf_trained_topk": _oracle_ivf_trained(),
 }

@@ -106,3 +106,23 @@ def test_filter_pipeline_counts_null_text_as_dropped(spark, messy_docs):
     }
     # src0 is the NULL + empty docs: present in totals, kept by nothing
     assert rows["src0"]["n_total"] == 2 and rows["src0"]["n_kept"] == 0
+
+
+def test_connected_components_chain_and_nonconvergence(spark):
+    """A chain graph converges to one component (min-label propagation
+    needs diameter-many rounds), and an under-capped run raises instead
+    of silently returning intermediate (wrong) labels."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 8
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(edges)
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r["component_id"] for r in rows} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=3).collect()
