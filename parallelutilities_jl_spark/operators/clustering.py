@@ -40,7 +40,12 @@ from parallelutilities_jl_spark.operators.similarity import (
 from parallelutilities_jl_spark.sources.fixtures import load_table
 
 K = 8
-ITERS = 3
+# 2 Lloyd rounds: enough to demonstrate the fit loop (init → assign →
+# mean-update → reassign) with the oracle replaying identical rounds;
+# each extra round is one more driver-blocking job pair in the
+# correctness sweep for no additional coverage. Real corpora pass
+# iters explicitly.
+ITERS = 2
 
 _DSUM18 = "CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
 

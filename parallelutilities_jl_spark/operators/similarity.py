@@ -186,13 +186,18 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_DUP_THRESHOLD = 0.4  # fixture embeddings are random: max pair ≈ 0.51
 
-# banded hyperplane LSH for the cosine-dedup tier: 4 bands × 4 sign bits
-# (dims 0..15 as deterministic axis hyperplanes, identical in both
+# banded hyperplane LSH for the cosine-dedup tier: 8 bands × 8 sign bits
+# (all 64 dims as deterministic axis hyperplanes, identical in both
 # engines). Banding is what buys recall: a near-dup pair only needs to
-# agree on ONE band's 4 bits, not on all 16 — the same AND-OR trade as
-# MinHash banding. At corpus scale, more/learned hyperplanes per band.
-COS_BANDS = 4
-COS_BITS_PER_BAND = 4
+# agree on ONE band's 8 bits, not on all 64 — the same AND-OR trade as
+# MinHash banding. 8 bits/band keeps the random-collision rate per band
+# at 1/256 (vs 1/16 for 4 bits — which made ~25% of ALL pairs collide,
+# i.e. a quadratic candidate set in disguise) while a true near-dup at
+# cos ≥ 0.9 still agrees on some band ≈ 93% of the time
+# (p_bit = 1 − acos(0.9)/π ≈ 0.856, 1 − (1 − p⁸)⁸). At corpus scale,
+# learned (data-dependent) hyperplanes per band raise recall further.
+COS_BANDS = 8
+COS_BITS_PER_BAND = 8
 
 
 def _cos_band_entries(emb: Column) -> Column:

@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 
 from parallelutilities_jl_spark.sources.fixtures import load_table
 
-NDV_RSD = 0.01  # HLL relative standard deviation; tol below is 5x
-NDV_TOL = 0.05
+NDV_RSD = 0.02  # HLL relative standard deviation; tol below is 5x
+NDV_TOL = 0.10  # 5x rsd: a broken sketch fails, engine jitter doesn't
 PCTL_ACCURACY = 10_000  # approx_percentile: rank err <= N/accuracy
 PCTL_RANK_TOL = 0.02  # sketch value must sit within 2% of median rank
 

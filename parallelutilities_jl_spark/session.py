@@ -86,3 +86,40 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
                     zf.write(full, rel)
     sc.addPyFile(zpath)
     sc._pu_pkg_shipped = True
+
+
+# Runtime-settable knobs the engine needs regardless of who built the
+# SparkSession (a harness-supplied session may carry Spark's defaults:
+# 200 shuffle partitions, no AQE coalescing, local timezone, Arrow off —
+# each of which costs either wall-clock or oracle parity). Everything
+# here is a *runtime* conf: safe to set on a live session, scoped to it.
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime execution knobs to an externally built
+    session (idempotent, cheap). Called at the top of every public query
+    entry point: on a session from `get_spark` it is a no-op; on a
+    default-config session it turns on AQE partition coalescing and
+    rights-sizes `shuffle.partitions` to the session's core count — at
+    small scale factors Spark's 200-partition default makes every
+    exchange latency-bound (200 near-empty tasks per shuffle)."""
+    if getattr(spark, "_pu_tuned", False):
+        return spark
+    conf = dict(_RUNTIME_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        spark.sparkContext.defaultParallelism
+    )
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a cluster may pin some confs immutable; keep going
+    spark._pu_tuned = True
+    return spark
