@@ -299,15 +299,164 @@ GROUP BY lang
 """
 
 
+# exact-substring duplication (span level): the excision tier of dedup —
+# the literature's "remove the duplicated substring, keep the document"
+# step (suffix-array exact-substring dedup, approximated here by
+# stride-1 token windows; a window's text occurring in >=2 documents
+# marks every covered token as duplicated)
+_SPAN_W = 8  # window width in tokens
+_SPAN_MAX_DF = 1_000  # hot-window cap: a boilerplate window shared by
+# the whole corpus would otherwise explode the per-doc mark join
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document: every stride-1
+    {_SPAN_W}-token window is md5'd; windows whose text appears in 2+
+    documents (df capped at {_SPAN_MAX_DF}) mark their positions, and
+    runs of consecutive duplicated positions merge into maximal spans
+    (gaps-and-islands: pos − row_number is constant within a run).
+
+    Scale shape: one corpus-wide shuffle on window-hash for the df
+    count, one shuffle back on doc_id for the island merge — both
+    linear; the df cap bounds the join fan-out exactly like the
+    minhash/ngram tiers. Emits (doc_id, span_start, span_end,
+    n_windows) in token coordinates."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", TH.words(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= _SPAN_W)
+    wins = ws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (_SPAN_W - 1)),
+                lambda j: F.struct(
+                    (j - 1).alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("ws"), j, _SPAN_W), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.pos", "w.h")
+    df_ok = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_MAX_DF))
+    )
+    dup = wins.join(df_ok, "h").select("doc_id", "pos").distinct()
+    isl = dup.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (_SPAN_W - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+ORACLE_SUBSTRING_SPANS = f"""
+WITH ws AS (SELECT doc_id, {TH.dd_words('text')} AS w FROM documents
+            WHERE len({TH.dd_words('text')}) >= {_SPAN_W}),
+wins AS (SELECT doc_id, j - 1 AS pos,
+                md5(array_to_string(w[j:j+{_SPAN_W - 1}], ' ')) AS h
+         FROM ws, UNNEST(generate_series(1, len(w) - {_SPAN_W - 1}))
+              AS t(j)),
+df_ok AS (SELECT h FROM wins GROUP BY h
+          HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SPAN_MAX_DF}),
+dup AS (SELECT DISTINCT doc_id, pos FROM wins JOIN df_ok USING (h)),
+isl AS (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+        FROM dup)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+# temperature-based mixture sampling: rebalance sources the way a
+# training-mix builder does — rate_s = min(1, (n_max/n_s)^(1-alpha))
+# with alpha = 0.5, i.e. sqrt-inverse to the source's share. All
+# arithmetic is IEEE ops both engines compute identically (/, sqrt,
+# floor), and the keep decision reuses the deterministic doc_id hash.
+_MIX_BUCKETS = 1000
+
+
+def q_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature sampling (alpha = 0.5): small sources keep
+    everything, the dominant source is downsampled toward sqrt-
+    proportional mass — deterministic (hash threshold, no RNG), one
+    tiny broadcast of per-source rates back onto the corpus. Emits the
+    before/after census per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_max = counts.agg(F.max("n_s").alias("n_max"))
+    rates = counts.join(F.broadcast(n_max)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(_MIX_BUCKETS).cast("long"),
+            F.floor(
+                F.sqrt(
+                    F.col("n_max").cast("double")
+                    / F.col("n_s").cast("double")
+                )
+                * _MIX_BUCKETS
+            ),
+        ).alias("mills"),
+    )
+    bucket = (F.col("doc_id") * _KNUTH) % (2**32) % _MIX_BUCKETS
+    keep = (bucket < F.col("mills")).cast("int")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("source", "n_s", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_total"),
+            F.sum("keep").alias("n_sampled"),
+        )
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+rates AS (SELECT source, n_s,
+                 LEAST({_MIX_BUCKETS},
+                       CAST(FLOOR(SQRT(CAST((SELECT MAX(n_s) FROM counts)
+                                            AS DOUBLE)
+                                       / CAST(n_s AS DOUBLE))
+                                  * {_MIX_BUCKETS}) AS BIGINT)) AS mills
+          FROM counts)
+SELECT source, MIN(n_s) AS n_total,
+       CAST(SUM(CASE WHEN (doc_id * {_KNUTH}) % {2**32} % {_MIX_BUCKETS}
+                          < mills THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_sampled
+FROM documents JOIN rates USING (source)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
     "corpus_filter_pipeline": q_filter_pipeline,
     "stratified_sample": q_stratified_sample,
+    "substring_dup_spans": q_substring_dup_spans,
+    "mixture_weighted_sample": q_mixture_weighted_sample,
 }
 
 ORACLES = {
+    "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
+    "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
     "hash_split_documents": ORACLE_HASH_SPLIT,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION,

@@ -1273,6 +1273,260 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes, adapted to the fixture schema (no partsupp
+# table, no l_commitdate/l_receiptdate/o_comment columns — each query
+# keeps its characteristic PLAN SHAPE on the columns that exist).
+# ---------------------------------------------------------------------------
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: customer order-count distribution through an
+    outer join with a filtered build side (the o_comment NOT LIKE filter
+    becomes an order-priority exclusion). Shape: shuffle join on custkey,
+    then two cascaded aggs — the second is tiny (distinct counts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+ORACLE_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+Q11_FRAC_NUM = 7  # part qualifies when value * 10000 > total * 7
+Q11_FRAC_DEN = 10_000
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (no partsupp: part revenue stands in for stock
+    value): parts whose revenue exceeds a FRACTION of the global total —
+    the scalar-subquery HAVING shape. The global total is a one-row
+    broadcast; the comparison stays in DECIMAL on both engines (an exact
+    integer-scaled compare, so a part sitting exactly at the threshold
+    cannot flip between engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vdec = _volume().cast("decimal(28,6)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(vdec).alias("v_dec"))
+    total = li.agg(F.sum(vdec).alias("t_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("v_dec") * Q11_FRAC_DEN > F.col("t_dec") * Q11_FRAC_NUM
+        )
+        .select(
+            "l_partkey", F.col("v_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+WITH pv AS (SELECT l_partkey,
+                   SUM(CAST({_DD_VOLUME} AS DECIMAL(28,6))) AS v_dec
+            FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(CAST({_DD_VOLUME} AS DECIMAL(28,6))) AS t_dec
+        FROM lineitem)
+SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
+FROM pv, tot WHERE v_dec * {Q11_FRAC_DEN} > t_dec * {Q11_FRAC_NUM}
+"""
+
+
+def q_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct-supplier counts per part attribute,
+    excluding flagged suppliers (negative balance stands in for the
+    complaints comment). Shape: broadcast ANTI join against the
+    blacklist, broadcast part join, then a distinct agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_PARTS_SUPPLIER_CNT = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-average-quantity lines of one brand
+    — the correlated-scalar-subquery shape, decorrelated into a per-part
+    aggregate joined back to the fact. The 0.2×avg comparison is kept
+    EXACT by cross-multiplying in DECIMAL (qty×5×cnt < Σqty), so a line
+    at exactly 0.2×avg agrees between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("sq"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(lim, li.l_partkey == lim.pk)
+        .filter(
+            F.col("l_quantity").cast("decimal(28,6)")
+            * 5
+            * F.col("cnt")
+            < F.col("sq")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QTY = """
+WITH lim AS (SELECT l_partkey AS pk, COUNT(*) AS cnt,
+                    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq
+             FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0 AS DOUBLE)
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN lim ON pk = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(28,6)) * 5 * cnt < sq
+"""
+
+
+Q20_QTY_THRESHOLD = 250
+
+
+def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: suppliers who moved more than a threshold
+    quantity of promo-class parts in 1997 — the nested-IN-with-aggregate
+    shape: inner agg with HAVING feeds a SEMI join against supplier.
+    Quantity threshold compared in DECIMAL (exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > Q20_QTY_THRESHOLD)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.join(
+        heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+ORACLE_PROMO_SUPPLIERS = f"""
+SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > {Q20_QTY_THRESHOLD})
+"""
+
+
+Q21_LATE_DAYS = 60
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: suppliers who were the ONLY late supplier on a
+    multi-supplier finished order ("late" = shipped > 60 days after the
+    order date; the fixture has no commit/receipt dates). The classic
+    EXISTS / NOT-EXISTS pair decorrelates into per-order supplier
+    aggregates — one shuffle on orderkey, then a broadcast supplier
+    join; no correlated re-scans of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late_expr = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate")
+        + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    ).cast("int")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_expr).alias("late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+            & (F.col("late") == 1)
+        )
+        .join(F.broadcast(sup), per_supp.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate >
+                  o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per_order AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+              FROM l GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM l JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp >= 2 AND n_late = 1 AND late = 1
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -1314,6 +1568,12 @@ QUERIES = {
     "q15_top_supplier": q_top_supplier,
     "q22_idle_rich_customers": q_idle_rich_customers,
     "window_rank_functions": q_window_functions,
+    "q13_custdist": q_custdist,
+    "q11_important_parts": q_important_parts,
+    "q16_parts_supplier_cnt": q_parts_supplier_cnt,
+    "q17_small_qty_revenue": q_small_qty_revenue,
+    "q20_promo_suppliers": q_promo_suppliers,
+    "q21_waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -1357,4 +1617,10 @@ ORACLES = {
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "q13_custdist": ORACLE_CUSTDIST,
+    "q11_important_parts": ORACLE_IMPORTANT_PARTS,
+    "q16_parts_supplier_cnt": ORACLE_PARTS_SUPPLIER_CNT,
+    "q17_small_qty_revenue": ORACLE_SMALL_QTY,
+    "q20_promo_suppliers": ORACLE_PROMO_SUPPLIERS,
+    "q21_waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
 }

@@ -127,6 +127,49 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW_SEC = 3600
+
+
+def purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, watermark: bool = True
+) -> DataFrame:
+    """Stream-stream interval join (the attribution query): each
+    purchase matched to the same user's clicks in the preceding hour.
+
+    Streaming semantics: both sides carry watermarks and the join
+    condition bounds click_ts to [purchase_ts − 1 h, purchase_ts], so
+    the state store can evict a click one hour + watermark after its
+    event time — the canonical bounded-state stream-stream join. The
+    batch equivalent (watermark=False) is the identical plan on the
+    static frames and is what the DuckDB oracle checks."""
+    if watermark:
+        clicks = clicks.withWatermark("ts", "10 minutes")
+        purchases = purchases.withWatermark("ts", "10 minutes")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.click_ts <= p.purchase_ts)
+        & (
+            c.click_ts
+            >= p.purchase_ts
+            - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SEC} SECONDS")
+        )
+    )
+    return p.join(c, cond).select(
+        "purchase_id", "user_id", "click_id", "amount"
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle-checked batch equivalents
 # ---------------------------------------------------------------------------
@@ -142,6 +185,15 @@ def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_table(spark, sf_dir, "events"), watermark=False)
+
+
+def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        watermark=False,
+    )
 
 
 ORACLES = {
@@ -188,4 +240,15 @@ QUERIES = {
     "windowed_event_counts": q_windowed_event_counts,
     "sliding_window_avg": q_sliding_window_avg,
     "session_window_agg": q_session_window_agg,
+    "stream_join_attribution": q_stream_join_attribution,
 }
+
+ORACLES["stream_join_attribution"] = f"""
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       p.value AS amount
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_SEC} SECOND
+"""

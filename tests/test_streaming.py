@@ -103,3 +103,27 @@ def test_stateful_running_sum(spark, sf_dir):
     for r in rows:
         final[r["user_id"]] = (round(r["total"], 6), r["n"])
     assert final == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (purchase attribution): two watermarked
+    streams joined on user + time bound must equal the batch plan."""
+    ev_c = SW.stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    ev_p = SW.stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_stream(
+        spark,
+        SW.purchase_attribution(ev_c, ev_p),
+        "t_attr",
+        mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = SW.purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        watermark=False,
+    ).collect()
+    assert _norm(got) == _norm(want)
