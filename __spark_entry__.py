@@ -95,7 +95,8 @@ _CHEAP_FIRST = [
     "min_dim", "paragraph_dedup", "repetition_stats",
     "sessionize_events", "worker_rank", "extrema_dim",
     "tfidf_top_terms", "max_dim", "product_scan",
-    "q3_shipping_priority", "simhash_fingerprint", "q7_volume_shipping",
+    "q3_shipping_priority", "simhash_fingerprint", "simhash_near_dup",
+    "q7_volume_shipping",
     "extrema_lastdim", "asof_join", "q5_local_supplier_volume",
     "q22_idle_rich_customers", "scalar_functions", "pmapreduce_dense_elsum",
     "q15_top_supplier", "multimodal_decode", "minhash_near_dup",

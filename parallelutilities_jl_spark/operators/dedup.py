@@ -305,6 +305,73 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from 48-bit md5 term hashes: bit b of
     the fingerprint is the sign of Σ_tokens (±1 at bit b)."""
+    return _simhash_df(spark, sf_dir)
+
+
+SIMHASH_BANDS = 4  # 4 bands × 8 bits of the 32-bit fingerprint
+# near-dup when hamming <= 1 of 32 bits: the fixture corpus draws from a
+# ~60-word vocabulary, so fingerprints cluster far more than real text
+# (<=6, the usual 64-bit-simhash setting, matches ~20% of ALL pairs
+# here); at <=1 banding recall is exact (1 differing bit falls in 1 of
+# 4 bands, the other 3 agree)
+SIMHASH_HAM_MAX = 1
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming-LSH banding — two docs
+    within hamming distance {SIMHASH_HAM_MAX} of each other must agree
+    EXACTLY on at least one 8-bit band whenever the differing bits
+    cluster in ≤ 3 bands (and probabilistically otherwise; more/narrower
+    bands trade recall for candidates, same AND-OR dial as MinHash).
+    Candidates are an equi-join on (band, band-byte) — linear shuffle —
+    and the exact hamming verify (`bit_count(xor)`, pure integer ops so
+    both engines agree bit-for-bit) runs on candidates only."""
+    fp = _simhash_df(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .cast("long")
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band", "e.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sha"),
+            F.col("b.simhash").alias("shb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sha").bitwiseXOR(F.col("shb"))
+    ).cast("long")
+    return (
+        cands.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+    )
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -429,6 +496,27 @@ SELECT doc_id,
          AS simhash
 FROM bits GROUP BY doc_id
 """,
+        "simhash_near_dup": f"""
+WITH toks AS (SELECT DISTINCT doc_id, UNNEST({TH.dd_words('text')}) AS w
+              FROM documents),
+th AS (SELECT doc_id, {TH.dd_md5_int48('w')} AS h FROM toks),
+bits AS (SELECT doc_id, t.b AS b,
+                SUM(((h >> t.b) & 1) * 2 - 1) AS s
+         FROM th, range(0, 32) t(b) GROUP BY doc_id, t.b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, t.band AS band,
+                 (simhash >> (8 * t.band)) & 255 AS key
+          FROM fp, range(0, {SIMHASH_BANDS}) t(band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sha, b.simhash AS shb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAM_MAX}
+""",
     }
 
 
@@ -534,6 +622,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_near_dup": q_simhash_near_dup,
     "dedup_components": q_dedup_components,
 }
 
