@@ -94,7 +94,7 @@ _CHEAP_FIRST = [
     "window_rank_functions", "nelements_dim", "q18_large_orders",
     "min_dim", "paragraph_dedup", "repetition_stats",
     "sessionize_events", "worker_rank", "extrema_dim",
-    "tfidf_top_terms", "max_dim", "product_scan",
+    "tfidf_top_terms", "unigram_logppl", "max_dim", "product_scan",
     "q3_shipping_priority", "simhash_fingerprint", "simhash_near_dup",
     "q7_volume_shipping",
     "extrema_lastdim", "asof_join", "q5_local_supplier_volume",

@@ -53,6 +53,7 @@ HEADLINE = [
     "corpus_filter_pipeline",
     "repetition_stats",
     "tfidf_top_terms",
+    "unigram_logppl",
 ]
 
 

@@ -267,6 +267,86 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# unigram-LM quality filter: bits-per-token threshold (CCNet uses a
+# wikipedia-trained LM's perplexity; here the LM is the corpus itself and
+# the cut sits near the fixture corpus median so the flag is non-vacuous)
+LOGPPL_Q = 1 << 20  # fixed-point fraction scale for the quantized log2
+LOGPPL_MAX_BITS = 4.89
+
+
+def _qlog2(x: str, *, spark: bool) -> str:
+    """Fixed-point log2 of a positive integer expression, built ONLY from
+    correctly-rounded IEEE ops so both engines produce the same integer:
+    msb from the binary-string length, mantissa from an EXACT
+    power-of-two division, linear interpolation between powers of two
+    (max error 0.086 bits — fine for a quality threshold), floored at
+    2^20 fixed point. `ln`/`log2`/`pow` are implementation-defined libm
+    calls that may differ in the last ulp between JVM and DuckDB; this
+    expression never calls them."""
+    msb = f"(length(bin({x})) - 1)"
+    pw = (
+        f"shiftleft(CAST(1 AS BIGINT), CAST({msb} AS INT))"
+        if spark
+        else f"(CAST(1 AS BIGINT) << {msb})"
+    )
+    return (
+        f"CAST(FLOOR(({msb} + CAST({x} AS DOUBLE) / CAST({pw} AS DOUBLE)"
+        f" - 1.0) * {LOGPPL_Q}.0) AS BIGINT)"
+    )
+
+
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM log-perplexity filter (the CCNet/Wenzek et al. 2019
+    mechanism): score each document by mean information content under a
+    unigram model trained on the corpus itself — bits/token =
+    mean(log2 N - log2 c_w) — and keep docs under the threshold
+    (high perplexity = gibberish tail, very low = boilerplate).
+
+    Cross-engine determinism: per-token information is quantized to a
+    2^20 fixed-point integer via the transcendental-free `_qlog2`, so the
+    per-document aggregation is integer math (order-free) and the single
+    final division is one IEEE op on identical operands.
+
+    Scale shape: tokenize → (doc, word) tf agg → corpus word-count agg →
+    broadcast-join counts back (vocab ≪ corpus) → per-doc agg. Two
+    linear map-side-combinable shuffles; the LM table is the broadcast
+    side, exactly how a real trained-LM filter ships its vocab."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TH.words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cw = tf.groupBy("w").agg(F.sum("tf").alias("c"))
+    tot = cw.agg(F.sum("c").alias("n_corpus"))
+    scored = (
+        tf.join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(_qlog2("n_corpus", spark=True)).alias("q_n"),
+            F.expr(_qlog2("c", spark=True)).alias("q_c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * (F.col("q_n") - F.col("q_c"))).alias(
+                "q_bits"
+            ),
+        )
+    )
+    bits = F.col("q_bits").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(float(LOGPPL_Q))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "q_bits",
+        bits.alias("bits_per_token"),
+        (bits <= LOGPPL_MAX_BITS).alias("keep_ppl"),
+    )
+
+
 VOCAB_TOP_N = 20
 
 
@@ -384,6 +464,25 @@ SELECT doc_id, w AS term, tf, df, rnk FROM (
   FROM tf JOIN df USING (w))
 WHERE rnk <= {TFIDF_TOP_K}
 """,
+        "unigram_logppl": f"""
+WITH tok AS (SELECT doc_id, UNNEST({raw_ws}) AS w FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w <> '' GROUP BY 1, 2),
+cw AS (SELECT w, SUM(tf) AS c FROM tf GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_corpus FROM cw),
+sc AS (SELECT doc_id, SUM(tf) AS n_tokens,
+              SUM(tf * ({_qlog2('n_corpus', spark=False)}
+                        - {_qlog2('c', spark=False)})) AS q_bits
+       FROM tf JOIN cw USING (w) CROSS JOIN tot
+       GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(q_bits AS BIGINT) AS q_bits,
+       CAST(q_bits AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * {LOGPPL_Q}.0)
+         AS bits_per_token,
+       (CAST(q_bits AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * {LOGPPL_Q}.0)
+        <= {LOGPPL_MAX_BITS}) AS keep_ppl
+FROM sc
+""",
         "vocab_top_bigrams": f"""
 WITH w AS (SELECT {raw_ws} AS ws FROM documents),
 bg AS (SELECT UNNEST({TH.dd_shingles('ws', 2)}) AS bigram
@@ -402,6 +501,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_bigrams": q_vocab_top_bigrams,
+    "unigram_logppl": q_unigram_logppl,
 }
 
 ORACLES = _oracles()
