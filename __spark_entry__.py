@@ -80,7 +80,8 @@ _CHEAP_FIRST = [
     "approx_percentile_check", "minhash_signature", "broadcast_stack_overlap",
     "multimodal_features", "multimodal_frame_sample", "percentile_stats",
     "product_scan_float", "elementwise_zip_add", "ann_ivf_topk",
-    "join_left_outer", "pmapbatch_partitions", "join_broadcast_dim",
+    "join_left_outer", "pmapbatch_partitions", "ann_int8_topk",
+    "join_broadcast_dim",
     "string_agg_nations", "embedding_cosine_exact", "ann_cosine_topk",
     "session_window_agg", "ordered_concat", "split_first_last",
     "window_running_sum", "q4_order_priority", "vocab_top_bigrams",

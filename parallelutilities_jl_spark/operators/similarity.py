@@ -278,6 +278,65 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXACT_SAMPLE_N = 200
 
 
+INT8_MAX = 127
+
+
+def _quant8(emb: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_j = floor(e_j·127/amax
+    + 0.5) ∈ [-127, 127]. Every op is a correctly-rounded IEEE basic op
+    (mul, div, add, floor), so both engines produce identical integers;
+    downstream dot products are then EXACT integer math — order-free."""
+    amax = F.array_max(F.transform(emb, lambda v: F.abs(v)))
+    return F.when(
+        amax == 0.0, F.transform(emb, lambda v: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            emb,
+            lambda v: F.floor(v * F.lit(float(INT8_MAX)) / amax + F.lit(0.5)),
+        )
+    )
+
+
+def _dot8(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over int8-quantized embeddings — the memory-scale
+    tier: 64-d float32 (256 B) becomes 64 B of int8 + one scale, ~4×
+    less storage/shuffle and integer-SIMD dot products, at the price of
+    quantization error in the scores (the brute-force tier above is the
+    recall oracle). Same broadcast-queries × corpus shape as
+    `ann_cosine_topk`; at 100 TB the quantized corpus is what fits in
+    executor memory for in-memory rerank tiers."""
+    emb = _emb_double(spark, sf_dir).select(
+        "vec_id", _quant8(F.col("emb")).alias("q8")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("q8").alias("qa")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("q8").alias("qb"))
+    nrm8 = lambda col: F.sqrt(_dot8(col, col).cast("double"))  # noqa: E731
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c.repartition(spark.sparkContext.defaultParallelism))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot8(F.col("qa"), F.col("qb")).cast("double")
+                / (nrm8(F.col("qa")) * nrm8(F.col("qb")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(scored, TOP_K)
+
+
 def q_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine dedup on a bounded sample (vec_id < 200):
     the ground-truth tier that verifies the LSH pipeline's recall. The
@@ -410,6 +469,35 @@ SELECT ia, ib, CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_e6 FROM (
 WHERE cos >= {COSINE_DUP_THRESHOLD}
 """,
     "ann_cosine_topk": _dd_topk(f"a.vec_id < {N_QUERIES}", "", TOP_K),
+    "ann_int8_topk": f"""
+WITH lf AS (SELECT vec_id,
+                   UNNEST(generate_series(1, len(embedding))) AS k,
+                   UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE)))
+                     AS v
+            FROM embeddings),
+am AS (SELECT vec_id, MAX(ABS(v)) AS amax FROM lf GROUP BY 1),
+q8 AS (SELECT lf.vec_id, k,
+              CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(FLOOR(v * {float(INT8_MAX)} / amax + 0.5)
+                             AS BIGINT) END AS q
+       FROM lf JOIN am USING (vec_id)),
+norms8 AS (SELECT vec_id, SQRT(CAST(SUM(q * q) AS DOUBLE)) AS nrm
+           FROM q8 GROUP BY 1),
+dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                SUM(a.q * b.q) AS dot
+         FROM q8 a JOIN q8 b ON a.k = b.k
+         WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+         GROUP BY 1, 2),
+scored AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+           FROM dots JOIN norms8 nq ON nq.vec_id = qid
+           JOIN norms8 nc ON nc.vec_id = cid)
+SELECT qid, cid, CAST(FLOOR(cos * 1e6) AS BIGINT) AS score_e6, rnk FROM (
+  SELECT qid, cid, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= {TOP_K}
+""",
     "ann_ivf_topk": _dd_topk(
         "a.vec_id < 20", "AND a.label = b.label", 3
     ),
@@ -438,6 +526,7 @@ QUERIES = {
     "embedding_cosine_dups": q_embedding_cosine_dups,
     "embedding_cosine_exact": q_embedding_cosine_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_int8_topk": q_ann_int8_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
 }
