@@ -63,48 +63,50 @@ def _registries():
 # number of rows before any cut-off. Names missing from this list (new
 # queries not yet re-measured) sort after it in module order.
 _CHEAP_FIRST = [
-    "dict_merge_reduce", "drop_leading_dim", "pmapbatch_map",
-    "linear_to_multidim", "multimodal_binary_stats", "stratified_sample",
-    "dict_merge_ordered", "elementwise_max_arrays", "pmapreduce_sum_squares",
-    "topk_orders", "product_getindex", "elementwise_min_arrays",
-    "hash_split_documents", "token_stats", "unpivot_part_metrics",
-    "elementwise_product_arrays", "zip_split", "sliding_window_avg",
-    "text_quality_score", "reduce_with_init", "ordered_stack_arrays",
-    "join_anti", "dedup_exact", "index_in_product",
-    "ordered_reduce_sum", "elementwise_sum_arrays", "q6_forecast_revenue",
-    "date_breakdown", "grouping_sets_customer", "lang_id_ngram",
-    "split_membership", "join_semi", "split_length",
-    "windowed_event_counts", "which_partition", "pivot_status",
-    "above_segment_avg", "json_props_stats", "product_section",
-    "agg_cube", "corpus_filter_pipeline", "product_split",
-    "approx_percentile_check", "minhash_signature", "broadcast_stack_overlap",
-    "multimodal_features", "multimodal_frame_sample", "percentile_stats",
-    "product_scan_float", "elementwise_zip_add", "ann_ivf_topk",
-    "join_left_outer", "pmapbatch_partitions", "ann_int8_topk",
-    "join_broadcast_dim",
-    "string_agg_nations", "embedding_cosine_exact", "ann_cosine_topk",
-    "session_window_agg", "ordered_concat", "split_first_last",
-    "window_running_sum", "q4_order_priority", "vocab_top_bigrams",
-    "partition_bounds", "q19_bracketed_revenue", "salted_join_orders",
-    "window_lag_lead", "ann_lsh_bucket", "pmapreduce_bigsum",
-    "q14_promo_revenue", "set_ops", "window_topk_per_group",
-    "extrema_all_dims", "partition_and_index", "agg_rollup",
-    "q12_priority_lines", "local_index", "q9_profit_by_nation",
-    "range_join", "doc_fingerprint", "contamination_check",
-    "distinct_agg", "q8_market_share", "q10_returned_items",
-    "window_rank_functions", "nelements_dim", "q18_large_orders",
-    "min_dim", "paragraph_dedup", "repetition_stats",
-    "sessionize_events", "worker_rank", "extrema_dim",
-    "tfidf_top_terms", "unigram_logppl", "max_dim", "product_scan",
-    "q3_shipping_priority", "simhash_fingerprint", "simhash_near_dup",
-    "q7_volume_shipping",
-    "extrema_lastdim", "asof_join", "q5_local_supplier_volume",
-    "q22_idle_rich_customers", "scalar_functions", "pmapreduce_dense_elsum",
-    "q15_top_supplier", "multimodal_decode", "minhash_near_dup",
-    "productsplit_partition_agg", "q1_pricing_summary", "ngram_jaccard_pairs",
-    "partition_recast", "approx_distinct_check", "dedup_components",
-    "ann_ivf_trained_topk", "multimodal_resize", "ivf_trained_census",
-    "kmeans_assign", "embedding_cosine_dups",
+    "product_scan", "product_scan_float", "product_section",
+    "partition_bounds", "product_split", "zip_split",
+    "linear_to_multidim", "pmapreduce_sum_squares", "dict_merge_reduce",
+    "product_getindex", "split_length", "split_first_last", "worker_rank",
+    "index_in_product", "q6_forecast_revenue", "split_membership",
+    "stream_join_attribution", "window_topk_per_group", "join_left_outer",
+    "reduce_with_init", "unpivot_part_metrics", "date_breakdown",
+    "q12_priority_lines", "string_agg_nations", "drop_leading_dim",
+    "q4_order_priority", "topk_orders", "join_semi", "ordered_reduce_sum",
+    "above_segment_avg", "q14_promo_revenue", "lang_id_ngram",
+    "pmapbatch_map", "agg_rollup", "extrema_all_dims", "scalar_functions",
+    "which_partition", "grouping_sets_customer", "q19_bracketed_revenue",
+    "dict_merge_ordered", "pivot_status", "window_lag_lead",
+    "elementwise_min_arrays", "nelements_dim", "q20_promo_suppliers",
+    "windowed_event_counts", "hash_split_documents", "json_props_stats",
+    "window_running_sum", "dedup_exact", "join_anti",
+    "pmapbatch_partitions", "productsplit_partition_agg",
+    "partition_and_index", "elementwise_sum_arrays", "set_ops",
+    "token_stats", "ann_cosine_topk", "join_broadcast_dim",
+    "q3_shipping_priority", "agg_cube", "q13_custdist", "range_join",
+    "ordered_concat", "q9_profit_by_nation", "local_index",
+    "session_window_agg", "stratified_sample", "text_quality_score",
+    "distinct_agg", "min_dim", "q17_small_qty_revenue",
+    "elementwise_max_arrays", "percentile_stats", "pmapreduce_bigsum",
+    "q8_market_share", "mixture_weighted_sample", "multimodal_decode",
+    "ann_lsh_bucket", "elementwise_product_arrays", "q10_returned_items",
+    "max_dim", "q11_important_parts", "corpus_filter_pipeline",
+    "salted_join_orders", "extrema_dim", "sessionize_events",
+    "elementwise_zip_add", "window_rank_functions",
+    "ordered_stack_arrays", "sliding_window_avg", "ann_ivf_topk",
+    "q1_pricing_summary", "vocab_top_bigrams", "broadcast_stack_overlap",
+    "embedding_cosine_exact", "q18_large_orders", "partition_recast",
+    "q21_waiting_suppliers", "paragraph_dedup", "approx_percentile_check",
+    "q16_parts_supplier_cnt", "asof_join", "doc_fingerprint",
+    "q5_local_supplier_volume", "q7_volume_shipping",
+    "multimodal_frame_sample", "contamination_check", "extrema_lastdim",
+    "repetition_stats", "unigram_logppl", "tfidf_top_terms",
+    "substring_dup_spans", "minhash_signature", "simhash_fingerprint",
+    "q15_top_supplier", "multimodal_resize", "q22_idle_rich_customers",
+    "approx_distinct_check", "minhash_near_dup", "simhash_near_dup",
+    "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
+    "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
+    "ann_ivf_trained_topk", "embedding_cosine_dups",
+    "multimodal_features", "dedup_components",
 ]
 
 
