@@ -92,14 +92,16 @@ _CHEAP_FIRST = [
     "max_dim", "q11_important_parts", "corpus_filter_pipeline",
     "salted_join_orders", "extrema_dim", "sessionize_events",
     "elementwise_zip_add", "window_rank_functions",
-    "ordered_stack_arrays", "sliding_window_avg", "ann_ivf_topk",
+    "ordered_stack_arrays", "ordered_hcat_matrices", "sliding_window_avg",
+    "ann_ivf_topk",
     "q1_pricing_summary", "vocab_top_bigrams", "broadcast_stack_overlap",
     "embedding_cosine_exact", "q18_large_orders", "partition_recast",
     "q21_waiting_suppliers", "paragraph_dedup", "approx_percentile_check",
     "q16_parts_supplier_cnt", "asof_join", "doc_fingerprint",
     "q5_local_supplier_volume", "q7_volume_shipping",
     "multimodal_frame_sample", "contamination_check", "extrema_lastdim",
-    "repetition_stats", "unigram_logppl", "tfidf_top_terms",
+    "repetition_stats", "unigram_logppl", "sequence_packing",
+    "tfidf_top_terms",
     "substring_dup_spans", "minhash_signature", "simhash_fingerprint",
     "q15_top_supplier", "multimodal_resize", "q22_idle_rich_customers",
     "approx_distinct_check", "minhash_near_dup", "simhash_near_dup",

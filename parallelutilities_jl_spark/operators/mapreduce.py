@@ -535,6 +535,43 @@ def q_ordered_stack_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("pos0") + 1).cast("long").alias("pos"), "val")
 
 
+HCAT_ROWS = 3  # per-rank matrix blocks are HCAT_ROWS × k columns
+
+
+def q_ordered_hcat_matrices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hcat of matrix-valued mapped results in (rank, local) order — the
+    reference's `pmapreduce(x -> ones(m, k)*x, hcat, 1:n)` shape
+    (reference src/mapreduce.jl:266-287; hcat tests
+    test/paralleltests.jl:488-545). Each x maps to a 3×2 block whose
+    columns are [x, 2x, 3x] and [x+1, 2(x+1), 3(x+1)]; blocks stack
+    column-wise, so global column index = 2·(x-1) + local column. The
+    fold reuses `ordered_array_fold` with array<array<long>> elements
+    (a matrix as its column list): within-rank column lists concatenate
+    in local order, then the np rank partials concatenate in rank order —
+    the same np-sized funnel, never a global sort. Emitted long-format
+    (row, col, val) so the oracle checks exact placement."""
+    df = zip_df(spark, (rng(1, 200),), np=8)
+    rows_of = lambda c: F.array(  # noqa: E731
+        *[c * (r + 1) for r in range(HCAT_ROWS)]
+    )
+    mapped = df.select(
+        "p",
+        "i",
+        F.array(
+            rows_of(F.col("z1")), rows_of(F.col("z1") + 1)
+        ).alias("arr"),
+    )
+    folded = ordered_array_fold(mapped, "p", "i", "arr")
+    return (
+        folded.select(F.posexplode("stacked").alias("c0", "colv"))
+        .select(
+            (F.col("c0") + 1).cast("long").alias("col"),
+            F.posexplode("colv").alias("r0", "val"),
+        )
+        .select((F.col("r0") + 1).cast("long").alias("row"), "col", "val")
+    )
+
+
 def q_dict_merge_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered (non-commutative) dict merge: x → {x mod 7: 11x}, dicts
     merged in (rank, local) order with RIGHT-WINS semantics — Julia's
@@ -605,6 +642,13 @@ def _mapreduce_oracles() -> dict[str, str]:
             "CAST(2 * x + o AS BIGINT) AS val "
             "FROM range(1, 501) t(x), (VALUES (0), (1)) v(o)"
         ),
+        "ordered_hcat_matrices": (
+            f"SELECT CAST(r AS BIGINT) AS row, "
+            f"CAST(2 * (x - 1) + j AS BIGINT) AS col, "
+            f"CAST(r * (x + j - 1) AS BIGINT) AS val "
+            f"FROM range(1, 201) t(x), range(1, 3) jj(j), "
+            f"range(1, {HCAT_ROWS + 1}) rr(r)"
+        ),
         "dict_merge_ordered": (
             "SELECT CAST((i + 1) % 7 AS BIGINT) AS key, "
             "CAST(arg_max((i + 1) * 11, i) AS BIGINT) AS merged, "
@@ -637,6 +681,7 @@ QUERIES = {
     "pmapreduce_dense_elsum": q_dense_elsum,
     "dict_merge_reduce": q_dict_merge_reduce,
     "ordered_stack_arrays": q_ordered_stack_arrays,
+    "ordered_hcat_matrices": q_ordered_hcat_matrices,
     "dict_merge_ordered": q_dict_merge_ordered,
 }
 

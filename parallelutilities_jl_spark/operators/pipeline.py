@@ -444,6 +444,92 @@ GROUP BY source
 """
 
 
+PACK_CAPACITY = 256  # tokens per packed training window (power of two:
+# start/C is then an EXACT double division, so floor() matches integer
+# division bit-for-bit in both engines)
+_PACK_SHARDS = 32
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing — the step that turns filtered
+    documents into fixed-capacity training windows (GPT-style packing):
+    documents concatenate in doc_id order and slice every PACK_CAPACITY
+    tokens; each doc reports its global token start offset, the chunk it
+    starts in, and how many chunks it spans.
+
+    The global running sum is the scale-sensitive part: a naive
+    `SUM() OVER (ORDER BY doc_id)` is a single-partition global sort.
+    Instead docs are order-preservingly sharded (shard = doc_id·S DIV
+    (max_id+1), monotone integer math), each shard cumsums under a
+    shard-partitioned window, and only the S per-shard totals pass
+    through the tiny ordered funnel that yields shard offsets (the
+    `ordered_concat` / reference rank-funnel pattern,
+    src/mapreduce.jl:138-146), broadcast back — never a data-sized
+    global sort."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    mx = toks.agg(F.max("doc_id").alias("mx"))
+    sharded = toks.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("doc_id") * _PACK_SHARDS) / (F.col("mx") + 1)
+        ).cast("long").alias("shard"),
+    )
+    w_local = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = sharded.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        sharded.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("tot").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("off"),
+        )
+    )
+    cap = float(PACK_CAPACITY)
+    start = F.col("off") + F.col("local_cum") - F.col("n_tokens")
+    chunk = F.floor(start / cap)
+    last_chunk = F.floor((start + F.col("n_tokens") - 1) / cap)
+    return local.join(F.broadcast(offs), "shard").select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_off"),
+        chunk.alias("chunk_id"),
+        (last_chunk - chunk + 1).alias("spans"),
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH t AS (SELECT doc_id, CAST(len({_DD_WS}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+      FROM t)
+SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(FLOOR(CAST(start_off AS DOUBLE) / {float(PACK_CAPACITY)})
+            AS BIGINT) AS chunk_id,
+       CAST(FLOOR(CAST(start_off + n_tokens - 1 AS DOUBLE)
+                  / {float(PACK_CAPACITY)})
+            - FLOOR(CAST(start_off AS DOUBLE) / {float(PACK_CAPACITY)})
+            + 1 AS BIGINT) AS spans
+FROM c
+"""
+
+
 QUERIES = {
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
@@ -452,11 +538,13 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "substring_dup_spans": q_substring_dup_spans,
     "mixture_weighted_sample": q_mixture_weighted_sample,
+    "sequence_packing": q_sequence_packing,
 }
 
 ORACLES = {
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "hash_split_documents": ORACLE_HASH_SPLIT,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION,
