@@ -97,7 +97,8 @@ _CHEAP_FIRST = [
     "q1_pricing_summary", "vocab_top_bigrams", "broadcast_stack_overlap",
     "embedding_cosine_exact", "q18_large_orders", "partition_recast",
     "q21_waiting_suppliers", "paragraph_dedup", "approx_percentile_check",
-    "q16_parts_supplier_cnt", "asof_join", "doc_fingerprint",
+    "q16_parts_supplier_cnt", "asof_join", "corpus_shuffle",
+    "doc_fingerprint",
     "q5_local_supplier_volume", "q7_volume_shipping",
     "multimodal_frame_sample", "contamination_check", "extrema_lastdim",
     "repetition_stats", "unigram_logppl", "sequence_packing",

@@ -511,6 +511,63 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUF_MOD = 2**32
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle — the reproducible pseudo-random
+    training order between mixture sampling and sequence packing: each
+    doc's sort key is a multiplicative hash (no RNG; re-runs and both
+    engines agree), and its global shuffle position is the rank under
+    that key.
+
+    Scale shape: the key space is uniform, so shard = key DIV (2³²/S) is
+    an order-preserving equi-width split that needs no sampling pass
+    (unlike `repartitionByRange`); within-shard ranks come from a
+    shard-partitioned window and the S shard counts pass through the
+    tiny ordered funnel for offsets. Same np-funnel as `ordered_concat`
+    — a 100 TB corpus is shuffled without any global sort."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * _KNUTH) % _SHUF_MOD).alias("skey"),
+        (
+            ((F.col("doc_id") * _KNUTH) % _SHUF_MOD)
+            / F.lit(float(_SHUF_MOD // _PACK_SHARDS))
+        ).cast("long").alias("shard"),
+    )
+    w_local = W.partitionBy("shard").orderBy("skey", "doc_id")
+    local = keyed.withColumn(
+        "lrank", F.row_number().over(w_local).cast("long")
+    )
+    w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        keyed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("off"),
+        )
+    )
+    return local.join(F.broadcast(offs), "shard").select(
+        "doc_id",
+        "skey",
+        (F.col("off") + F.col("lrank")).alias("shuffle_pos"),
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = f"""
+SELECT doc_id, (doc_id * {_KNUTH}) % {_SHUF_MOD} AS skey,
+       CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * {_KNUTH}) % {_SHUF_MOD},
+                               doc_id) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 ORACLE_SEQUENCE_PACKING = f"""
 WITH t AS (SELECT doc_id, CAST(len({_DD_WS}) AS BIGINT) AS n_tokens
            FROM documents),
@@ -539,12 +596,14 @@ QUERIES = {
     "substring_dup_spans": q_substring_dup_spans,
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "sequence_packing": q_sequence_packing,
+    "corpus_shuffle": q_corpus_shuffle,
 }
 
 ORACLES = {
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
+    "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "hash_split_documents": ORACLE_HASH_SPLIT,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION,
