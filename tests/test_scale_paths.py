@@ -157,3 +157,21 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     assert capped.count() == 1  # only the small band-1 bucket survives
     # (1,2) occurs in both buckets and distinct() collapses it
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_funnel_windows_are_shard_partitioned(spark, sf_dir):
+    """sequence_packing / corpus_shuffle global-order operators: the
+    data-sized window must be partitioned by shard (parallel), with
+    unpartitioned windows confined to the S-row offsets funnel — the
+    plan shape that survives a 100 TB corpus."""
+    from parallelutilities_jl_spark.operators.pipeline import (
+        q_corpus_shuffle,
+        q_sequence_packing,
+    )
+
+    for fn in (q_sequence_packing, q_corpus_shuffle):
+        plan = _plan(fn(spark, sf_dir))
+        # the per-row window runs under a shard partition spec
+        assert "windowspecdefinition(shard" in plan, fn.__name__
+        # and the shard shuffle is a parallel hash exchange
+        assert "hashpartitioning(shard" in plan, fn.__name__
