@@ -469,10 +469,14 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table_parallel(spark, sf_dir, "documents")
+    # cache the tiny (doc_id, n_tokens) projection: 16 bytes/doc, and it
+    # keeps the corpus-sized scan + regex tokenization to ONE pass — the
+    # max-id probe, window branch, and offsets branch all reread it
+    # otherwise (4 FileScans, tokenization twice, in the uncached plan)
     toks = docs.select(
         "doc_id",
         F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    ).cache()
     mx = toks.agg(F.max("doc_id").alias("mx"))
     sharded = toks.crossJoin(F.broadcast(mx)).select(
         "doc_id",
@@ -487,10 +491,13 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, 0)
     )
     local = sharded.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    # per-shard totals come from the window output (max running sum), so
+    # this branch shares the scan→Exchange(shard)→Window subtree instead
+    # of re-aggregating the input
     w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
     offs = (
-        sharded.groupBy("shard")
-        .agg(F.sum("n_tokens").alias("tot"))
+        local.groupBy("shard")
+        .agg(F.max("local_cum").alias("tot"))
         .select(
             "shard",
             F.coalesce(F.sum("tot").over(w_off), F.lit(0))
@@ -530,6 +537,8 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # tiny cached projection (24 bytes/doc): the window branch and the
+    # offsets branch read it without a second corpus scan
     keyed = docs.select(
         "doc_id",
         ((F.col("doc_id") * _KNUTH) % _SHUF_MOD).alias("skey"),
@@ -537,15 +546,18 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * _KNUTH) % _SHUF_MOD)
             / F.lit(float(_SHUF_MOD // _PACK_SHARDS))
         ).cast("long").alias("shard"),
-    )
+    ).cache()
     w_local = W.partitionBy("shard").orderBy("skey", "doc_id")
     local = keyed.withColumn(
         "lrank", F.row_number().over(w_local).cast("long")
     )
+    # shard counts = max within-shard rank, derived from the window output
+    # so the offsets branch reuses the shard exchange instead of a second
+    # corpus scan
     w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
     offs = (
-        keyed.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        local.groupBy("shard")
+        .agg(F.max("lrank").alias("cnt"))
         .select(
             "shard",
             F.coalesce(F.sum("cnt").over(w_off), F.lit(0))

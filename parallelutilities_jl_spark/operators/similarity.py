@@ -313,14 +313,26 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall oracle). Same broadcast-queries × corpus shape as
     `ann_cosine_topk`; at 100 TB the quantized corpus is what fits in
     executor memory for in-memory rerank tiers."""
-    emb = _emb_double(spark, sf_dir).select(
-        "vec_id", _quant8(F.col("emb")).alias("q8")
+    emb = (
+        _emb_double(spark, sf_dir)
+        .select("vec_id", _quant8(F.col("emb")).alias("q8"))
+        # norms precomputed once per VECTOR (not per pair — the dot-product
+        # stage is the O(Q·N) hot path); all-zero vectors are excluded:
+        # they have no direction, and 0/0 is NaN in Spark but NULL in
+        # DuckDB, which would rank oppositely in the top-k window
+        .withColumn("nrm8", F.sqrt(_dot8(F.col("q8"), F.col("q8")).cast("double")))
+        .filter(F.col("nrm8") > 0.0)
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("q8").alias("qa")
+        F.col("vec_id").alias("qid"),
+        F.col("q8").alias("qa"),
+        F.col("nrm8").alias("na"),
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("q8").alias("qb"))
-    nrm8 = lambda col: F.sqrt(_dot8(col, col).cast("double"))  # noqa: E731
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("q8").alias("qb"),
+        F.col("nrm8").alias("nb"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c.repartition(spark.sparkContext.defaultParallelism))
@@ -330,7 +342,7 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             (
                 _dot8(F.col("qa"), F.col("qb")).cast("double")
-                / (nrm8(F.col("qa")) * nrm8(F.col("qb")))
+                / (F.col("na") * F.col("nb"))
             ).alias("cos"),
         )
     )
@@ -482,7 +494,8 @@ q8 AS (SELECT lf.vec_id, k,
                              AS BIGINT) END AS q
        FROM lf JOIN am USING (vec_id)),
 norms8 AS (SELECT vec_id, SQRT(CAST(SUM(q * q) AS DOUBLE)) AS nrm
-           FROM q8 GROUP BY 1),
+           FROM q8 GROUP BY 1
+           HAVING SQRT(CAST(SUM(q * q) AS DOUBLE)) > 0.0),
 dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
                 SUM(a.q * b.q) AS dot
          FROM q8 a JOIN q8 b ON a.k = b.k
