@@ -54,6 +54,9 @@ HEADLINE = [
     "repetition_stats",
     "tfidf_top_terms",
     "unigram_logppl",
+    "ann_int8_topk",
+    "sequence_packing",
+    "corpus_shuffle",
 ]
 
 
