@@ -106,6 +106,7 @@ _CHEAP_FIRST = [
     "substring_dup_spans", "minhash_signature", "simhash_fingerprint",
     "q15_top_supplier", "multimodal_resize", "q22_idle_rich_customers",
     "approx_distinct_check", "minhash_near_dup", "simhash_near_dup",
+    "incremental_dedup",
     "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
     "ann_ivf_trained_topk", "embedding_cosine_dups",

@@ -210,6 +210,64 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# incremental ingest split: the first 90 hash buckets play the existing
+# snapshot ("store"), the rest the incoming batch — same Knuth split as
+# pipeline.hash_split_documents, so the roles are deterministic
+_INCR_KNUTH = 2654435761
+_INCR_STORE_BUCKETS = 90
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: an incoming batch is
+    checked against the existing corpus snapshot's FINGERPRINT STORE
+    (the 32-bit SimHash each snapshot doc already carries), and within
+    itself, before admission. Emits per incoming doc: is_known_dup
+    (fingerprint already in the store), is_batch_dup (fingerprint
+    duplicated inside the batch), and the drop decision (known, or not
+    the batch's canonical min-doc_id holder).
+
+    Scale shape — the STORE NEVER SHUFFLES: the incoming batch's
+    distinct fingerprints broadcast as a semi-join probe over the
+    (compact, fingerprint-only) store, and only the matching store
+    fingerprints — at most |batch| rows — come back to mark the batch
+    via a second broadcast. A naive `batch LEFT JOIN store` would
+    shuffle the corpus-sized store on every ingest; probe-side pushdown
+    is what makes daily ingestion O(|batch|) instead of O(|corpus|)."""
+    bucket = (F.col("doc_id") * _INCR_KNUTH) % (2**32) % 100
+    hashed = _simhash_df(spark, sf_dir).select(
+        "doc_id",
+        F.col("simhash").alias("text_hash"),
+        bucket.alias("bk"),
+    )
+    store = hashed.filter(F.col("bk") < _INCR_STORE_BUCKETS).select(
+        "text_hash"
+    )
+    inc = hashed.filter(F.col("bk") >= _INCR_STORE_BUCKETS).drop("bk")
+    inc_keys = inc.select("text_hash").distinct()
+    hits = (
+        store.join(F.broadcast(inc_keys), "text_hash", "left_semi")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    batch_groups = inc.groupBy("text_hash").agg(
+        F.min("doc_id").alias("batch_canonical"),
+        F.count(F.lit(1)).alias("n_in_batch"),
+    )
+    return (
+        inc.join(F.broadcast(hits), "text_hash", "left")
+        .join(batch_groups, "text_hash")
+        .select(
+            "doc_id",
+            F.col("known").isNotNull().alias("is_known_dup"),
+            (F.col("n_in_batch") > 1).alias("is_batch_dup"),
+            (
+                F.col("known").isNotNull()
+                | (F.col("doc_id") != F.col("batch_canonical"))
+            ).alias("drop_doc"),
+        )
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.3.
 
@@ -460,6 +518,31 @@ g AS (SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS c
 SELECT doc_id, h.text_hash, canonical_id, (c > 1) AS is_dup
 FROM h JOIN g ON h.text_hash = g.text_hash
 """,
+        "incremental_dedup": f"""
+WITH toks AS (SELECT DISTINCT doc_id, UNNEST({TH.dd_words('text')}) AS w
+              FROM documents),
+th AS (SELECT doc_id, {TH.dd_md5_int48('w')} AS h FROM toks),
+bits AS (SELECT doc_id, t.b AS b,
+                SUM(((h >> t.b) & 1) * 2 - 1) AS s
+         FROM th, range(0, 32) t(b) GROUP BY doc_id, t.b),
+h AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                  AS BIGINT) AS text_hash,
+             (doc_id * {_INCR_KNUTH}) % {2**32} % 100 AS bk
+      FROM bits GROUP BY doc_id),
+store AS (SELECT DISTINCT text_hash FROM h WHERE bk < {_INCR_STORE_BUCKETS}),
+inc AS (SELECT doc_id, text_hash FROM h WHERE bk >= {_INCR_STORE_BUCKETS}),
+bg AS (SELECT text_hash, MIN(doc_id) AS batch_canonical,
+              COUNT(*) AS n_in_batch
+       FROM inc GROUP BY 1)
+SELECT inc.doc_id,
+       (store.text_hash IS NOT NULL) AS is_known_dup,
+       (n_in_batch > 1) AS is_batch_dup,
+       (store.text_hash IS NOT NULL
+        OR inc.doc_id <> batch_canonical) AS drop_doc
+FROM inc LEFT JOIN store ON inc.text_hash = store.text_hash
+JOIN bg ON inc.text_hash = bg.text_hash
+""",
         "minhash_near_dup": (
             f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
             f"bok AS (SELECT band, key FROM bands GROUP BY band, key "
@@ -618,6 +701,7 @@ SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "incremental_dedup": q_incremental_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_signature": q_minhash_signature,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
