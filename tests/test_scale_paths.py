@@ -185,3 +185,21 @@ def test_funnel_windows_are_shard_partitioned(spark, sf_dir):
         pat = rowfun + r"[^\n]*windowspecdefinition\(shard#\d+L?,"
         assert re.search(pat, plan), f"{fn.__name__}: data-sized window " \
             f"is not shard-partitioned:\n{plan[:2000]}"
+
+
+def test_incremental_dedup_store_never_shuffles(spark, sf_dir):
+    """incremental_dedup's ingest screen: every join touching the
+    corpus-sized store side must be a broadcast probe (the incoming
+    batch's keys broadcast over the store, the surviving hits broadcast
+    back) — a shuffle join of the store would make ingest O(|corpus|).
+    The batch-internal canonical join may shuffle at real scale; at
+    fixture scale everything broadcasts, so any shuffle join appearing
+    here means the probe-side pushdown regressed."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        q_incremental_dedup,
+    )
+
+    plan = _plan(q_incremental_dedup(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
