@@ -75,6 +75,10 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
+        # isolate: drop caches left by EARLIER queries so each entry is
+        # measured from its own state only (its warm run below re-creates
+        # any cache the query itself maintains — the resident-index case)
+        spark.catalog.clearCache()
         # warm once (Catalyst planning + whole-stage codegen compile +
         # parquet footers), measure the second run — the reference's
         # published numbers are likewise post-precompilation
