@@ -450,39 +450,38 @@ PACK_CAPACITY = 256  # tokens per packed training window (power of two:
 _PACK_SHARDS = 32
 
 
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk sequence packing — the step that turns filtered
-    documents into fixed-capacity training windows (GPT-style packing):
-    documents concatenate in doc_id order and slice every PACK_CAPACITY
-    tokens; each doc reports its global token start offset, the chunk it
-    starts in, and how many chunks it spans.
+def pack_sequences(
+    toks: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = _PACK_SHARDS,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing over a (doc_id, n_tokens)
+    frame — the step that turns filtered documents into fixed-capacity
+    training windows (GPT-style packing): documents concatenate in
+    doc_id order and slice every `capacity` tokens; each doc reports its
+    global token start offset, the chunk it starts in, and how many
+    chunks it spans. `capacity` must be a power of two so `start/cap` is
+    an exact double division (floor == integer division in both
+    engines).
 
     The global running sum is the scale-sensitive part: a naive
     `SUM() OVER (ORDER BY doc_id)` is a single-partition global sort.
     Instead docs are order-preservingly sharded (shard = doc_id·S DIV
-    (max_id+1), monotone integer math), each shard cumsums under a
-    shard-partitioned window, and only the S per-shard totals pass
-    through the tiny ordered funnel that yields shard offsets (the
-    `ordered_concat` / reference rank-funnel pattern,
+    (max_id+1), monotone integer math over nonnegative ids), each shard
+    cumsums under a shard-partitioned window, and only the S per-shard
+    totals pass through the tiny ordered funnel that yields shard
+    offsets (the `ordered_concat` / reference rank-funnel pattern,
     src/mapreduce.jl:138-146), broadcast back — never a data-sized
     global sort."""
     from pyspark.sql.window import Window as W
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    # cache the tiny (doc_id, n_tokens) projection: 16 bytes/doc, and it
-    # keeps the corpus-sized scan + regex tokenization to ONE pass — the
-    # max-id probe, window branch, and offsets branch all reread it
-    # otherwise (4 FileScans, tokenization twice, in the uncached plan)
-    toks = docs.select(
-        "doc_id",
-        F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
-    ).cache()
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of 2"
     mx = toks.agg(F.max("doc_id").alias("mx"))
     sharded = toks.crossJoin(F.broadcast(mx)).select(
         "doc_id",
         "n_tokens",
         F.floor(
-            (F.col("doc_id") * _PACK_SHARDS) / (F.col("mx") + 1)
+            (F.col("doc_id") * n_shards) / (F.col("mx") + 1)
         ).cast("long").alias("shard"),
     )
     w_local = (
@@ -505,7 +504,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("off"),
         )
     )
-    cap = float(PACK_CAPACITY)
+    cap = float(capacity)
     start = F.col("off") + F.col("local_cum") - F.col("n_tokens")
     chunk = F.floor(start / cap)
     last_chunk = F.floor((start + F.col("n_tokens") - 1) / cap)
@@ -518,15 +517,32 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pack_sequences` over the fixture corpus (see that docstring for
+    the sharded-cumsum design)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    # cache the tiny (doc_id, n_tokens) projection: 16 bytes/doc, and it
+    # keeps the corpus-sized scan + regex tokenization to ONE pass — the
+    # max-id probe, window branch, and offsets branch all reread it
+    # otherwise (4 FileScans, tokenization twice, in the uncached plan)
+    toks = docs.select(
+        "doc_id",
+        F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
+    ).cache()
+    return pack_sequences(toks)
+
+
 _SHUF_MOD = 2**32
 
 
-def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus shuffle — the reproducible pseudo-random
-    training order between mixture sampling and sequence packing: each
-    doc's sort key is a multiplicative hash (no RNG; re-runs and both
-    engines agree), and its global shuffle position is the rank under
-    that key.
+def shuffle_positions(
+    ids: DataFrame, n_shards: int = _PACK_SHARDS
+) -> DataFrame:
+    """Deterministic corpus shuffle over a (doc_id) frame — the
+    reproducible pseudo-random training order between mixture sampling
+    and sequence packing: each doc's sort key is a multiplicative hash
+    (no RNG; re-runs and both engines agree), and its global shuffle
+    position is the rank under that key.
 
     Scale shape: the key space is uniform, so shard = key DIV (2³²/S) is
     an order-preserving equi-width split that needs no sampling pass
@@ -536,17 +552,14 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a 100 TB corpus is shuffled without any global sort."""
     from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    # tiny cached projection (24 bytes/doc): the window branch and the
-    # offsets branch read it without a second corpus scan
-    keyed = docs.select(
+    keyed = ids.select(
         "doc_id",
         ((F.col("doc_id") * _KNUTH) % _SHUF_MOD).alias("skey"),
         (
             ((F.col("doc_id") * _KNUTH) % _SHUF_MOD)
-            / F.lit(float(_SHUF_MOD // _PACK_SHARDS))
+            / F.lit(float(_SHUF_MOD // n_shards))
         ).cast("long").alias("shard"),
-    ).cache()
+    )
     w_local = W.partitionBy("shard").orderBy("skey", "doc_id")
     local = keyed.withColumn(
         "lrank", F.row_number().over(w_local).cast("long")
@@ -570,6 +583,15 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skey",
         (F.col("off") + F.col("lrank")).alias("shuffle_pos"),
     )
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`shuffle_positions` over the fixture corpus (see that docstring
+    for the equi-width shard design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # tiny cached projection (8 bytes/doc): the window branch and the
+    # offsets branch read it without a second corpus scan
+    return shuffle_positions(docs.select("doc_id").cache())
 
 
 ORACLE_CORPUS_SHUFFLE = f"""
