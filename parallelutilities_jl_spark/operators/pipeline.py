@@ -602,6 +602,84 @@ FROM documents
 """
 
 
+def q_training_order_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep in one plan — the composition the whole
+    LLM-pipeline tier exists for: near-dup survivors (canonical
+    min-doc_id per SimHash fingerprint — ~20% of fixture docs drop, so
+    every stage is non-vacuous) → deterministic hash shuffle into
+    training order → fixed-capacity sequence packing ALONG THAT ORDER
+    (real pipelines pack the shuffled stream, not doc_id order — packing
+    receives `shuffle_pos` as its ordering id). Emits per surviving doc
+    its training position and packed window.
+
+    Scale shape is the sum of its parts, each already plan-gated: one
+    fingerprint shuffle for dedup, shard-funnel shuffle+pack (no global
+    sort), and tiny broadcast funnels — nothing quadratic, nothing
+    single-partition over data."""
+    from parallelutilities_jl_spark.operators.dedup import _simhash_df
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    fp = _simhash_df(spark, sf_dir).cache()
+    canon = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    toks = docs.select(
+        "doc_id",
+        F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    kept = (
+        fp.join(canon, ["simhash", "doc_id"], "left_semi")
+        .select("doc_id")
+        .join(toks, "doc_id")
+        .cache()
+    )
+    pos = shuffle_positions(kept.select("doc_id"))
+    ordered = kept.join(pos, "doc_id").select(
+        F.col("doc_id").alias("orig_doc_id"),
+        F.col("shuffle_pos").alias("doc_id"),  # pack along training order
+        "n_tokens",
+    )
+    packed = pack_sequences(ordered.select("doc_id", "n_tokens"))
+    return packed.join(ordered, ["doc_id", "n_tokens"]).select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.col("doc_id").alias("train_pos"),
+        "n_tokens",
+        "start_off",
+        "chunk_id",
+    )
+
+
+ORACLE_TRAINING_ORDER_PACKING = f"""
+WITH stoks AS (SELECT DISTINCT doc_id, UNNEST({TH.dd_words('text')}) AS w
+               FROM documents),
+sth AS (SELECT doc_id, {TH.dd_md5_int48('w')} AS h FROM stoks),
+sbits AS (SELECT doc_id, t.b AS b,
+                 SUM(((h >> t.b) & 1) * 2 - 1) AS s
+          FROM sth, range(0, 32) t(b) GROUP BY doc_id, t.b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM sbits GROUP BY doc_id),
+canon AS (SELECT simhash, MIN(doc_id) AS doc_id FROM fp GROUP BY 1),
+tok AS (SELECT doc_id, CAST(len({_DD_WS}) AS BIGINT) AS n_tokens
+        FROM documents),
+kept AS (SELECT tok.doc_id, tok.n_tokens FROM tok
+         JOIN canon ON tok.doc_id = canon.doc_id),
+pos AS (SELECT doc_id, n_tokens,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY (doc_id * {_KNUTH}) % {_SHUF_MOD}, doc_id)
+                 AS BIGINT) AS train_pos
+        FROM kept),
+c AS (SELECT doc_id, train_pos, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY train_pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+      FROM pos)
+SELECT doc_id, train_pos, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(FLOOR(CAST(start_off AS DOUBLE) / {float(PACK_CAPACITY)})
+            AS BIGINT) AS chunk_id
+FROM c
+"""
+
+
 ORACLE_SEQUENCE_PACKING = f"""
 WITH t AS (SELECT doc_id, CAST(len({_DD_WS}) AS BIGINT) AS n_tokens
            FROM documents),
@@ -631,6 +709,7 @@ QUERIES = {
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "sequence_packing": q_sequence_packing,
     "corpus_shuffle": q_corpus_shuffle,
+    "training_order_packing": q_training_order_packing,
 }
 
 ORACLES = {
@@ -638,6 +717,7 @@ ORACLES = {
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+    "training_order_packing": ORACLE_TRAINING_ORDER_PACKING,
     "hash_split_documents": ORACLE_HASH_SPLIT,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION,
