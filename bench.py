@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_int8_topk",
     "sequence_packing",
     "corpus_shuffle",
+    "training_order_packing",
 ]
 
 
