@@ -632,11 +632,13 @@ def q_training_order_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     pos = shuffle_positions(kept.select("doc_id"))
+    # cached: pack_sequences' max-id probe, window branch, and offsets
+    # branch would otherwise each recompute the shuffle windows upstream
     ordered = kept.join(pos, "doc_id").select(
         F.col("doc_id").alias("orig_doc_id"),
         F.col("shuffle_pos").alias("doc_id"),  # pack along training order
         "n_tokens",
-    )
+    ).cache()
     packed = pack_sequences(ordered.select("doc_id", "n_tokens"))
     return packed.join(ordered, ["doc_id", "n_tokens"]).select(
         F.col("orig_doc_id").alias("doc_id"),
