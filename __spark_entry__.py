@@ -77,7 +77,8 @@ _CHEAP_FIRST = [
     "which_partition", "grouping_sets_customer", "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",
     "elementwise_min_arrays", "nelements_dim", "q20_promo_suppliers",
-    "windowed_event_counts", "hash_split_documents", "json_props_stats",
+    "windowed_event_counts", "stream_dedup_events", "hash_split_documents",
+    "json_props_stats",
     "window_running_sum", "dedup_exact", "join_anti",
     "pmapbatch_partitions", "productsplit_partition_agg",
     "partition_and_index", "elementwise_sum_arrays", "set_ops",
@@ -102,7 +103,7 @@ _CHEAP_FIRST = [
     "q5_local_supplier_volume", "q7_volume_shipping",
     "multimodal_frame_sample", "contamination_check", "extrema_lastdim",
     "repetition_stats", "unigram_logppl", "sequence_packing",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "cms_heavy_hitters",
     "substring_dup_spans", "minhash_signature", "simhash_fingerprint",
     "q15_top_supplier", "multimodal_resize", "q22_idle_rich_customers",
     "approx_distinct_check", "minhash_near_dup", "simhash_near_dup",

@@ -8,13 +8,19 @@ surface; the reference returns exact reductions only).
   scale that's the difference between KBs and TBs on the wire.
 * `approx_percentile` — mergeable quantile digest; same story vs a full
   sort.
+* `cms_heavy_hitters` — count-min sketch over the token stream: k×m
+  bounded counters (here 4×1024 ≈ KBs) whose row-minimum upper-bounds
+  any token's true frequency; heavy hitters surface without keeping the
+  full vocabulary. Built from deterministic md5 hashes shared with the
+  DuckDB oracle, so unlike HLL/percentile the sketch itself is
+  hash-checked, not just tolerance-checked.
 
-Oracle form: sketch values differ across engines by construction, so
-each query emits the EXACT value (both engines agree) plus a boolean
-`within_tol` computed Spark-side from |approx − exact| / exact; the
-DuckDB oracle asserts the same exact value and `TRUE`. The tolerance is
-3–5× the estimator's configured error, so the check is meaningful (a
-broken sketch fails) without being flaky.
+Oracle form: HLL/percentile sketch values differ across engines by
+construction, so each query emits the EXACT value (both engines agree)
+plus a boolean `within_tol` computed Spark-side from
+|approx − exact| / exact; the DuckDB oracle asserts the same exact value
+and `TRUE`. The tolerance is 3–5× the estimator's configured error, so
+the check is meaningful (a broken sketch fails) without being flaky.
 """
 
 from __future__ import annotations
@@ -22,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parallelutilities_jl_spark.sources.fixtures import load_table
+from parallelutilities_jl_spark.functions import texthash as TH
+from parallelutilities_jl_spark.sources.fixtures import (
+    load_table,
+    load_table_parallel,
+)
 
 NDV_RSD = 0.02  # HLL relative standard deviation; tol below is 5x
 NDV_TOL = 0.10  # 5x rsd: a broken sketch fails, engine jitter doesn't
@@ -128,12 +138,87 @@ FROM (
 """
 
 
+CMS_ROWS = 4  # hash rows: P(overestimate > eps*N on all rows) ~ e^-4
+CMS_BUCKETS = 1024  # counters per row: eps = e / 1024 of total mass
+CMS_TOPK = 20
+
+
+def _cms_projections(tc: DataFrame) -> DataFrame:
+    """(tok, cnt) -> one row per (tok, hash-row i) with the row's bucket.
+
+    Bucket = first 60 md5 bits of "i:cms:tok" mod m — computable
+    bit-identically in DuckDB (functions/texthash.py), which is what lets
+    the oracle check the sketch VALUES, not just a tolerance."""
+    return tc.select(
+        "tok",
+        "cnt",
+        F.explode(F.array([F.lit(i) for i in range(CMS_ROWS)])).alias("i"),
+    ).withColumn(
+        "bucket",
+        TH.md5_int60(
+            F.concat(F.col("i").cast("string"), F.lit(":cms:"), F.col("tok"))
+        )
+        % CMS_BUCKETS,
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy-hitter tokens by count-min estimate, with the exact
+    count beside the (never-under) estimate.
+
+    100 TB shape: the only corpus-sized shuffle is the token-count
+    aggregation (map-side combinable; at scale the CMS rows would be
+    built directly from partial counts). The sketch itself is k×m = 4096
+    rows — broadcast to score candidates — and the top-k is a
+    TakeOrdered, not a full sort. Deterministic output: total order
+    (est DESC, tok) before the cut."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TH.words(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    pr = _cms_projections(tc)
+    cms = pr.groupBy("i", "bucket").agg(F.sum("cnt").alias("row_total"))
+    est = (
+        pr.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("row_total").alias("est"),
+            F.max("cnt").alias("exact_cnt"),
+        )
+    )
+    return est.orderBy(F.desc("est"), "tok").limit(CMS_TOPK)
+
+
+ORACLE_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({TH.dd_words('text')}) AS tok FROM documents
+),
+tc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+pr AS (
+  SELECT tok, cnt, i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':cms:' || tok), 1, 15))::BIGINT
+           % {CMS_BUCKETS} AS bucket
+  FROM tc, (VALUES (0), (1), (2), (3)) s(i)
+),
+cms AS (
+  SELECT i, bucket, CAST(SUM(cnt) AS BIGINT) AS row_total
+  FROM pr GROUP BY i, bucket
+),
+est AS (
+  SELECT tok, MIN(row_total) AS est, MAX(cnt) AS exact_cnt
+  FROM pr JOIN cms USING (i, bucket) GROUP BY tok
+)
+SELECT tok, est, exact_cnt FROM est ORDER BY est DESC, tok LIMIT {CMS_TOPK}
+"""
+
+
 QUERIES = {
     "approx_distinct_check": q_approx_ndv,
     "approx_percentile_check": q_approx_percentile,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLES = {
     "approx_distinct_check": ORACLE_APPROX_NDV,
     "approx_percentile_check": ORACLE_APPROX_PCTL,
+    "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
 }

@@ -127,6 +127,33 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_coarse_key(events: DataFrame, watermark: bool = True) -> DataFrame:
+    """Streaming dedup on a coarse business key — first event per
+    (user, event_type, day) survives; repeats later the same day are
+    dropped (~20% of the fixture, so the dedup is non-vacuous, unlike an
+    event_id-level dedup — fixture ids are all unique).
+
+    Exactness: two duplicates of one day-key are <= 24 h apart in event
+    time, and the 25 h watermark delay (> the key's span) keeps the
+    first's state entry alive until the watermark can no longer be
+    behind any same-day sibling — so within-lateness-bound streams dedup
+    EXACTLY, while state stays bounded at roughly one day of live keys.
+    Only the key columns are emitted: which physical row
+    `dropDuplicatesWithinWatermark` keeps is arrival-order dependent,
+    the key set is not."""
+    keyed = events.withColumn(
+        "day_start",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))),
+    )
+    if watermark:
+        keyed = keyed.withWatermark(
+            "ts", "25 hours"
+        ).dropDuplicatesWithinWatermark(["user_id", "event_type", "day_start"])
+    else:
+        keyed = keyed.dropDuplicates(["user_id", "event_type", "day_start"])
+    return keyed.select("user_id", "event_type", "day_start")
+
+
 ATTRIBUTION_WINDOW_SEC = 3600
 
 
@@ -187,6 +214,12 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_table(spark, sf_dir, "events"), watermark=False)
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_coarse_key(
+        load_table(spark, sf_dir, "events"), watermark=False
+    )
+
+
 def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return purchase_attribution(
@@ -236,11 +269,18 @@ FROM s GROUP BY user_id, sid
 """,
 }
 
+ORACLES["stream_dedup_events"] = """
+SELECT DISTINCT user_id, event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start
+FROM events
+"""
+
 QUERIES = {
     "windowed_event_counts": q_windowed_event_counts,
     "sliding_window_avg": q_sliding_window_avg,
     "session_window_agg": q_session_window_agg,
     "stream_join_attribution": q_stream_join_attribution,
+    "stream_dedup_events": q_stream_dedup_events,
 }
 
 ORACLES["stream_join_attribution"] = f"""

@@ -61,6 +61,22 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert len(got) == n_distinct
 
 
+def test_stream_dedup_coarse_key_equals_batch(spark, sf_dir):
+    """Coarse-key streaming dedup must emit exactly the batch-distinct
+    key set — and must actually drop rows (the fixture's event_ids are
+    unique, so the id-level dedup above is vacuous; this one is not)."""
+    ev = SW.stream_events(spark, sf_dir)
+    got = _run_stream(
+        spark, SW.dedup_coarse_key(ev), "t_dedup_coarse", mode="append"
+    )
+    batch = SW.dedup_coarse_key(
+        load_table(spark, sf_dir, "events"), watermark=False
+    ).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(batch) < n_events  # non-vacuous: duplicates exist
+    assert _norm(got) == _norm(batch)
+
+
 def test_stateful_running_count(spark, sf_dir):
     """Custom stateful operator: per-user running totals via
     applyInPandasWithState (the reference-lacks-it custom-operator path)."""
