@@ -83,6 +83,7 @@ _CHEAP_FIRST = [
     "pmapbatch_partitions", "productsplit_partition_agg",
     "partition_and_index", "elementwise_sum_arrays", "set_ops",
     "token_stats", "ann_cosine_topk", "join_broadcast_dim",
+    "runtime_filtered_join",
     "q3_shipping_priority", "agg_cube", "q13_custdist", "range_join",
     "ordered_concat", "q9_profit_by_nation", "local_index",
     "session_window_agg", "stratified_sample", "text_quality_score",

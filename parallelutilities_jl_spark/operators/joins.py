@@ -93,6 +93,53 @@ def salted_join(
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
 
 
+def runtime_filtered_join(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Selective dim-slice ⋈ fact join shaped to benefit from Spark's
+    runtime bloom-filter injection (InjectRuntimeFilter): the filtered
+    orders side is small, the lineitem side is huge, and neither is
+    pre-bucketed — so at warehouse scale Catalyst builds a bloom filter
+    from the filtered orderkeys and pushes `might_contain(l_orderkey)`
+    into the fact scan, dropping ~97% of fact rows BEFORE the join
+    shuffle.
+
+    Declarative on purpose: with default confs the filter arms itself
+    exactly when it pays (probe scan > 10 GB — i.e. at the 100 TB target,
+    not at fixture scale, where broadcast wins anyway).
+    tests/test_cluster_and_plans.py simulates the size condition and
+    asserts the bloom filter lands in the optimized plan."""
+    sel = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_orderdate")
+    joined = lineitem.join(
+        sel, lineitem["l_orderkey"] == sel["o_orderkey"]
+    )
+    return (
+        joined.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runtime_filtered_join(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted lineitem ⋈ orders aggregated per order status — must equal
     the unsalted join (oracle below is the plain join)."""
@@ -114,6 +161,15 @@ def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "runtime_filtered_join": """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+GROUP BY 1
+""",
     "salted_join_orders": """
 SELECT o_orderstatus, COUNT(*) AS n_lines,
        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
@@ -124,4 +180,5 @@ GROUP BY o_orderstatus
 
 QUERIES = {
     "salted_join_orders": q_salted_join_orders,
+    "runtime_filtered_join": q_runtime_filtered_join,
 }

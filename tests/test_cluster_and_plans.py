@@ -235,3 +235,39 @@ def test_product_spec_rejects_decreasing_range():
         ProductSpec((rng(10, 1, -1),))
     # single-element and increasing ranges still construct
     ProductSpec((rng(5, 5), rng(1, 3)))
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """The selective-slice ⋈ fact join must pick up Catalyst's runtime
+    bloom filter once the probe side is big enough to warrant it. The
+    fixture is far below the 10 GB default probe threshold (where
+    broadcast wins anyway), so simulate the warehouse-scale condition:
+    threshold to 0, broadcast off — then the optimized plan must carry
+    bloom_filter_might_contain on the lineitem side."""
+    from parallelutilities_jl_spark.operators import joins as JN
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = JN.q_runtime_filtered_join(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        # probe side gets might_contain(<bloom built from filtered keys>)
+        assert "might_contain" in opt and "bloom_filter_agg" in opt
+        # and it lands on the fact table's key, before the join
+        probe_filter = next(
+            line for line in opt.splitlines() if "might_contain" in line
+        )
+        assert "l_orderkey" in probe_filter
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
