@@ -39,7 +39,7 @@ def _registries():
     ]
     for name in ("mapreduce", "reductions", "dedup", "similarity", "text",
                  "multimodal", "joins", "pipeline", "clustering",
-                 "sketches"):
+                 "sketches", "layout"):
         try:
             import importlib
 
@@ -74,6 +74,7 @@ _CHEAP_FIRST = [
     "q4_order_priority", "topk_orders", "join_semi", "ordered_reduce_sum",
     "above_segment_avg", "q14_promo_revenue", "lang_id_ngram",
     "pmapbatch_map", "agg_rollup", "extrema_all_dims", "scalar_functions",
+    "zorder_cell_stats",
     "which_partition", "grouping_sets_customer", "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",
     "elementwise_min_arrays", "nelements_dim", "q20_promo_suppliers",
