@@ -78,7 +78,8 @@ _CHEAP_FIRST = [
     "which_partition", "grouping_sets_customer", "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",
     "elementwise_min_arrays", "nelements_dim", "q20_promo_suppliers",
-    "windowed_event_counts", "stream_dedup_events", "hash_split_documents",
+    "windowed_event_counts", "stream_dedup_events", "skew_profile_events",
+    "hash_split_documents",
     "json_props_stats",
     "window_running_sum", "dedup_exact", "join_anti",
     "pmapbatch_partitions", "productsplit_partition_agg",
@@ -91,6 +92,7 @@ _CHEAP_FIRST = [
     "distinct_agg", "min_dim", "q17_small_qty_revenue",
     "elementwise_max_arrays", "percentile_stats", "pmapreduce_bigsum",
     "q8_market_share", "mixture_weighted_sample", "multimodal_decode",
+    "multimodal_arrow_hist",
     "ann_lsh_bucket", "elementwise_product_arrays", "q10_returned_items",
     "max_dim", "q11_important_parts", "corpus_filter_pipeline",
     "salted_join_orders", "extrema_dim", "sessionize_events",

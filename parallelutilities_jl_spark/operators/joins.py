@@ -140,6 +140,38 @@ def q_runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key frequency profile reduced to
+    the numbers that decide a salting strategy — total rows, distinct
+    keys, the hottest key's share, and the salt fan-out that would level
+    it (`ceil(max_cnt / avg_cnt)`, i.e. how many reducers the hot key's
+    rows should spread over to cost no more than an average key).
+
+    This is the planning half of `salted_join`: run the profile once on
+    a sampled or full scan, feed `rec_salts` into the join. Integer
+    arithmetic only (ceil via (a + b - 1) div b), so the oracle matches
+    bit-for-bit. One map-side-combinable count per key, then a
+    single-row reduce — at 100 TB the profile costs one narrow shuffle
+    of (key, partial_count) pairs."""
+    tc = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    prof = tc.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    # hot key's rows per average key's rows, rounded up — integer-only
+    # ceil (a div b on BIGINT), no float division anywhere
+    return prof.withColumn(
+        "rec_salts",
+        F.expr("(max_cnt * n_keys + n_rows - 1) div n_rows"),
+    )
+
+
+def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile the events stream's natural shuffle key (user_id)."""
+    return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id")
+
+
 def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted lineitem ⋈ orders aggregated per order status — must equal
     the unsalted join (oracle below is the plain join)."""
@@ -161,6 +193,15 @@ def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "skew_profile_events": """
+WITH tc AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+             MAX(cnt) AS max_cnt
+      FROM tc)
+SELECT n_rows, n_keys, max_cnt,
+       (max_cnt * n_keys + n_rows - 1) // n_rows AS rec_salts
+FROM a
+""",
     "runtime_filtered_join": """
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        COUNT(*) AS n_lines,
@@ -181,4 +222,5 @@ GROUP BY o_orderstatus
 QUERIES = {
     "salted_join_orders": q_salted_join_orders,
     "runtime_filtered_join": q_runtime_filtered_join,
+    "skew_profile_events": q_skew_profile_events,
 }

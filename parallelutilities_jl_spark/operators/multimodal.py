@@ -208,6 +208,43 @@ def frame_sample(decoded: DataFrame, every_k: int = 8) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def arrow_length_buckets(assets: DataFrame) -> DataFrame:
+    """`mapInArrow` variant of the batch-UDF surface: per-row byte-length
+    buckets computed directly on the Arrow RecordBatch with pyarrow
+    compute kernels. Unlike mapInPandas, the binary payloads are never
+    converted to Python objects — `pc.binary_length` reads the Arrow
+    offsets buffer only, so a task's memory stays at the Arrow batch
+    plus two integer arrays regardless of blob size. This is the shape
+    real fixed-cost batch metadata passes (length/magic/validity
+    screens) should take at 100 TB."""
+    import pyarrow as pa
+
+    def buckets(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            lens = pc.cast(pc.binary_length(cols["content"]), pa.int64())
+            bucket = pc.divide(lens, pa.scalar(256, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [cols["asset_id"], cols["modality"], lens, bucket],
+                ["asset_id", "modality", "n_bytes", "bucket"],
+            )
+
+    return assets.mapInArrow(
+        buckets, "asset_id long, modality string, n_bytes long, bucket long"
+    )
+
+
+def q_multimodal_arrow_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy length histogram: mapInArrow screen, then built-in agg."""
+    per_row = arrow_length_buckets(synthesize_assets(spark, sf_dir))
+    return per_row.groupBy("modality", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthesize_assets(spark, sf_dir)
     return assets.select(
@@ -283,6 +320,15 @@ SELECT asset_id, width, height,
        CAST(GREATEST(1, FLOOR(height * ({RESIZE_BOX}.0 / GREATEST(width, height)))) AS INT) AS new_h
 FROM decoded WHERE modality = 'image'
 """,
+    "multimodal_arrow_hist": """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) // 256 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents GROUP BY 1, 2
+""",
     "multimodal_binary_stats": """
 SELECT doc_id AS asset_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -296,6 +342,7 @@ FROM documents
 }
 
 QUERIES = {
+    "multimodal_arrow_hist": q_multimodal_arrow_hist,
     "multimodal_binary_stats": q_multimodal_binary_stats,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
