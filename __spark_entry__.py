@@ -69,7 +69,8 @@ _CHEAP_FIRST = [
     "product_getindex", "split_length", "split_first_last", "worker_rank",
     "index_in_product", "q6_forecast_revenue", "split_membership",
     "stream_join_attribution", "window_topk_per_group", "join_left_outer",
-    "reduce_with_init", "unpivot_part_metrics", "date_breakdown",
+    "reduce_with_init", "join_full_outer", "unpivot_part_metrics",
+    "date_breakdown",
     "q12_priority_lines", "string_agg_nations", "drop_leading_dim",
     "q4_order_priority", "topk_orders", "join_semi", "ordered_reduce_sum",
     "above_segment_avg", "q14_promo_revenue", "lang_id_ngram",
@@ -107,7 +108,7 @@ _CHEAP_FIRST = [
     "q5_local_supplier_volume", "q7_volume_shipping",
     "multimodal_frame_sample", "contamination_check", "extrema_lastdim",
     "repetition_stats", "unigram_logppl", "sequence_packing",
-    "tfidf_top_terms", "cms_heavy_hitters",
+    "tfidf_top_terms", "cms_heavy_hitters", "doc_chunk_windows",
     "substring_dup_spans", "minhash_signature", "simhash_fingerprint",
     "q15_top_supplier", "multimodal_resize", "q22_idle_rich_customers",
     "approx_distinct_check", "minhash_near_dup", "simhash_near_dup",

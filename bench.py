@@ -58,6 +58,10 @@ HEADLINE = [
     "sequence_packing",
     "corpus_shuffle",
     "training_order_packing",
+    "cms_heavy_hitters",
+    "runtime_filtered_join",
+    "zorder_cell_stats",
+    "doc_chunk_windows",
 ]
 
 

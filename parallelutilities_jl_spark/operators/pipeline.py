@@ -701,7 +701,68 @@ FROM c
 """
 
 
+CHUNK_WINDOW = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks (RAG-ingest shape): every document
+    explodes into 64-token windows starting every 48 tokens, each
+    carrying its md5 content fingerprint — the unit that downstream
+    embeds and indexes. Per-doc work only (tokenize → explode → slice →
+    hash, all codegen'd JVM expressions, no shuffle at all); chunk count
+    is ~n_tokens/stride, so output scales linearly with the corpus."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        TH.words(F.col("text")).alias("w"),
+    ).withColumn("n", F.size("w").cast("long"))
+    exploded = w.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("n") - 1,
+                F.lit(CHUNK_STRIDE).cast("long"),
+            )
+        ).alias("start"),
+    )
+    n_toks = F.least(F.lit(CHUNK_WINDOW).cast("long"), F.col("n") - F.col("start"))
+    return exploded.select(
+        "doc_id",
+        "start",
+        n_toks.alias("n_toks"),
+        F.md5(
+            F.array_join(
+                F.slice("w", F.col("start") + 1, n_toks), " "
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH w AS (
+  SELECT doc_id, {TH.dd_words('text')} AS wl FROM documents
+),
+n AS (SELECT doc_id, wl, CAST(len(wl) AS BIGINT) AS n FROM w),
+s AS (
+  SELECT doc_id, wl, n,
+         unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS start
+  FROM n
+)
+SELECT doc_id, start,
+       LEAST({CHUNK_WINDOW}, n - start) AS n_toks,
+       md5(array_to_string(
+           wl[start + 1 : start + LEAST({CHUNK_WINDOW}, n - start)], ' '))
+         AS chunk_md5
+FROM s
+"""
+
+
 QUERIES = {
+    "doc_chunk_windows": q_doc_chunk_windows,
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
@@ -715,6 +776,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_chunk_windows": ORACLE_DOC_CHUNKS,
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,

@@ -259,6 +259,52 @@ GROUP BY c_custkey
 """
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with coalesced keys: per-(user, day) click activity
+    stitched to purchase activity. customer⟗orders would be vacuous
+    (the FK always matches); click-days vs purchase-days is sparse on
+    BOTH sides (~105 left-only / ~99 right-only at sf0.001), so the
+    outer semantics are actually exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day")
+
+    def side(etype: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", day)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    clicks = side("click", "n_clicks")
+    purchases = side("purchase", "n_purchases")
+    # list-form join coalesces the USING keys across both sides
+    return clicks.join(purchases, ["user_id", "day"], "full").select(
+        "user_id",
+        "day",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+ORACLE_JOIN_FULL = """
+WITH c AS (
+  SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.day, p.day) AS day,
+       COALESCE(c.n, 0) AS n_clicks,
+       COALESCE(p.n, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi (EXISTS): customers with at least one open order."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1534,6 +1580,7 @@ QUERIES = {
     "q6_forecast_revenue": q_forecast_revenue,
     "q10_returned_items": q_returned_items,
     "join_left_outer": q_join_left,
+    "join_full_outer": q_join_full_outer,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_broadcast_dim": q_join_broadcast_dim,
@@ -1600,6 +1647,7 @@ ORACLES = {
     "q6_forecast_revenue": ORACLE_FORECAST,
     "q10_returned_items": ORACLE_RETURNED,
     "join_left_outer": ORACLE_JOIN_LEFT,
+    "join_full_outer": ORACLE_JOIN_FULL,
     "join_semi": ORACLE_JOIN_SEMI,
     "join_anti": ORACLE_JOIN_ANTI,
     "join_broadcast_dim": ORACLE_JOIN_BROADCAST,
