@@ -39,7 +39,7 @@ def _registries():
     ]
     for name in ("mapreduce", "reductions", "dedup", "similarity", "text",
                  "multimodal", "joins", "pipeline", "clustering",
-                 "sketches", "layout"):
+                 "sketches", "layout", "retrieval"):
         try:
             import importlib
 
