@@ -1319,6 +1319,73 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 7-day revenue: a RANGE interval frame (6
+    preceding days + the current day, all peer rows included) over an
+    integer day key — the time-series frame a monitoring rollup uses.
+
+    Both engines order by the identical integer `day_no` (days since
+    epoch) so frame membership is bit-identical; the framed SUM goes
+    through DECIMAL per the float-parity policy. Shape: one shuffle on
+    o_custkey, then a sorted single-pass sliding frame per partition —
+    no self-join, no re-scan, linear at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    ).alias("day_no")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("day_no"))
+        .rangeBetween(-6, 0)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", day, "o_totalprice"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "day_no",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
+    )
+
+
+ORACLE_ROLLING_7D = """
+SELECT o_orderkey, o_custkey,
+       (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_no,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_7d
+FROM orders
+"""
+
+
+_SQL_LATERAL_TOPK = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation, expressed as a lateral per-row subquery (the SQL-standard
+    form of for-each-row-top-k). Catalyst decorrelates it into the same
+    partitioned window-rank plan `window_topk_per_group` builds by hand
+    — declared here so the SQL surface itself is covered. The outer side
+    is the 25-row nation dim; the inner scan shuffles once on
+    nationkey."""
+    from parallelutilities_jl_spark.sources.fixtures import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPK)
+
+
 # ---------------------------------------------------------------------------
 # Remaining TPC-H shapes, adapted to the fixture schema (no partsupp
 # table, no l_commitdate/l_receiptdate/o_comment columns — each query
@@ -1615,6 +1682,8 @@ QUERIES = {
     "q15_top_supplier": q_top_supplier,
     "q22_idle_rich_customers": q_idle_rich_customers,
     "window_rank_functions": q_window_functions,
+    "window_rolling_7d": q_rolling_7d_revenue,
+    "lateral_topk_per_nation": q_lateral_topk,
     "q13_custdist": q_custdist,
     "q11_important_parts": q_important_parts,
     "q16_parts_supplier_cnt": q_parts_supplier_cnt,
@@ -1638,6 +1707,8 @@ ORACLES = {
     "q15_top_supplier": _SQL_TOP_SUPPLIER,
     "q22_idle_rich_customers": _SQL_IDLE_RICH_CUSTOMERS,
     "window_rank_functions": ORACLE_WINDOW_FUNCTIONS,
+    "window_rolling_7d": ORACLE_ROLLING_7D,
+    "lateral_topk_per_nation": _SQL_LATERAL_TOPK,
     "percentile_stats": ORACLE_PERCENTILE,
     "above_segment_avg": ORACLE_ABOVE_AVG,
     "string_agg_nations": ORACLE_STRING_AGG,
