@@ -72,6 +72,8 @@ _CHEAP_FIRST = [
     "reduce_with_init", "join_full_outer", "unpivot_part_metrics",
     "date_breakdown",
     "q12_priority_lines", "string_agg_nations", "drop_leading_dim",
+    "lateral_topk_per_nation", "incremental_agg_merge",
+    "window_rolling_7d", "phrase_match_docs",
     "q4_order_priority", "topk_orders", "join_semi", "ordered_reduce_sum",
     "above_segment_avg", "q14_promo_revenue", "lang_id_ngram",
     "pmapbatch_map", "agg_rollup", "extrema_all_dims", "scalar_functions",
@@ -87,6 +89,7 @@ _CHEAP_FIRST = [
     "partition_and_index", "elementwise_sum_arrays", "set_ops",
     "token_stats", "ann_cosine_topk", "join_broadcast_dim",
     "runtime_filtered_join",
+    "bm25_topk",
     "q3_shipping_priority", "agg_cube", "q13_custdist", "range_join",
     "ordered_concat", "q9_profit_by_nation", "local_index",
     "session_window_agg", "stratified_sample", "text_quality_score",
@@ -111,7 +114,8 @@ _CHEAP_FIRST = [
     "tfidf_top_terms", "cms_heavy_hitters", "doc_chunk_windows",
     "substring_dup_spans", "minhash_signature", "simhash_fingerprint",
     "q15_top_supplier", "multimodal_resize", "q22_idle_rich_customers",
-    "approx_distinct_check", "minhash_near_dup", "simhash_near_dup",
+    "approx_distinct_check", "minhash_near_dup", "containment_dups",
+    "simhash_near_dup",
     "incremental_dedup",
     "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",

@@ -318,6 +318,72 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: pairs where the smaller document's shingle
+    set is mostly INSIDE the larger one's — containment =
+    |A∩B| / min(|A|, |B|). Symmetric Jaccard misses the
+    quote-a-whole-document-inside-a-bigger-one shape (a 100-word doc
+    fully embedded in a 10,000-word doc has Jaccard ≈ 0.01 but
+    containment 1.0); excising such subset-duplication is a standard
+    LLM-corpus step alongside Jaccard dedup.
+
+    Same scale shape as `minhash_near_dup`: ONE corpus-sized
+    groupBy(doc_id) feeding signatures, banding, and verify; banded
+    bucket self-join for candidates; exact set math on candidates only.
+    (LSH banding recalls high-Jaccard pairs best, so low-Jaccard/
+    high-containment pairs with very lopsided sizes may be missed by
+    the bands — the standard mitigation at scale is re-banding on the
+    smaller doc's signature prefix; the fixture's near-dup pairs are
+    size-balanced enough that banding recalls them.)"""
+    sh = shingle_docs(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id", "sh", TH.md5_int60(F.col("sh")).alias("h")
+    )
+    mins = [
+        F.min(F.col("h").bitwiseXOR(F.lit(TH.MINHASH_XOR_SALTS[i]))).alias(
+            f"h{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    per_doc = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *mins,
+            F.collect_list("sh").alias("shs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .cache()
+    )
+    cands = candidate_pairs(lsh_bands(per_doc))
+    aa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+    )
+    bb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+    )
+    ni = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    cont = F.col("ni").cast("double") / F.least("na", "nb")
+    return (
+        cands.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("ni", ni)
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "ni",
+            F.floor(cont * 1e6).cast("long").alias("containment_q6"),
+        )
+    )
+
+
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The signatures themselves (first 4 hash columns) — checks the
     sketch layer independently of banding."""
@@ -699,8 +765,24 @@ SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n
 """
 
 
+_DD_CONTAINMENT_TAIL = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT doc_a, doc_b, COUNT(*) AS ni
+          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+          GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, ni,
+       CAST(FLOOR(CAST(ni AS DOUBLE) / LEAST(x.n, y.n) * 1000000) AS BIGINT)
+         AS containment_q6
+FROM inter JOIN sizes x ON x.doc_id = doc_a
+JOIN sizes y ON y.doc_id = doc_b
+WHERE CAST(ni AS DOUBLE) / LEAST(x.n, y.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "containment_dups": q_containment_dups,
     "incremental_dedup": q_incremental_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_signature": q_minhash_signature,
@@ -712,3 +794,13 @@ QUERIES = {
 
 ORACLES = _oracles()
 ORACLES["dedup_components"] = _oracle_components()
+ORACLES["containment_dups"] = (
+    f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
+    f"bok AS (SELECT band, key FROM bands GROUP BY band, key "
+    f"HAVING COUNT(*) <= {MAX_LSH_BUCKET}), "
+    "bandsf AS (SELECT bands.* FROM bands JOIN bok USING (band, key)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.key = b.key "
+    "AND a.doc_id < b.doc_id), "
+    + _DD_CONTAINMENT_TAIL
+)

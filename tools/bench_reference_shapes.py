@@ -50,9 +50,16 @@ def main() -> None:
 
     # docs/src/index.md:22-46 — f = ones(10_000, 1_000) per worker,
     # summed elementwise. ref: 2.17 s (+) / 1.79 s (elsum) on 56 cores.
+    # num_partitions < n_tasks: in-partition accumulation before the
+    # chunk shuffle (ship n_parts × 80 MB, not n_tasks × 80 MB) — the
+    # same two-level staging the reference's per-host tree performs
     def dense():
         return pmapreduce_dense_elsum(
-            spark, 32, lambda i: np.ones((10_000, 1_000)), n_chunks=32
+            spark,
+            32,
+            lambda i: np.ones((10_000, 1_000)),
+            num_partitions=8,
+            n_chunks=32,
         )
 
     dt, out = timed(dense)
