@@ -6,6 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced end-to-end with a noop write (full computation, no
 driver-side collect bottleneck).
+
+Each query is measured REPS times after a warm run and the MEDIAN is
+reported ("queries"), with per-query min/max spread in "spread" —
+single-rep numbers on this rig swing up to ~4.7x with identical code
+(round-4 verdict), so only a median is a defensible perf signal.
 """
 
 from __future__ import annotations
@@ -13,12 +18,14 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # headline set: one per operator family (relational star join, scan-agg,
 # window, as-of, product mapreduce, metadata grid, dedup, similarity, text)
@@ -75,6 +82,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
@@ -85,15 +93,19 @@ def main() -> None:
         # any cache the query itself maintains — the resident-index case)
         spark.catalog.clearCache()
         # warm once (Catalyst planning + whole-stage codegen compile +
-        # parquet footers), measure the second run — the reference's
+        # parquet footers), measure the next REPS runs — the reference's
         # published numbers are likewise post-precompilation
         # (BASELINE.md: "timings after precompilation")
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        dt = round(time.perf_counter() - t0, 3)
+        reps: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            reps.append(round(time.perf_counter() - t0, 3))
+        dt = round(statistics.median(reps), 3)
         timings[name] = dt
+        spread[name] = [min(reps), max(reps)]
         total += dt
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -105,6 +117,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": REPS,
                 "sf": sf,
             }
         )

@@ -761,61 +761,8 @@ FROM s
 """
 
 
-_MERGE_SPLIT = "1999-01-01"  # snapshot/delta boundary inside the date range
-
-
-def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized-view maintenance: a monthly revenue rollup kept as a
-    SNAPSHOT of partial aggregates (orders before the boundary) merged
-    with a new DELTA batch (orders after) — union the two partial-agg
-    frames and re-aggregate, never re-scanning the snapshot's raw rows.
-    Correctness contract (what the oracle checks): merged partials ==
-    full recompute over all raw rows, which holds because count/sum are
-    decomposable and the decimal sums are combine-order-free.
-
-    At 100 TB: the snapshot side is months × keys rows (tiny — already
-    aggregated), so the daily merge costs one scan of the delta plus a
-    shuffle of two partial-agg frames; the alternative full recompute
-    re-scans the whole fact table every ingest."""
-    orders = load_table(spark, sf_dir, "orders")
-    month = (
-        F.year("o_orderdate") * 100 + F.month("o_orderdate")
-    ).cast("long").alias("ym")
-    boundary = F.to_timestamp(F.lit(_MERGE_SPLIT))
-
-    def partial(df):
-        return df.select(month, "o_totalprice").groupBy("ym").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
-                "rev_dec"
-            ),
-        )
-
-    snapshot = partial(orders.filter(F.col("o_orderdate") < boundary))
-    delta = partial(orders.filter(F.col("o_orderdate") >= boundary))
-    return (
-        snapshot.unionByName(delta)
-        .groupBy("ym")
-        .agg(
-            F.sum("n_orders").alias("n_orders"),
-            F.sum("rev_dec").cast("double").alias("revenue"),
-        )
-    )
-
-
-# oracle = full recompute from raw rows; equality proves the merge
-ORACLE_INCR_AGG_MERGE = """
-SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
-FROM orders
-GROUP BY 1
-"""
-
-
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
-    "incremental_agg_merge": q_incremental_agg_merge,
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
@@ -830,7 +777,6 @@ QUERIES = {
 
 ORACLES = {
     "doc_chunk_windows": ORACLE_DOC_CHUNKS,
-    "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,

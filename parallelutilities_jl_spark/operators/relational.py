@@ -1050,10 +1050,10 @@ def q_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRIORITY_LINES = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '2000-01-01'
   AND l_shipdate < TIMESTAMP '2001-01-01'
@@ -1640,8 +1640,61 @@ GROUP BY s_name
 """
 
 
+_MERGE_SPLIT = "1999-01-01"  # snapshot/delta boundary inside the date range
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a monthly revenue rollup kept as a
+    SNAPSHOT of partial aggregates (orders before the boundary) merged
+    with a new DELTA batch (orders after) — union the two partial-agg
+    frames and re-aggregate, never re-scanning the snapshot's raw rows.
+    Correctness contract (what the oracle checks): merged partials ==
+    full recompute over all raw rows, which holds because count/sum are
+    decomposable and the decimal sums are combine-order-free.
+
+    At 100 TB: the snapshot side is months × keys rows (tiny — already
+    aggregated), so the daily merge costs one scan of the delta plus a
+    shuffle of two partial-agg frames; the alternative full recompute
+    re-scans the whole fact table every ingest."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = (
+        F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    ).cast("long").alias("ym")
+    boundary = F.to_timestamp(F.lit(_MERGE_SPLIT))
+
+    def partial(df):
+        return df.select(month, "o_totalprice").groupBy("ym").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                "rev_dec"
+            ),
+        )
+
+    snapshot = partial(orders.filter(F.col("o_orderdate") < boundary))
+    delta = partial(orders.filter(F.col("o_orderdate") >= boundary))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("ym")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+# oracle = full recompute from raw rows; equality proves the merge
+ORACLE_INCR_AGG_MERGE = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
+    "incremental_agg_merge": q_incremental_agg_merge,
     "q3_shipping_priority": q_shipping_priority,
     "q5_local_supplier_volume": q_local_supplier_volume,
     "q6_forecast_revenue": q_forecast_revenue,
@@ -1693,6 +1746,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "q4_order_priority": ORACLE_ORDER_PRIORITY,
     "q7_volume_shipping": ORACLE_VOLUME_SHIPPING,
     "q8_market_share": ORACLE_MARKET_SHARE,

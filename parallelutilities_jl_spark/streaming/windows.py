@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 
 from parallelutilities_jl_spark.sources.fixtures import load_table
 
-EVENTS_LONG_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -31,8 +31,10 @@ SESSION_GAP_SEC = 1800
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as nanos —
-    converted to a microsecond timestamp, same as the batch loader).
+    """File-source stream over the events parquet. The fixture stores
+    `ts` as parquet `timestamp[us]` (see tests/test_streaming.py fixture
+    guard), so the stream schema declares `ts timestamp` directly — the
+    same type the batch loader sees.
 
     The parquet file source wants a *directory* it can watch for new
     files; the fixture is a single file, so it is exposed through a
@@ -41,18 +43,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="pu_events_stream_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stage, "events.parquet"),
     )
-    raw = (
-        spark.readStream.schema(EVENTS_LONG_SCHEMA)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
         .load(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, watermark: bool = True) -> DataFrame:

@@ -29,6 +29,30 @@ def _norm(rows):
     return sorted(tuple(r) for r in rows)
 
 
+def test_stream_schema_matches_fixture_physical_type(sf_dir):
+    """Fixture-drift guard: the stream schema's `ts` declaration must
+    agree with the parquet file's PHYSICAL type. Round-3/4 shipped a
+    schema that read timestamp[us] as nanoseconds (every window landed in
+    Jan 1970); this pins the conversion to the fixture so a regen that
+    changes the unit turns this red at fixture time, not via four
+    downstream stream≡batch failures."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ts_field = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")
+    ).field("ts")
+    # stream schema declares `ts timestamp` == parquet timestamp[us].
+    # If the fixture ever regenerates as int64-nanos (or ns timestamps),
+    # stream_events needs an explicit conversion again.
+    assert str(ts_field.type) == "timestamp[us]", (
+        f"events.ts physical type changed to {ts_field.type}; "
+        "update EVENTS_STREAM_SCHEMA / stream_events conversion to match"
+    )
+    assert "ts timestamp," in SW.EVENTS_STREAM_SCHEMA
+
+
 def test_stream_tumbling_equals_batch(spark, sf_dir):
     ev = SW.stream_events(spark, sf_dir)
     got = _run_stream(spark, SW.tumbling_counts(ev), "t_tumble")
