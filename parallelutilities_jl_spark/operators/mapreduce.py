@@ -475,19 +475,22 @@ def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     full = _sf_of(sf_dir) >= 0.1
     shape = (10_000, 1_000) if full else (1_000, 1_000)
-    # chunk count sized so each reduce slice is a few MB (32-way parallel
-    # adds at the 80 MB reference shape); map partitions sized BELOW the
-    # task count so cheap-to-generate arrays accumulate in-partition
-    # before the chunk shuffle — shuffle volume is n_parts × array_bytes,
-    # so 8 partitions ship 640 MB instead of 2.5 GB (the reference's
-    # per-host staging, src/trees.jl:42-137, plays the same role)
+    # map partitions sized BELOW the task count so cheap-to-generate
+    # arrays accumulate in-partition before the chunk shuffle — shuffle
+    # volume is n_parts × array_bytes, so 8 partitions ship 640 MB
+    # instead of 2.5 GB (the reference's per-host staging,
+    # src/trees.jl:42-137, plays the same role). Chunk count sized so
+    # each reduce slice is ~5 MB: a median-of-3 sweep on local[32]
+    # showed 16 chunks ~2.6× faster than 32 at the 80 MB shape (fewer
+    # reduce tasks + fewer pickle frames beat extra add-parallelism,
+    # which is memory-bandwidth-bound anyway).
     par = spark.sparkContext.defaultParallelism
     out = pmapreduce_dense_elsum(
         spark,
         32,
         lambda i: np.ones(shape),
         num_partitions=max(2, min(32, par // 4)) if full else None,
-        n_chunks=32 if full else 8,
+        n_chunks=16 if full else 8,
     )
     return spark.createDataFrame(
         [

@@ -23,13 +23,13 @@ from parallelutilities_jl_spark.session import get_spark  # noqa: E402
 SHAPE = (10_000, 1_000)
 N_TASKS = 32
 VARIANTS = [
-    (8, 32),   # current bench config
-    (8, 64),
-    (16, 32),
-    (16, 64),
-    (32, 32),
-    (4, 32),
-    (8, 16),
+    (8, 16),   # round-5 winner so far
+    (8, 8),
+    (4, 16),
+    (16, 16),
+    (4, 8),
+    (8, 12),
+    (8, 16),   # repeat winner to gauge run-to-run noise
 ]
 
 
