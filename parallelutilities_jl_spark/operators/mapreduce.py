@@ -475,21 +475,23 @@ def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     full = _sf_of(sf_dir) >= 0.1
     shape = (10_000, 1_000) if full else (1_000, 1_000)
-    # map partitions sized BELOW the task count so cheap-to-generate
+    # map partitions sized WELL below the task count so cheap-to-generate
     # arrays accumulate in-partition before the chunk shuffle — shuffle
-    # volume is n_parts × array_bytes, so 8 partitions ship 640 MB
+    # volume is n_parts × array_bytes, so 4 partitions ship 320 MB
     # instead of 2.5 GB (the reference's per-host staging,
     # src/trees.jl:42-137, plays the same role). Chunk count sized so
-    # each reduce slice is ~5 MB: a median-of-3 sweep on local[32]
+    # each reduce slice is ~5 MB: a median-of-N sweep on local[32]
     # showed 16 chunks ~2.6× faster than 32 at the 80 MB shape (fewer
     # reduce tasks + fewer pickle frames beat extra add-parallelism,
-    # which is memory-bandwidth-bound anyway).
+    # which is memory-bandwidth-bound anyway), and 4 map partitions both
+    # faster AND far tighter-variance than 8 under bench-sequence JVM
+    # pressure (median 1.17 s, max 1.34 s vs median 1.61 s, max 2.61 s).
     par = spark.sparkContext.defaultParallelism
     out = pmapreduce_dense_elsum(
         spark,
         32,
         lambda i: np.ones(shape),
-        num_partitions=max(2, min(32, par // 4)) if full else None,
+        num_partitions=max(2, min(32, par // 8)) if full else None,
         n_chunks=16 if full else 8,
     )
     return spark.createDataFrame(
