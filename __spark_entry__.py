@@ -125,15 +125,29 @@ _CHEAP_FIRST = [
 
 
 # The driver's time-budgeted sweep records ~50 rows per round; rotate the
-# recorded cohort each round so every query eventually gets a
-# driver-attested row (round 4 judge sweep covered the rest). Round 5:
-# start at the second cohort, with q12_priority_lines pulled to the front
-# so its oracle-typing fix gets a driver-recorded green hash this round.
-_SWEEP_ROTATION = 50
+# recorded cohort each round so over any 3 consecutive rounds every query
+# gets a driver-attested row (rounds 1-4 always recorded the first 50).
+# The round number comes from PROGRESS.jsonl next to this file; rotation
+# is round-5-anchored: r5 -> 50, r6 -> 100, r7 -> 0, r8 -> 50, ...
+# q12_priority_lines stays pinned first: its round-5 oracle-typing fix
+# needs a driver-recorded green hash, and it costs <1 s thereafter.
+def _current_round(default: int = 5) -> int:
+    import json
+    import os
+
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "PROGRESS.jsonl")
+        with open(path) as f:
+            last = [ln for ln in f if ln.strip()][-1]
+        return int(json.loads(last)["round"])
+    except Exception:
+        return default
 
 
 def _sweep_order() -> list[str]:
-    rot = _CHEAP_FIRST[_SWEEP_ROTATION:] + _CHEAP_FIRST[:_SWEEP_ROTATION]
+    rotation = ((_current_round() - 4) * 50) % len(_CHEAP_FIRST)
+    rot = _CHEAP_FIRST[rotation:] + _CHEAP_FIRST[:rotation]
     rot.remove("q12_priority_lines")
     return ["q12_priority_lines"] + rot
 

@@ -58,8 +58,8 @@ def main() -> None:
             spark,
             32,
             lambda i: np.ones((10_000, 1_000)),
-            num_partitions=8,
-            n_chunks=32,
+            num_partitions=4,
+            n_chunks=16,
         )
 
     dt, out = timed(dense)
@@ -73,9 +73,15 @@ def main() -> None:
     if os.environ.get("PU_BENCH_BIG"):
         # docs/src/index.md:72-99 — ones(10_000, 10_000) per worker on
         # one 28-core node. ref: 10.11 s (+) / 7.26 s (elsum).
+        # 800 MB per partial: keep the chunk shuffle at 4 × 800 MB, not
+        # 28 × 800 MB (the default num_partitions == task count here)
         def dense_big():
             return pmapreduce_dense_elsum(
-                spark, 28, lambda i: np.ones((10_000, 10_000)), n_chunks=32
+                spark,
+                28,
+                lambda i: np.ones((10_000, 10_000)),
+                num_partitions=4,
+                n_chunks=16,
             )
 
         dt, out = timed(dense_big)
