@@ -76,6 +76,14 @@ def main() -> None:
     from parallelutilities_jl_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    global HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        # selective run for profiling / contract smoke tests; the driver
+        # never sets this, so its per-round numbers stay the full set
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        HEADLINE = [q for q in HEADLINE if q in wanted]
+
     spark = get_spark(app_name="pu_bench")
     qs = entrymod.queries()
     # warmup: JVM + parquet footer caches

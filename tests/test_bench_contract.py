@@ -1,0 +1,46 @@
+"""The driver runs `python bench.py` per round and parses its stdout as
+ONE JSON line with keys metric/value/unit/queries/sf — a broken print, a
+stray stdout line, or a renamed key silently voids the round's perf
+record. This smoke-runs the real CLI (subprocess, tiny SF, two queries,
+one rep) and asserts the contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_cli_emits_single_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,which_partition",
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE stdout line, got: {lines}"
+    d = json.loads(lines[0])
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(d)
+    assert d["unit"] == "sec" and d["sf"] == 0.001
+    assert set(d["queries"]) == {"q1_pricing_summary", "which_partition"}
+    assert d["value"] > 0
+    # round-5 additions: per-query [min, max] spread + rep count
+    assert d["reps"] == 1
+    assert set(d["spread"]) == set(d["queries"])
