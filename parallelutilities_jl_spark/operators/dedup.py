@@ -747,6 +747,67 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(q_minhash_near_dup(spark, sf_dir))
 
 
+def q_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by QUALITY, not position: real pipelines keep
+    the best document of each near-dup cluster (highest quality score),
+    not the one with the smallest id — a crawl's earliest copy is often
+    the worst one. Composes the dup components with the text-quality
+    scorer: every doc gets its component (singletons are their own), the
+    per-component canonical is the argmax of (quality, then smaller id
+    as the tiebreak), and `keep` marks the survivors.
+
+    Determinism: the score is quantized to floor(score * 1e6) BEFORE the
+    argmax, so canonical selection is integer-exact and cross-engine
+    stable even at quality ties. The argmax itself is a partial-
+    aggregable integer struct max (map-side combinable) — no window over
+    the corpus.
+
+    At 100 TB: the dup-pair machinery is the LSH pipeline above (banded,
+    df-capped); on top of it this adds one equi-join of documents with
+    the (smaller) component map and one groupBy(component) — both plain
+    key shuffles, nothing data-sized beyond them."""
+    from parallelutilities_jl_spark.operators.text import quality_parts
+
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    _, _, score = quality_parts(F.col("text"))
+    scored = docs.select(
+        "doc_id", F.floor(score * 1e6).cast("long").alias("score_q6")
+    )
+    full = (
+        scored.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias(
+                "component_id"
+            ),
+            "score_q6",
+        )
+        .cache()  # reused by the canonical agg and the final join
+    )
+    canon = (
+        full.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score_q6"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "component_id", (-F.col("m.neg_id")).alias("canonical_doc_id")
+        )
+    )
+    return full.join(canon, "component_id").select(
+        "doc_id",
+        "component_id",
+        "canonical_doc_id",
+        "score_q6",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+    )
+
+
 def _oracle_components() -> str:
     """Recursive transitive closure reaches the same unique fixpoint the
     propagation loop converges to."""
@@ -762,6 +823,39 @@ reach(n, m) AS (
   SELECT r.n, und.v FROM reach r JOIN und ON r.m = und.u
 )
 SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n
+"""
+
+
+def _oracle_quality_canonical() -> str:
+    """Same transitive closure as `_oracle_components`, then the same
+    quantized-quality argmax (ROW_NUMBER over score_q6 DESC, doc_id ASC
+    == the integer struct max on the Spark side)."""
+    from parallelutilities_jl_spark.operators.text import dd_quality_score
+
+    edge_sql = _oracles()["minhash_near_dup"]
+    q6 = f"CAST(FLOOR(({dd_quality_score('text')}) * 1000000) AS BIGINT)"
+    return f"""
+WITH RECURSIVE
+e2 AS (SELECT doc_a, doc_b FROM ({edge_sql})),
+und AS (SELECT doc_a AS u, doc_b AS v FROM e2
+        UNION ALL SELECT doc_b, doc_a FROM e2),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.n, und.v FROM reach r JOIN und ON r.m = und.u
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n),
+scored AS (SELECT doc_id, {q6} AS score_q6 FROM documents),
+fulld AS (SELECT s.doc_id,
+                 COALESCE(c.component_id, s.doc_id) AS component_id,
+                 s.score_q6
+          FROM scored s LEFT JOIN comp c ON s.doc_id = c.doc_id),
+canon AS (SELECT component_id, doc_id AS canonical_doc_id FROM fulld
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY component_id
+                  ORDER BY score_q6 DESC, doc_id ASC) = 1)
+SELECT f.doc_id, f.component_id, c.canonical_doc_id, f.score_q6,
+       f.doc_id = c.canonical_doc_id AS keep
+FROM fulld f JOIN canon c USING (component_id)
 """
 
 
@@ -790,10 +884,12 @@ QUERIES = {
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_components": q_dedup_components,
+    "quality_canonical_dedup": q_quality_canonical_dedup,
 }
 
 ORACLES = _oracles()
 ORACLES["dedup_components"] = _oracle_components()
+ORACLES["quality_canonical_dedup"] = _oracle_quality_canonical()
 ORACLES["containment_dups"] = (
     f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
     f"bok AS (SELECT band, key FROM bands GROUP BY band, key "

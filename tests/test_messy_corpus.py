@@ -64,7 +64,13 @@ def _doc_queries():
         {
             k: v
             for k, v in dedup.QUERIES.items()
-            if k in ("dedup_exact", "minhash_near_dup", "simhash_fingerprint")
+            if k
+            in (
+                "dedup_exact",
+                "minhash_near_dup",
+                "simhash_fingerprint",
+                "quality_canonical_dedup",
+            )
         }
     )
     return sorted(qs.items())
@@ -126,3 +132,32 @@ def test_connected_components_chain_and_nonconvergence(spark):
     assert {r["component_id"] for r in rows} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=3).collect()
+
+
+def test_quality_canonical_differs_from_min_id(spark):
+    """The quality-argmax canonical must actually CHANGE survivors vs
+    the min-doc_id policy on the real corpus — otherwise the operator is
+    a vacuous relabeling of dedup_components. sf0.01 has ~22 multi-doc
+    dup clusters; in roughly half the best-quality member is not the
+    lowest id."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        q_quality_canonical_dedup,
+    )
+
+    rows = q_quality_canonical_dedup(spark, "/root/testdata/sf0.01").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    multi = [v for v in by_comp.values() if len(v) > 1]
+    assert multi, "no multi-doc dup clusters — dedup pipeline broken"
+    nonmin = [
+        v
+        for v in multi
+        if v[0]["canonical_doc_id"] != min(r["doc_id"] for r in v)
+    ]
+    assert nonmin, "canonical always == min id — quality argmax vacuous"
+    # exactly one survivor per component, and it is its own canonical
+    for v in by_comp.values():
+        keeps = [r for r in v if r["keep"]]
+        assert len(keeps) == 1
+        assert keeps[0]["doc_id"] == keeps[0]["canonical_doc_id"]
