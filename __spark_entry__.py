@@ -120,7 +120,8 @@ _CHEAP_FIRST = [
     "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
     "ann_ivf_trained_topk", "embedding_cosine_dups",
-    "multimodal_features", "dedup_components", "training_order_packing",
+    "multimodal_features", "dedup_components", "quality_canonical_dedup",
+    "training_order_packing",
 ]
 
 
