@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Third-point linearity check for the scale-path operators.
+
+test_linear_scaling.py compares sf0.01 -> sf0.1 (10x documents). This
+tool derives a 10x-of-sf0.1 stress corpus (50k docs, 20k embeddings)
+from the provided fixtures — each original document appears in 10
+shards with shifted ids, odd shards lightly perturbed so the corpus has
+both exact and near duplicates at 10x the density of the fixture — and
+times the dedup/similarity/packing paths at sf0.01, sf0.1, and the
+stress tier. A scale-safe operator should grow ~linearly with rows
+even though the DUPLICATE DENSITY grows too (hot LSH buckets are
+exactly what the document-frequency caps exist for).
+
+    python tools/scale_stress.py          # writes /tmp/pu_sfx1, prints JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+STRESS = os.environ.get("PU_STRESS_DIR", "/tmp/pu_sfx1")
+SHARDS = 10
+ID_STRIDE = 10_000_000
+
+QUERIES = (
+    "dedup_exact",
+    "minhash_near_dup",
+    "simhash_fingerprint",
+    "embedding_cosine_dups",
+    "sequence_packing",
+    "corpus_shuffle",
+    "tfidf_top_terms",
+    "quality_canonical_dedup",
+)
+
+
+def build_stress_corpus() -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(STRESS, exist_ok=True)
+    docs = pq.read_table(os.path.join(SF1, "documents.parquet"))
+    parts = []
+    for s in range(SHARDS):
+        t = docs
+        ids = pc.add(t.column("doc_id"), s * ID_STRIDE)
+        text = t.column("text")
+        if s % 2 == 1:
+            # light perturbation: near-dup, not exact-dup, of shard 0
+            text = pc.binary_join_element_wise(
+                text, pa.array([f"shard{s}"] * t.num_rows), " "
+            )
+        parts.append(
+            t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+            .set_column(t.schema.get_field_index("text"), "text", text)
+        )
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(STRESS, "documents.parquet")
+    )
+
+    emb = pq.read_table(os.path.join(SF1, "embeddings.parquet"))
+    eparts = []
+    for s in range(SHARDS):
+        ids = pc.add(emb.column("vec_id"), s * ID_STRIDE)
+        eparts.append(
+            emb.set_column(
+                emb.schema.get_field_index("vec_id"), "vec_id", ids
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(eparts), os.path.join(STRESS, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    from parallelutilities_jl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    if os.path.isdir(STRESS):
+        shutil.rmtree(STRESS)
+    build_stress_corpus()
+
+    spark = get_spark(app_name="pu_scale_stress")
+    qs = entrymod.queries()
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = qs[name]
+        tiers = {}
+        for label, sf_dir in (("sf0.01", SF01), ("sf0.1", SF1), ("x10", STRESS)):
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            tiers[label] = round(time.perf_counter() - t0, 2)
+        # growth per decade of data; ~linear => ratio ~= 10 with fixture
+        # overheads pulling it DOWN at the small end
+        tiers["r_01_to_1"] = round(tiers["sf0.1"] / max(tiers["sf0.01"], 0.05), 1)
+        tiers["r_1_to_x10"] = round(tiers["x10"] / max(tiers["sf0.1"], 0.05), 1)
+        out[name] = tiers
+        print(json.dumps({name: tiers}), flush=True)
+    print(json.dumps({"metric": "scale_stress", "rows": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
