@@ -121,7 +121,7 @@ _CHEAP_FIRST = [
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
     "ann_ivf_trained_topk", "embedding_cosine_dups",
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
-    "training_order_packing",
+    "diversified_topk", "training_order_packing",
 ]
 
 

@@ -582,6 +582,68 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 """
 
 
+_DIV_TOPK_K = 20
+_DIV_TOPK_PER_NATION = 2
+
+
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k (per the distributed diversified top-k search
+    family, e.g. EDBT 2020 'Diversified Top-k Best Region Search'): the
+    k best orders GLOBALLY subject to a per-nation cap, so one rich
+    nation cannot monopolize the result page. Two-stage funnel: a
+    per-nation window keeps the cap-best rows of each nation (parallel,
+    partitioned by nation), and the global top-k then ranks only
+    cap x nations <= 50 surviving rows — TakeOrderedAndProject over a
+    bounded funnel, never a data-sized global sort. Deterministic
+    tiebreak (price DESC, orderkey ASC) at both stages."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("o_orderkey", "n_name", "o_totalprice")
+    )
+    w = W.partitionBy("n_name").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    capped = joined.withColumn(
+        "nation_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("nation_rank") <= _DIV_TOPK_PER_NATION)
+    return (
+        capped.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(_DIV_TOPK_K)
+        .select(
+            "o_orderkey",
+            "n_name",
+            F.round("o_totalprice", 2).alias("price"),
+            "nation_rank",
+        )
+    )
+
+
+ORACLE_DIVERSIFIED_TOPK = f"""
+WITH ranked AS (
+  SELECT o.o_orderkey, n.n_name, o.o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT)
+           AS nation_rank
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT o_orderkey, n_name, ROUND(o_totalprice, 2) AS price, nation_rank
+FROM ranked WHERE nation_rank <= {_DIV_TOPK_PER_NATION}
+ORDER BY o_totalprice DESC, o_orderkey LIMIT {_DIV_TOPK_K}
+"""
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math scalar surface in one projection."""
     part = load_table(spark, sf_dir, "part")
@@ -1712,6 +1774,7 @@ QUERIES = {
     "distinct_agg": q_distinct_agg,
     "set_ops": q_set_ops,
     "topk_orders": q_topk_orders,
+    "diversified_topk": q_diversified_topk,
     "scalar_functions": q_scalar_functions,
     "date_breakdown": q_date_breakdown,
     "pivot_status": q_pivot_status,
@@ -1784,6 +1847,7 @@ ORACLES = {
     "distinct_agg": ORACLE_DISTINCT,
     "set_ops": ORACLE_SET_OPS,
     "topk_orders": ORACLE_TOPK,
+    "diversified_topk": ORACLE_DIVERSIFIED_TOPK,
     "scalar_functions": ORACLE_SCALARS,
     "date_breakdown": ORACLE_DATES,
     "pivot_status": ORACLE_PIVOT,
