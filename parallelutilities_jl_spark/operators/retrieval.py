@@ -121,7 +121,7 @@ WITH base AS (
   SELECT doc_id, {_bm25_contrib_sql(spark=False)} AS contrib
   FROM tf JOIN dfq USING (w) CROSS JOIN s
 )
-SELECT doc_id, SUM(contrib) AS score_q FROM c GROUP BY doc_id
+SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_q FROM c GROUP BY doc_id
 ORDER BY score_q DESC, doc_id LIMIT {BM25_TOP_K}
 """
 
