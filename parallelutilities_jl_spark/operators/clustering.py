@@ -104,7 +104,7 @@ def kmeans_fit_assign(
         _emb_double(spark, sf_dir)
         .select("vec_id", "emb")
         .repartition(min(8, spark.sparkContext.defaultParallelism))
-        .cache()
+        .localCheckpoint()  # reused every Lloyd's round; frees on GC
     )
     init = emb.filter(F.col("vec_id") < k).collect()
     centroids = {
@@ -114,7 +114,7 @@ def kmeans_fit_assign(
     dim = len(centroids[0])
     emb_long = emb.select(
         "vec_id", F.posexplode("emb").alias("idx", "val")
-    ).cache()
+    ).localCheckpoint()
     for _ in range(iters):
         assign = _assign(emb, centroids)
         means = (

@@ -294,7 +294,7 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("sh").alias("shs"),
             F.count(F.lit(1)).alias("n"),
         )
-        .cache()
+        .localCheckpoint()  # signature frame: reused by bands + verify
     )
     cands = candidate_pairs(lsh_bands(per_doc))
     aa = per_doc.select(
@@ -355,7 +355,7 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("sh").alias("shs"),
             F.count(F.lit(1)).alias("n"),
         )
-        .cache()
+        .localCheckpoint()  # signature frame: reused by bands + verify
     )
     cands = candidate_pairs(lsh_bands(per_doc))
     aa = per_doc.select(
@@ -401,7 +401,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Jaccard itself is then EXACT over the full shingle sets via
     `array_intersect` on the candidates — the df cap only bounds who
     gets compared, never the similarity value."""
-    sh = shingle_docs(spark, sf_dir).cache()
+    sh = shingle_docs(spark, sf_dir).localCheckpoint()
     dfreq = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -765,7 +765,12 @@ def q_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the dup-pair machinery is the LSH pipeline above (banded,
     df-capped); on top of it this adds one equi-join of documents with
     the (smaller) component map and one groupBy(component) — both plain
-    key shuffles, nothing data-sized beyond them."""
+    key shuffles, nothing data-sized beyond them. `full` is deliberately
+    NOT cached: the component map is already localCheckpoint-materialized
+    inside `connected_components`, so recomputing `full` for the second
+    consumer is a pushed-down column scan + scalar scoring — far cheaper
+    at corpus scale than pinning a corpus-sized frame in executor memory
+    for the lifetime of a 150-query sweep."""
     from parallelutilities_jl_spark.operators.text import quality_parts
 
     comp = q_dedup_components(spark, sf_dir)
@@ -783,7 +788,6 @@ def q_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "score_q6",
         )
-        .cache()  # reused by the canonical agg and the final join
     )
     canon = (
         full.groupBy("component_id")

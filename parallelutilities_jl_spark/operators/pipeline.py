@@ -528,7 +528,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
-    ).cache()
+    ).localCheckpoint()
     return pack_sequences(toks)
 
 
@@ -591,7 +591,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # tiny cached projection (8 bytes/doc): the window branch and the
     # offsets branch read it without a second corpus scan
-    return shuffle_positions(docs.select("doc_id").cache())
+    return shuffle_positions(docs.select("doc_id").localCheckpoint())
 
 
 ORACLE_CORPUS_SHUFFLE = f"""
@@ -619,7 +619,15 @@ def q_training_order_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelutilities_jl_spark.operators.dedup import _simhash_df
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    fp = _simhash_df(spark, sf_dir).cache()
+    # Survivor lineage is materialized ONCE via eager localCheckpoint
+    # (narrow id+hash / id+count frames — tiny next to the corpus), not
+    # .cache(): checkpoint blocks are freed by the ContextCleaner when
+    # the frame is GC'd, whereas CacheManager entries pin executor
+    # memory until an explicit clearCache — a leak across a 150-query
+    # sweep. Checkpointing also truncates the dedup lineage, so the
+    # downstream pack/join plan no longer re-plans the fingerprint
+    # stage per consumer branch.
+    fp = _simhash_df(spark, sf_dir).localCheckpoint()
     canon = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     toks = docs.select(
         "doc_id",
@@ -629,16 +637,16 @@ def q_training_order_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.join(canon, ["simhash", "doc_id"], "left_semi")
         .select("doc_id")
         .join(toks, "doc_id")
-        .cache()
+        .localCheckpoint()
     )
     pos = shuffle_positions(kept.select("doc_id"))
-    # cached: pack_sequences' max-id probe, window branch, and offsets
-    # branch would otherwise each recompute the shuffle windows upstream
+    # checkpointed: pack_sequences' max-id probe, window branch, and
+    # offsets branch would otherwise each recompute the shuffle windows
     ordered = kept.join(pos, "doc_id").select(
         F.col("doc_id").alias("orig_doc_id"),
         F.col("shuffle_pos").alias("doc_id"),  # pack along training order
         "n_tokens",
-    ).cache()
+    ).localCheckpoint()
     packed = pack_sequences(ordered.select("doc_id", "n_tokens"))
     return packed.join(ordered, ["doc_id", "n_tokens"]).select(
         F.col("orig_doc_id").alias("doc_id"),

@@ -322,11 +322,13 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB, which would rank oppositely in the top-k window
         .withColumn("nrm8", F.sqrt(_dot8(F.col("q8"), F.col("q8")).cast("double")))
         .filter(F.col("nrm8") > 0.0)
-        # cached: the query branch and the candidate branch both read it,
+        # checkpointed once (not .cache(): CacheManager entries pin
+        # executor memory until clearCache; checkpoint blocks free on
+        # GC): the query branch and the candidate branch both read it,
         # and quantization (array_max + 64 floors/row) is the expensive
         # projection — at corpus scale this frame IS the compressed index
         # an ANN service keeps resident
-        .cache()
+        .localCheckpoint()
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
