@@ -65,7 +65,8 @@ def _registries():
 _CHEAP_FIRST = [
     "product_scan", "product_scan_float", "product_section",
     "partition_bounds", "product_split", "zip_split",
-    "linear_to_multidim", "pmapreduce_sum_squares", "dict_merge_reduce",
+    "linear_to_multidim", "child_index_shifted", "pmapreduce_sum_squares",
+    "dict_merge_reduce",
     "product_getindex", "split_length", "split_first_last", "worker_rank",
     "index_in_product", "q6_forecast_revenue", "split_membership",
     "stream_join_attribution", "window_topk_per_group", "join_left_outer",
@@ -160,11 +161,17 @@ def _driver_passed() -> set[str]:
     return passed
 
 
-def _sweep_order() -> list[str]:
+def _sweep_order(names: list[str] | None = None) -> list[str]:
+    names = list(names) if names is not None else list(_CHEAP_FIRST)
     passed = _driver_passed()
-    debt = [n for n in _CHEAP_FIRST if n not in passed]
-    green = [n for n in _CHEAP_FIRST if n in passed]
-    return debt + green
+    pos = {n: i for i, n in enumerate(_CHEAP_FIRST)}
+    # debt group first; within a group, measured-cheapest first; names
+    # not yet in _CHEAP_FIRST (new queries — always unattested) go to
+    # the end of the DEBT group, not after the green tail, so a freshly
+    # added query is attested in its first round
+    return sorted(
+        names, key=lambda n: (n in passed, pos.get(n, len(pos)))
+    )
 
 
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
@@ -190,11 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in raw:
                 raise ValueError(f"duplicate query name {k}")
             raw[k] = v
-    rank = {n: i for i, n in enumerate(_sweep_order())}
-    ordered = sorted(
-        raw, key=lambda n: (rank.get(n, len(rank)), list(raw).index(n))
-    )
-    return {k: _tuned(raw[k]) for k in ordered}
+    return {k: _tuned(raw[k]) for k in _sweep_order(list(raw))}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -98,8 +98,14 @@ def main() -> None:
             continue
         # isolate: drop caches left by EARLIER queries so each entry is
         # measured from its own state only (its warm run below re-creates
-        # any cache the query itself maintains — the resident-index case)
+        # any cache the query itself maintains — the resident-index case),
+        # and force a JVM GC so the previous query's garbage (e.g. the
+        # dense-elsum numpy batches) is not collected mid-rep of THIS
+        # query — the round-5 unigram_logppl 2.5x spread had exactly that
+        # signature (min == previous round's median, fat right tail)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.2)
         # warm once (Catalyst planning + whole-stage codegen compile +
         # parquet footers), measure the next REPS runs — the reference's
         # published numbers are likewise post-precompilation
@@ -118,19 +124,26 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": REPS,
-                "sf": sf,
-            }
-        )
+    # stdout line stays compact (the driver archives it with a ~2000-char
+    # tail cut that ate the round-5 median map): medians only, no spread.
+    # Full detail — including per-query [min, max] spread — goes to a
+    # committed artifact so round-over-round comparison never needs
+    # forensic reconstruction of a truncated line.
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(summary))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "median": timings, "spread": spread,
+                   "reps": REPS}, f, indent=1, sort_keys=True)
+        f.write("\n")
     spark.stop()
 
 

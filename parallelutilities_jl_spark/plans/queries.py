@@ -33,6 +33,7 @@ PRODF = ProductSpec((rng(1.0, 3.0, 0.5), rng(2, 4)))  # total=15
 ZIP3 = (rng(1, 12), rng(5, 16), rng(0, 11))
 NP_MAX = 8
 SPLIT_NP, SPLIT_P = 5, 2  # the canonical fixed split used by lookup queries
+_SPLIT_DROP, _SPLIT_TAKE = nelementsdroptake(PROD3.total, SPLIT_NP, SPLIT_P)
 
 
 def _prod3_coords_sql(i: str = "t.i") -> str:
@@ -297,6 +298,21 @@ def q_split_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("c1", "c2", "c3", member.alias("is_member"))
 
 
+def q_child_index_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-LOCAL index li → per-iterator 1-based indices: the named
+    `childindexshifted` decode (reference src/productsplit.jl:304-306,
+    `childindex(ps, (ind - 1) + firstindexglobal(ps))`) that
+    `getindex` composes with range indexing. Same closed-form O(1)
+    mixed-radix arithmetic as `linear_to_multidim`, shifted by the
+    (5,2) split's drop count — no scan, no shuffle."""
+    drop, take = nelementsdroptake(PROD3.total, SPLIT_NP, SPLIT_P)
+    base = spark.range(1, take + 1).select(F.col("id").alias("li"))
+    gidx = F.lit(drop) + F.col("li") - 1
+    return base.select(
+        "li", *pdf.child_index_exprs(PROD3, gidx, one_based=True)
+    )
+
+
 def q_local_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-based local index of members of the (5,2) split (reference
     localindex, src/productsplit.jl:891-896)."""
@@ -455,6 +471,15 @@ def oracle_queries() -> dict[str, str]:
             f"SELECT c1, c2, c3, CAST(ROW_NUMBER() OVER (ORDER BY i) AS BIGINT) AS li "
             f"FROM ({a5}) WHERE p = {SPLIT_P}"
         ),
+        "child_index_shifted": (
+            f"SELECT t.i + 1 AS li, "
+            + ", ".join(
+                f"CAST(((t.i + {_SPLIT_DROP}) // {PROD3.strides[k]}) "
+                f"% {PROD3.lengths[k]} + 1 AS BIGINT) AS k{k + 1}"
+                for k in range(PROD3.ndims)
+            )
+            + f" FROM range(0, {_SPLIT_TAKE}) t(i)"
+        ),
         "which_partition": (
             f"SELECT c1, c2, c3, CAST(ntile(7) OVER (ORDER BY i) AS BIGINT) AS rnk "
             f"FROM ({prod})"
@@ -500,6 +525,7 @@ QUERIES = {
     "index_in_product": q_index_in_product,
     "split_membership": q_split_membership,
     "local_index": q_local_index,
+    "child_index_shifted": q_child_index_shifted,
     "which_partition": q_which_partition,
     "partition_and_index": q_partition_and_index,
     "partition_recast": q_partition_recast,

@@ -41,6 +41,12 @@ def test_bench_cli_emits_single_json_line():
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert set(d["queries"]) == {"q1_pricing_summary", "which_partition"}
     assert d["value"] > 0
-    # round-5 additions: per-query [min, max] spread + rep count
-    assert d["reps"] == 1
-    assert set(d["spread"]) == set(d["queries"])
+    # round-6: spread/reps moved OFF the stdout line (the driver's
+    # ~2000-char archive cut was eating the median map) into the
+    # committed BENCH_DETAIL.json artifact
+    assert "spread" not in d and "reps" not in d
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    assert detail["median"] == d["queries"]
+    assert set(detail["spread"]) == set(d["queries"])
+    assert detail["reps"] == 1

@@ -231,3 +231,42 @@ def test_pmapreduce_productsplit_end_to_end(spark):
         spark, spec, 4, f, "p long, v double", SUM
     )
     assert out.collect()[0]["result"] == float(spec.total)
+
+
+def test_mapper_error_propagates_through_task_failure(spark):
+    # Reference: pmapreduce(x -> error("map"), +, 1:10) throws and the
+    # original error reaches the caller (test/paralleltests.jl:644-659).
+    # Our analog of a throwing worker function is the applyInPandas rank
+    # program: Spark must fail the job AND surface the original Python
+    # exception type/message, not swallow it into a partial result.
+    import pandas as pd
+
+    import parallelutilities_jl_spark as pu
+    from parallelutilities_jl_spark.operators.reductions import SUM
+
+    spec = pu.ProductSpec((pu.RangeSpec(1, 1, 6), pu.RangeSpec(0, 2, 5)))
+
+    def bad_mapper(ps, pdf: pd.DataFrame) -> pd.DataFrame:
+        raise ValueError("boom from mapper rank %d" % ps.workerrank)
+
+    with pytest.raises(Exception) as excinfo:
+        pu.pmapreduce_productsplit(
+            spark, spec, 4, bad_mapper, "p long, v double", SUM
+        ).collect()
+    msg = str(excinfo.value)
+    assert "ValueError" in msg and "boom from mapper" in msg
+
+
+def test_reducer_error_propagates_through_task_failure(spark):
+    # pmapreduce(identity, x -> error("reduce"), 1:10) analog: the
+    # throwing stage is the reduction UDF consuming mapped output.
+    def bad_reduce(a, b):
+        raise RuntimeError("boom from reducer")
+
+    from parallelutilities_jl_spark.operators.mapreduce import pmapreduce_rdd
+
+    df = spark.range(1, 11).selectExpr("id AS v")
+    with pytest.raises(Exception) as excinfo:
+        pmapreduce_rdd(df, lambda r: r.v, bad_reduce, depth=2)
+    msg = str(excinfo.value)
+    assert "boom from reducer" in msg
