@@ -137,7 +137,7 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(summary))
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:

@@ -24,6 +24,9 @@ def test_bench_cli_emits_single_json_line():
         SPARK_GRAFT_BENCH_REPS="1",
         SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,which_partition",
         SPARK_GRAFT_CPUS="4",
+        # keep the committed full-run artifact intact — the test writes
+        # its own 2-query detail to a scratch path
+        SPARK_GRAFT_BENCH_DETAIL="/tmp/bench_detail_contract_test.json",
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -45,7 +48,7 @@ def test_bench_cli_emits_single_json_line():
     # ~2000-char archive cut was eating the median map) into the
     # committed BENCH_DETAIL.json artifact
     assert "spread" not in d and "reps" not in d
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+    with open("/tmp/bench_detail_contract_test.json") as f:
         detail = json.load(f)
     assert detail["median"] == d["queries"]
     assert set(detail["spread"]) == set(d["queries"])
