@@ -279,14 +279,234 @@ WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index ANN scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (64 dims → 4 × 16)
+PQ_SUBDIM = 16
+PQ_K = 8  # codes per subspace codebook
+PQ_ITERS = 1  # one Lloyd round per codebook — oracle replays it exactly
+PQ_N_QUERIES = 5
+PQ_TOP_K = 3
+
+
+def _pq_sq_dist(sub: F.Column, cent: list[float]) -> F.Column:
+    """Quantized squared L2 between a subvector Column and a literal
+    sub-centroid — same exact-int64 fold as `_sq_dist`, over
+    PQ_SUBDIM dims."""
+    lit = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            lit,
+            lambda x, c: F.floor(
+                ((x - c) * (x - c)) * F.lit(float(DOT_SCALE))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codes_col(cb: dict) -> F.Column:
+    """array<long> of PQ_M codes for the row's `sub0..sub{M-1}` slice
+    columns: nearest sub-centroid per subspace, ties to the lowest code
+    id — a pure projection (M×K folded distances per row), no shuffle."""
+    per_s = []
+    for s in range(PQ_M):
+        entries = [
+            F.struct(
+                _pq_sq_dist(F.col(f"sub{s}"), cb[(ss, cid)]).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for (ss, cid) in sorted(cb)
+            if ss == s
+        ]
+        per_s.append(F.array_min(F.array(*entries)).getField("cid"))
+    return F.array(*per_s)
+
+
+def _pq_sliced(emb: DataFrame) -> DataFrame:
+    """Project the per-subspace slice columns once so every distance
+    fold references a column instead of re-embedding the slice."""
+    return emb.select(
+        "vec_id",
+        "emb",
+        *[
+            F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                f"sub{s}"
+            )
+            for s in range(PQ_M)
+        ],
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) — the
+    compressed-index scale path beyond IVF: each vector is stored as
+    PQ_M codebook ids (4 bytes here vs 512 for the raw doubles), and a
+    query scans CODES, not vectors, via a per-query lookup table.
+
+    Fit (per subspace, deterministic — no RNG, the DuckDB oracle
+    replays it as CTEs): init codebook = the first PQ_K vectors'
+    subvectors, one Lloyd round with exact-int64 quantized distances
+    (argmin ties → lowest code) and decimal(38,18) means — the same
+    float-parity policy as `kmeans_assign`.
+
+    Search: LUT[qid, s, code] = quantized ||q_s - centroid_{s,code}||²
+    (PQ_N_QUERIES × PQ_M × PQ_K rows — tiny, broadcast), then
+    approx_dist(q, x) = Σ_s LUT[qid, s, code_s(x)] — an equi-join of the
+    code table against the broadcast LUT plus one map-side-combinable
+    (qid, cid) sum. The sum is int64-exact, so ranking is
+    bit-deterministic.
+
+    At 100 TB: the code table is ~1/100th the corpus bytes; the only
+    data-sized operations are one projection pass to encode and one
+    broadcast-join + partial-agg scan per query batch. Codebook state is
+    M×K×SUBDIM floats on the driver — KB, like MLlib's k-means."""
+    emb = _pq_sliced(
+        _emb_double(spark, sf_dir)
+        .select("vec_id", "emb")
+        .repartition(min(8, spark.sparkContext.defaultParallelism))
+        # cached, not checkpointed: read by the fit, encode, and LUT
+        # passes within this one build (first collect materializes it
+        # lazily); bench/sweep callers clearCache between queries
+        .cache()
+    )
+    init = emb.filter(F.col("vec_id") < PQ_K).collect()
+    cb = {
+        (s, int(r["vec_id"])): [
+            float(r["emb"][s * PQ_SUBDIM + j]) for j in range(PQ_SUBDIM)
+        ]
+        for r in init
+        for s in range(PQ_M)
+    }
+    for _ in range(PQ_ITERS):
+        # mean update WITHOUT a join: the assignment rides the explode
+        # as an array column, element_at picks the row's subspace code
+        upd = (
+            emb.withColumn("codes", _pq_codes_col(cb))
+            .select("codes", F.posexplode("emb").alias("idx", "val"))
+            .select(
+                F.floor(F.col("idx") / PQ_SUBDIM).cast("long").alias("s"),
+                (F.col("idx") % PQ_SUBDIM).cast("long").alias("j"),
+                F.element_at(
+                    "codes",
+                    F.floor(F.col("idx") / PQ_SUBDIM).cast("int") + 1,
+                ).alias("code"),
+                "val",
+            )
+            .groupBy("s", "code", "j")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,18)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .collect()
+        )
+        cb = {}
+        for r in upd:
+            cb.setdefault(
+                (int(r["s"]), int(r["code"])), [0.0] * PQ_SUBDIM
+            )[int(r["j"])] = float(r["cval"])
+    codes = emb.select(
+        "vec_id", F.posexplode(_pq_codes_col(cb)).alias("s", "code")
+    )
+    # per-query distance lookup table over the final codebook
+    lut_entries = [
+        F.struct(
+            F.lit(s).cast("long").alias("s"),
+            F.lit(cid).cast("long").alias("code"),
+            _pq_sq_dist(F.col(f"sub{s}"), cb[(s, cid)]).alias("ld"),
+        )
+        for (s, cid) in sorted(cb)
+    ]
+    lut = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.array(*lut_entries)).alias("e"),
+        )
+        .select("qid", "e.s", "e.code", "e.ld")
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("ld").alias("adist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOP_K)
+        .select("qid", "cid", "adist", "rnk")
+    )
+
+
+def _oracle_pq() -> str:
+    """The identical PQ fit + ADC search as chained CTEs."""
+    qd = (
+        "SUM(CAST(FLOOR(((e.val - c.cval) * (e.val - c.cval)) * "
+        f"{float(DOT_SCALE)}) AS BIGINT))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         UNNEST(generate_series(0, len(embedding) - 1)) // {PQ_SUBDIM} AS s,
+         UNNEST(generate_series(0, len(embedding) - 1)) % {PQ_SUBDIM} AS j,
+         UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, s, j, val AS cval FROM e
+       WHERE vec_id < {PQ_K}),
+a1 AS (SELECT vec_id, s, cid AS code FROM (
+         SELECT e.vec_id, e.s, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s
+                                   ORDER BY {qd}, c.cid) AS rn
+         FROM e JOIN c0 c ON e.s = c.s AND e.j = c.j
+         GROUP BY e.vec_id, e.s, c.cid) WHERE rn = 1),
+c1 AS (SELECT a1.s, a1.code AS cid, e.j,
+              {_DSUM18.format(e='e.val')} / COUNT(*) AS cval
+       FROM e JOIN a1 ON e.vec_id = a1.vec_id AND e.s = a1.s
+       GROUP BY a1.s, a1.code, e.j),
+a2 AS (SELECT vec_id, s, cid AS code FROM (
+         SELECT e.vec_id, e.s, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.s
+                                   ORDER BY {qd}, c.cid) AS rn
+         FROM e JOIN c1 c ON e.s = c.s AND e.j = c.j
+         GROUP BY e.vec_id, e.s, c.cid) WHERE rn = 1),
+lut AS (SELECT e.vec_id AS qid, e.s, c.cid AS code, {qd} AS ld
+        FROM e JOIN c1 c ON e.s = c.s AND e.j = c.j
+        WHERE e.vec_id < {PQ_N_QUERIES}
+        GROUP BY e.vec_id, e.s, c.cid),
+sc AS (SELECT l.qid, a.vec_id AS cid, SUM(l.ld) AS adist
+       FROM a2 a JOIN lut l ON l.s = a.s AND l.code = a.code
+       WHERE a.vec_id <> l.qid
+       GROUP BY l.qid, a.vec_id)
+SELECT qid, cid, CAST(adist AS BIGINT) AS adist, rnk FROM (
+  SELECT qid, cid, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adist, cid) AS BIGINT) AS rnk
+  FROM sc)
+WHERE rnk <= {PQ_TOP_K}
+"""
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "ivf_trained_census": q_ivf_trained_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 ORACLES = {
     "kmeans_assign": _oracle_kmeans(),
     "ivf_trained_census": _oracle_ivf_census(),
     "ann_ivf_trained_topk": _oracle_ivf_trained(),
+    "ann_pq_topk": _oracle_pq(),
 }
