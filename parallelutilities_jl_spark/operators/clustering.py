@@ -289,6 +289,17 @@ PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 1  # one Lloyd round per codebook — oracle replays it exactly
 PQ_N_QUERIES = 5
 PQ_TOP_K = 3
+# Mean-update quantization. kmeans_assign's decimal(38,18) means are NOT
+# bit-identical across engines (Spark casts double→decimal via the exact
+# binary expansion + HALF_UP; DuckDB via binary multiply — sums drift in
+# digit 19+, occasionally flipping the cast-back double by 1 ulp). That
+# is harmless when the OUTPUT is an argmin assignment, but PQ's output
+# is the integer distance sum itself, where a 1-ulp centroid shift flips
+# a FLOOR term. So the mean is computed over int64-floored terms —
+# floor(val·S) is a single IEEE multiply + floor, bit-identical on both
+# engines — and the division chain (÷ n, ÷ S) is two IEEE double ops in
+# a fixed order. Range: 5e4 rows × 0.6 × 1e12 ≈ 3e16 << 2^63.
+PQ_MEAN_SCALE = int(1e12)
 
 
 def _pq_sq_dist(sub: F.Column, cent: list[float]) -> F.Column:
@@ -351,8 +362,10 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fit (per subspace, deterministic — no RNG, the DuckDB oracle
     replays it as CTEs): init codebook = the first PQ_K vectors'
     subvectors, one Lloyd round with exact-int64 quantized distances
-    (argmin ties → lowest code) and decimal(38,18) means — the same
-    float-parity policy as `kmeans_assign`.
+    (argmin ties → lowest code) and int64-quantized means (see
+    PQ_MEAN_SCALE — a stricter float-parity policy than
+    `kmeans_assign`'s decimal means, because here the OUTPUT is the
+    distance integer itself, not an argmin).
 
     Search: LUT[qid, s, code] = quantized ||q_s - centroid_{s,code}||²
     (PQ_N_QUERIES × PQ_M × PQ_K rows — tiny, broadcast), then
@@ -400,10 +413,16 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s", "code", "j")
             .agg(
                 (
-                    F.sum(F.col("val").cast("decimal(38,18)")).cast(
-                        "double"
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("val")
+                                * F.lit(float(PQ_MEAN_SCALE))
+                            ).cast("long")
+                        ).cast("double")
+                        / F.count(F.lit(1)).cast("double")
                     )
-                    / F.count(F.lit(1))
+                    / F.lit(float(PQ_MEAN_SCALE))
                 ).alias("cval")
             )
             .collect()
@@ -471,7 +490,9 @@ a1 AS (SELECT vec_id, s, cid AS code FROM (
          FROM e JOIN c0 c ON e.s = c.s AND e.j = c.j
          GROUP BY e.vec_id, e.s, c.cid) WHERE rn = 1),
 c1 AS (SELECT a1.s, a1.code AS cid, e.j,
-              {_DSUM18.format(e='e.val')} / COUNT(*) AS cval
+              (CAST(SUM(CAST(FLOOR(e.val * {float(PQ_MEAN_SCALE)})
+                             AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) / {float(PQ_MEAN_SCALE)} AS cval
        FROM e JOIN a1 ON e.vec_id = a1.vec_id AND e.s = a1.s
        GROUP BY a1.s, a1.code, e.j),
 a2 AS (SELECT vec_id, s, cid AS code FROM (
