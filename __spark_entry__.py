@@ -65,8 +65,7 @@ def _registries():
 _CHEAP_FIRST = [
     "product_scan", "product_scan_float", "product_section",
     "partition_bounds", "product_split", "zip_split",
-    "linear_to_multidim", "child_index_shifted", "pmapreduce_sum_squares",
-    "dict_merge_reduce",
+    "linear_to_multidim", "pmapreduce_sum_squares", "dict_merge_reduce",
     "product_getindex", "split_length", "split_first_last", "worker_rank",
     "index_in_product", "q6_forecast_revenue", "split_membership",
     "stream_join_attribution", "window_topk_per_group", "join_left_outer",
