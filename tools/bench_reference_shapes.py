@@ -73,15 +73,21 @@ def main() -> None:
     if os.environ.get("PU_BENCH_BIG"):
         # docs/src/index.md:72-99 — ones(10_000, 10_000) per worker on
         # one 28-core node. ref: 10.11 s (+) / 7.26 s (elsum).
-        # 800 MB per partial: keep the chunk shuffle at 4 × 800 MB, not
-        # 28 × 800 MB (the default num_partitions == task count here)
+        # 22.4 GB of partials makes this shape memory-bandwidth-bound on
+        # one box and highly run-to-run variable (page cache / JVM heap
+        # growth; observed 9-60 s for identical configs). Best observed
+        # floor: full-width generation (no serialized accumulate phase)
+        # with fine chunks so the 22 GB chunk shuffle spreads over all
+        # reducers. 4x16 (accumulate-first, tiny shuffle) floors at the
+        # same ~10 s — the two designs trade generation parallelism
+        # against shuffle volume and both sit near the box's bandwidth.
         def dense_big():
             return pmapreduce_dense_elsum(
                 spark,
                 28,
                 lambda i: np.ones((10_000, 10_000)),
-                num_partitions=4,
-                n_chunks=16,
+                num_partitions=28,
+                n_chunks=128,
             )
 
         dt, out = timed(dense_big)
