@@ -94,6 +94,8 @@ INVARIANT_SAMPLE = [
     "salted_join_orders",
     "multimodal_decode",
     "grouping_sets_customer",
+    # PQ: combine-order independence of the quantized fit + integer ADC
+    "ann_pq_topk",
 ]
 
 
