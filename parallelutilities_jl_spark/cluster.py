@@ -68,9 +68,13 @@ def maybetrimmedworkerpool(spark: SparkSession, n_tasks: int) -> int:
 
 
 def workersactive(spark: SparkSession, n_tasks: int) -> list[int]:
-    """Ranks that receive non-empty splits (reference `workersactive`,
-    src/clusterquery.jl:83-88)."""
-    return list(range(1, maybetrimmedworkerpool(spark, n_tasks) + 1))
+    """Ranks that receive non-empty splits, chosen with the reference's
+    locality preference (reference `workersactive`,
+    src/clusterquery.jl:83-88 — it delegates to `chooseworkers` with the
+    host map, so same-host ranks are preferred when the trimmed pool is
+    smaller than the full pool)."""
+    n = maybetrimmedworkerpool(spark, n_tasks)
+    return chooseworkers(spark, n)
 
 
 def oneworkerpernode(spark: SparkSession) -> list[int]:
