@@ -137,13 +137,20 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(summary))
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or (
+        # selective runs (profiling one query) must not clobber the
+        # committed full-run artifact
+        None
+        if only
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
     )
-    with open(detail_path, "w") as f:
-        json.dump({**summary, "median": timings, "spread": spread,
-                   "reps": REPS}, f, indent=1, sort_keys=True)
-        f.write("\n")
+    if detail_path:
+        with open(detail_path, "w") as f:
+            json.dump({**summary, "median": timings, "spread": spread,
+                       "reps": REPS}, f, indent=1, sort_keys=True)
+            f.write("\n")
     spark.stop()
 
 
