@@ -16,6 +16,13 @@ sys.path.insert(0, "/root/repo/tests")
 
 SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 
+# Synthetic throughput probes whose Spark side deliberately scales its
+# workload with the SF tier while the (static) oracle matches the
+# sf0.01 shape — the driver contract pins oracle runs to sf=0.01, so at
+# any other SF these get the rows-only check instead of a false FAIL
+# (see the q_pmapreduce_bigsum / q_dense_elsum docstrings).
+SF_PINNED_ORACLES = {"pmapreduce_bigsum", "pmapreduce_dense_elsum"}
+
 
 def main() -> None:
     from parallelutilities_jl_spark.session import get_spark
@@ -34,6 +41,8 @@ def main() -> None:
         if only and name not in only:
             continue
         sql = oracles.get(name)
+        if name in SF_PINNED_ORACLES and "sf0.01" not in SF_DIR:
+            sql = None
         t0 = time.perf_counter()
         status = "pass"
         err = ""
