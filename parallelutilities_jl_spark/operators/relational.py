@@ -47,6 +47,87 @@ def _volume() -> F.Column:
 _DD_VOLUME = "l_extendedprice * (1 - l_discount)"
 
 
+# --- exact integer-quantized money aggregation (the fast path) -------------
+#
+# Every money column in the fixture is a 2-decimal-exact double (pinned by
+# tests/test_money_quantization.py), so FLOOR(x*100 + 0.5) is its exact
+# int64 representation and integer sums are combine-order-independent —
+# the same cross-engine-parity property the decimal(28,6) sums provide,
+# but ~5x faster: Spark's decimal aggregate boxes a BigDecimal per row
+# (precision > 18 leaves the compact-long representation), which dominates
+# scan-heavy aggregates like TPC-H Q1.
+#
+# Scale safety: a low-cardinality group's int64 total overflows around
+# sf~10^4 (price cents × 10^11 rows), so for such groups the int64 partial
+# sums are kept per *input partition* — bounded by
+# spark.sql.files.maxPartitionBytes, so a partition subtotal can't
+# overflow — and the cross-partition merge is an exact DECIMAL(38,0) sum
+# over the tiny subtotal set (`_two_tier_sums`). High-cardinality groups
+# whose per-group row count is scale-invariant (per-order, per-customer)
+# sum int64 directly.
+def _e2(c: F.Column) -> F.Column:
+    """Exact int64 of a 2-dp-exact double: round(100*x) via FLOOR(+0.5),
+    identical in Spark and DuckDB (no engine ROUND-mode dependence)."""
+    return F.floor(c * 100 + F.lit(0.5)).cast("bigint")
+
+
+_DD_E2 = "CAST(FLOOR(({e}) * 100 + 0.5) AS BIGINT)"
+
+
+def _vol4() -> F.Column:
+    """volume = extendedprice*(1-discount), exact in 1e-4 units."""
+    return _e2(F.col("l_extendedprice")) * (100 - _e2(F.col("l_discount")))
+
+
+_DD_VOL4 = (
+    f"({_DD_E2.format(e='l_extendedprice')}"
+    f" * (100 - {_DD_E2.format(e='l_discount')}))"
+)
+
+
+def _two_tier_sums(
+    df: DataFrame,
+    keys: list[str],
+    terms: dict[str, F.Column],
+    counts: dict[str, F.Column | None] | None = None,
+    cube: bool = False,
+) -> DataFrame:
+    """Exact two-tier integer aggregation: int64 partial sums per
+    (keys, input-partition), then a DECIMAL(38,0) merge of the per-
+    partition subtotals. `terms` maps output name -> int64 column expr;
+    `counts` maps name -> boolean condition (None = COUNT(*)).
+    With cube=True the final merge uses CUBE(keys) — valid because SUM
+    subtotals re-aggregate exactly."""
+    cnts = counts or {}
+    stage1 = df.groupBy(
+        *keys, F.spark_partition_id().alias("_pid")
+    ).agg(
+        *[F.sum(c).alias(n) for n, c in terms.items()],
+        *[
+            (
+                F.count(F.lit(1))
+                if c is None
+                else F.sum(F.when(c, 1).otherwise(0))
+            ).alias(n)
+            for n, c in cnts.items()
+        ],
+    )
+    grouped = stage1.cube(*keys) if cube else stage1.groupBy(*keys)
+    return grouped.agg(
+        *[
+            F.sum(F.col(n).cast("decimal(38,0)")).alias(n)
+            for n in terms
+        ],
+        *[F.sum(F.col(n)).alias(n) for n in cnts],
+    )
+
+
+def _money(total: str, scale: float) -> F.Column:
+    """Finalize an exact integer total back to currency units as double;
+    the oracle mirrors the op order exactly: CAST(t AS DOUBLE) / scale."""
+    return F.col(total).cast("double") / F.lit(float(scale))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytics
 # ---------------------------------------------------------------------------
@@ -54,37 +135,53 @@ _DD_VOLUME = "l_extendedprice * (1 - l_discount)"
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 analog: scan-heavy group-agg; whole-stage-codegen'd,
-    partial/final hash agg — no Python in the hot path."""
+    int64-quantized partial sums per input partition with an exact
+    decimal(38,0) merge (see _two_tier_sums) — no per-row decimal boxing
+    and no Python in the hot path."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= _ts("2000-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(charge).alias("sum_charge"),
-            (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
-            (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias(
-                "avg_price"
-            ),
-            (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    qty, price = _e2(F.col("l_quantity")), _e2(F.col("l_extendedprice"))
+    disc, tax = _e2(F.col("l_discount")), _e2(F.col("l_tax"))
+    disc_price4 = price * (100 - disc)
+    charge6 = price * (100 - disc) * (100 + tax)
+    totals = _two_tier_sums(
+        li.filter(F.col("l_shipdate") <= _ts("2000-09-02")),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "t_qty": qty,
+            "t_price": price,
+            "t_disc4": disc_price4,
+            "t_charge6": charge6,
+            "t_disc": disc,
+        },
+        {"count_order": None},
+    )
+    return totals.select(
+        "l_returnflag",
+        "l_linestatus",
+        _money("t_qty", 100.0).alias("sum_qty"),
+        _money("t_price", 100.0).alias("sum_base_price"),
+        _money("t_disc4", 1e4).alias("sum_disc_price"),
+        _money("t_charge6", 1e6).alias("sum_charge"),
+        (_money("t_qty", 100.0) / F.col("count_order")).alias("avg_qty"),
+        (_money("t_price", 100.0) / F.col("count_order")).alias("avg_price"),
+        (_money("t_disc", 100.0) / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
-ORACLE_PRICING = """
+_Q1_QTY = _DD_E2.format(e="l_quantity")
+_Q1_PRICE = _DD_E2.format(e="l_extendedprice")
+_Q1_DISC = _DD_E2.format(e="l_discount")
+_Q1_TAX = _DD_E2.format(e="l_tax")
+ORACLE_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM({_Q1_QTY}) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM({_Q1_PRICE}) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM({_Q1_PRICE} * (100 - {_Q1_DISC})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM({_Q1_PRICE} * (100 - {_Q1_DISC}) * (100 + {_Q1_TAX})) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM({_Q1_QTY}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+       CAST(SUM({_Q1_PRICE}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+       CAST(SUM({_Q1_DISC}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -108,7 +205,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_dsum(_volume()).alias("revenue"))
+        # per-order group: row count is scale-invariant, so the int64
+        # quantized sum can't overflow at any sf (see _e2 rationale)
+        .agg(F.sum(_vol4()).alias("t_rev"))
+        .select(
+            "l_orderkey", "o_orderdate", _money("t_rev", 1e4).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -116,7 +218,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SHIPPING = f"""
 SELECT l_orderkey, o_orderdate,
-       {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
+       CAST(SUM({_DD_VOL4}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -143,20 +245,21 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < _ts("1999-01-01"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(_dsum(_volume()).alias("revenue"))
+    )
+    return _two_tier_sums(joined, ["n_name"], {"t_rev": _vol4()}).select(
+        "n_name", _money("t_rev", 1e4).alias("revenue")
     )
 
 
 ORACLE_LOCAL_SUPPLIER = f"""
-SELECT n_name, {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
+SELECT n_name, CAST(SUM({_DD_VOL4}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -175,25 +278,23 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 analog: pure filter + scalar aggregate; the filters reach
     the parquet scan (PushedFilters)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= _ts("1997-01-01"))
-            & (F.col("l_shipdate") < _ts("1998-01-01"))
-            & (F.col("l_discount") >= 0.03)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    filt = li.filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
     )
+    rev4 = _e2(F.col("l_extendedprice")) * _e2(F.col("l_discount"))
+    return _two_tier_sums(
+        filt, [], {"t_rev": rev4}, {"n_rows": None}
+    ).select(_money("t_rev", 1e4).alias("revenue"), "n_rows")
 
 
 ORACLE_FORECAST = f"""
-SELECT {_DD_DSUM.format(e="l_extendedprice * l_discount")} AS revenue,
+SELECT CAST(SUM({_DD_E2.format(e="l_extendedprice")}
+             * {_DD_E2.format(e="l_discount")}) AS DOUBLE) / 10000.0
+       AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -216,7 +317,13 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_dsum(_volume()).alias("revenue"))
+        # per-customer returned lines: scale-invariant group size, int64
+        # quantized sum is overflow-safe at any sf
+        .agg(F.sum(_vol4()).alias("t_rev"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            _money("t_rev", 1e4).alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -224,7 +331,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RETURNED = f"""
 SELECT c_custkey, c_name, n_name,
-       {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
+       CAST(SUM({_DD_VOL4}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -346,18 +453,21 @@ def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit broadcast star edge: parts by brand revenue."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            _dsum(F.col("l_extendedprice")).alias("brand_revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return _two_tier_sums(
+        joined,
+        ["p_brand"],
+        {"t_rev": _e2(F.col("l_extendedprice"))},
+        {"n_items": None},
+    ).select(
+        "p_brand", _money("t_rev", 100.0).alias("brand_revenue"), "n_items"
     )
 
 
 ORACLE_JOIN_BROADCAST = f"""
-SELECT p_brand, {_DD_DSUM.format(e="l_extendedprice")} AS brand_revenue,
+SELECT p_brand,
+       CAST(SUM({_DD_E2.format(e="l_extendedprice")}) AS DOUBLE) / 100.0
+       AS brand_revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -492,27 +602,30 @@ GROUP BY ROLLUP (r_name, n_name)
 
 
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over returnflag × linestatus."""
+    """CUBE over returnflag × linestatus. The CUBE runs over the tiny
+    per-partition subtotal set (SUM/COUNT re-aggregate exactly), not the
+    raw rows — see _two_tier_sums(cube=True)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
-            "n_rows",
-            "sum_qty",
-        )
+    return _two_tier_sums(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"t_qty": _e2(F.col("l_quantity"))},
+        {"n_rows": None},
+        cube=True,
+    ).select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+        "n_rows",
+        _money("t_qty", 100.0).alias("sum_qty"),
     )
 
 
 ORACLE_CUBE = f"""
 SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
        COALESCE(l_linestatus, '(all)') AS linestatus,
-       COUNT(*) AS n_rows, {_DD_DSUM.format(e="l_quantity")} AS sum_qty
+       COUNT(*) AS n_rows,
+       CAST(SUM({_DD_E2.format(e="l_quantity")}) AS DOUBLE) / 100.0
+       AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -677,22 +790,22 @@ FROM part
 def q_date_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction + per-year/month aggregation of order volume."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(
-            F.year("o_orderdate").cast("long").alias("yr"),
-            F.month("o_orderdate").cast("long").alias("mo"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _dsum(F.col("o_totalprice")).alias("volume"),
-        )
+    projected = orders.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        _e2(F.col("o_totalprice")).alias("tp2"),
     )
+    return _two_tier_sums(
+        projected, ["yr", "mo"], {"t_vol": F.col("tp2")}, {"n_orders": None}
+    ).select("yr", "mo", "n_orders", _money("t_vol", 100.0).alias("volume"))
 
 
 ORACLE_DATES = f"""
 SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
        CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
-       COUNT(*) AS n_orders, {_DD_DSUM.format(e="o_totalprice")} AS volume
+       COUNT(*) AS n_orders,
+       CAST(SUM({_DD_E2.format(e="o_totalprice")}) AS DOUBLE) / 100.0
+       AS volume
 FROM orders GROUP BY 1, 2
 """
 
@@ -700,20 +813,30 @@ FROM orders GROUP BY 1, 2
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (conditional aggregation) of quantity by linestatus."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        _dsum(
-            F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)
-        ).alias("qty_open"),
-        _dsum(
-            F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)
-        ).alias("qty_filled"),
+    qty2 = _e2(F.col("l_quantity"))
+    return _two_tier_sums(
+        li,
+        ["l_returnflag"],
+        {
+            "t_open": F.when(
+                F.col("l_linestatus") == "O", qty2
+            ).otherwise(F.lit(0)),
+            "t_filled": F.when(
+                F.col("l_linestatus") == "F", qty2
+            ).otherwise(F.lit(0)),
+        },
+    ).select(
+        "l_returnflag",
+        _money("t_open", 100.0).alias("qty_open"),
+        _money("t_filled", 100.0).alias("qty_filled"),
     )
 
 
+_PIVOT_Q2 = _DD_E2.format(e="l_quantity")
 ORACLE_PIVOT = f"""
 SELECT l_returnflag,
-       {_DD_DSUM.format(e="CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END")} AS qty_open,
-       {_DD_DSUM.format(e="CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END")} AS qty_filled
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {_PIVOT_Q2} ELSE 0 END) AS DOUBLE) / 100.0 AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {_PIVOT_Q2} ELSE 0 END) AS DOUBLE) / 100.0 AS qty_filled
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -988,24 +1111,34 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
-    return (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
-        .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _vol4().alias("v4"),
         )
-        .agg(_dsum(_volume()).alias("revenue"))
+    )
+    return _two_tier_sums(
+        joined, ["supp_nation", "cust_nation", "l_year"], {"t_rev": F.col("v4")}
+    ).select(
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        _money("t_rev", 1e4).alias("revenue"),
     )
 
 
 ORACLE_VOLUME_SHIPPING = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
+       CAST(SUM({_DD_VOL4}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1026,26 +1159,39 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    vol = _volume()
-    return (
+    joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            (
-                _dsum(F.when(F.col("n_name") == "NATION_5", vol).otherwise(0.0))
-                / _dsum(vol)
-            ).alias("mkt_share")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("n_name"),
+            _vol4().alias("v4"),
         )
+    )
+    totals = _two_tier_sums(
+        joined,
+        ["o_year"],
+        {
+            "t_nat": F.when(
+                F.col("n_name") == "NATION_5", F.col("v4")
+            ).otherwise(F.lit(0)),
+            "t_all": F.col("v4"),
+        },
+    )
+    return totals.select(
+        "o_year",
+        (
+            F.col("t_nat").cast("double") / F.col("t_all").cast("double")
+        ).alias("mkt_share"),
     )
 
 
 ORACLE_MARKET_SHARE = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       {_DD_DSUM.format(e=f"CASE WHEN n_name = 'NATION_5' THEN {_DD_VOLUME} ELSE 0.0 END")}
-       / {_DD_DSUM.format(e=_DD_VOLUME)} AS mkt_share
+       CAST(SUM(CASE WHEN n_name = 'NATION_5' THEN {_DD_VOL4} ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({_DD_VOL4}) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -1065,21 +1211,24 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
+        .select(
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
+            _vol4().alias("v4"),
         )
-        .agg(_dsum(_volume()).alias("sum_profit"))
     )
+    return _two_tier_sums(
+        joined, ["nation", "o_year"], {"t_profit": F.col("v4")}
+    ).select("nation", "o_year", _money("t_profit", 1e4).alias("sum_profit"))
 
 
 ORACLE_PROFIT = f"""
 SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
-       {_DD_DSUM.format(e=_DD_VOLUME)} AS sum_profit
+       CAST(SUM({_DD_VOL4}) AS DOUBLE) / 10000.0 AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1131,24 +1280,37 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("2000-01-01"))
         & (F.col("l_shipdate") < _ts("2001-01-01"))
     )
-    vol = _volume()
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.month("l_shipdate").alias("l_month"))
-        .agg(
-            (
-                F.lit(100.0)
-                * _dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / _dsum(vol)
-            ).alias("promo_revenue_pct")
-        )
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        F.month("l_shipdate").alias("l_month"),
+        F.col("p_type"),
+        _vol4().alias("v4"),
+    )
+    totals = _two_tier_sums(
+        joined,
+        ["l_month"],
+        {
+            "t_promo": F.when(
+                F.col("p_type") == "PROMO", F.col("v4")
+            ).otherwise(F.lit(0)),
+            "t_all": F.col("v4"),
+        },
+    )
+    return totals.select(
+        "l_month",
+        (
+            F.lit(100.0)
+            * F.col("t_promo").cast("double")
+            / F.col("t_all").cast("double")
+        ).alias("promo_revenue_pct"),
     )
 
 
 ORACLE_PROMO = f"""
 SELECT CAST(month(l_shipdate) AS INT) AS l_month,
-       100.0 * {_DD_DSUM.format(e=f"CASE WHEN p_type = 'PROMO' THEN {_DD_VOLUME} ELSE 0.0 END")}
-       / {_DD_DSUM.format(e=_DD_VOLUME)} AS promo_revenue_pct
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DD_VOL4} ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({_DD_VOL4}) AS DOUBLE) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '2000-01-01'
   AND l_shipdate < TIMESTAMP '2001-01-01'
@@ -1161,10 +1323,12 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a self-aggregation of lineitem reused via semi join — at scale this
     is one shuffle on l_orderkey for both the filter and the final agg."""
     li = load_table(spark, sf_dir, "lineitem")
+    # exact integer HAVING: a knife-edge order at exactly 150.00 can't be
+    # flipped by double summation order (both engines compare exact ints)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 150)
+        .agg(F.sum(_e2(F.col("l_quantity"))).alias("qty2"))
+        .filter(F.col("qty2") > 15000)
         .select("l_orderkey")
     )
     orders = load_table(spark, sf_dir, "orders")
@@ -1176,7 +1340,12 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
         )
-        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        # per-order group: scale-invariant size, int64 sum overflow-safe
+        .agg(F.sum(_e2(F.col("l_quantity"))).alias("t_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", _money("t_qty", 100.0).alias("sum_qty"),
+        )
         .orderBy(
             F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
         )
@@ -1186,12 +1355,13 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LARGE_ORDERS = f"""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       {_DD_DSUM.format(e="l_quantity")} AS sum_qty
+       CAST(SUM({_DD_E2.format(e="l_quantity")}) AS DOUBLE) / 100.0
+       AS sum_qty
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
-WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
-                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                     HAVING SUM({_DD_E2.format(e="l_quantity")}) > 15000)
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
@@ -1223,15 +1393,16 @@ def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(brackets)
-        .agg(_dsum(_volume()).alias("revenue"))
+    filtered = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).filter(brackets)
+    return _two_tier_sums(filtered, [], {"t_rev": _vol4()}).select(
+        _money("t_rev", 1e4).alias("revenue")
     )
 
 
 ORACLE_BRACKETED = f"""
-SELECT {_DD_DSUM.format(e=_DD_VOLUME)} AS revenue
+SELECT CAST(SUM({_DD_VOL4}) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 11)
@@ -1559,46 +1730,39 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue from below-average-quantity lines of one brand
     — the correlated-scalar-subquery shape, decorrelated into a per-part
     aggregate joined back to the fact. The 0.2×avg comparison is kept
-    EXACT by cross-multiplying in DECIMAL (qty×5×cnt < Σqty), so a line
-    at exactly 0.2×avg agrees between engines."""
+    EXACT by cross-multiplying in quantized int64 (qty2×5×cnt < Σqty2),
+    so a line at exactly 0.2×avg agrees between engines."""
     li = load_table(spark, sf_dir, "lineitem")
+    # per-part group: scale-invariant size, int64 sum overflow-safe
     lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("sq"),
+        F.sum(_e2(F.col("l_quantity"))).alias("sq2"),
     )
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     )
-    return (
+    small = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(lim, li.l_partkey == lim.pk)
-        .filter(
-            F.col("l_quantity").cast("decimal(28,6)")
-            * 5
-            * F.col("cnt")
-            < F.col("sq")
-        )
-        .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
-                / F.lit(7.0)
-            )
-            .cast("double")
-            .alias("avg_yearly")
-        )
+        .filter(_e2(F.col("l_quantity")) * 5 * F.col("cnt") < F.col("sq2"))
+    )
+    return _two_tier_sums(
+        small, [], {"t_price": _e2(F.col("l_extendedprice"))}
+    ).select(
+        (_money("t_price", 100.0) / F.lit(7.0)).alias("avg_yearly")
     )
 
 
-ORACLE_SMALL_QTY = """
+ORACLE_SMALL_QTY = f"""
 WITH lim AS (SELECT l_partkey AS pk, COUNT(*) AS cnt,
-                    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq
+                    SUM({_DD_E2.format(e="l_quantity")}) AS sq2
              FROM lineitem GROUP BY 1)
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0 AS DOUBLE)
-       AS avg_yearly
+SELECT CAST(SUM({_DD_E2.format(e="l_extendedprice")}) AS DOUBLE) / 100.0
+       / 7.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 JOIN lim ON pk = l_partkey
 WHERE p_brand = 'Brand#1'
-  AND CAST(l_quantity AS DECIMAL(28,6)) * 5 * cnt < sq
+  AND {_DD_E2.format(e="l_quantity")} * 5 * cnt < sq2
 """
 
 

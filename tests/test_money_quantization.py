@@ -1,0 +1,87 @@
+"""The int64-quantized money fast path (relational._e2/_two_tier_sums)
+rests on one data invariant — every money column is a 2-decimal-exact
+double — and one algebraic one — two-tier integer totals equal a direct
+exact sum. Pin both so fixture drift or a helper regression fails here
+before the driver's correctness gate sees it."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.operators.relational import (
+    _e2,
+    _two_tier_sums,
+)
+
+MONEY_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+}
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize(
+    "table,cols", MONEY_COLS.items(), ids=list(MONEY_COLS)
+)
+def test_fixture_money_columns_are_2dp_exact(sf, table, cols):
+    con = duckdb.connect()
+    path = f"/root/testdata/{sf}/{table}.parquet"
+    for c in cols:
+        bad = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{path}') "
+            f"WHERE {c} <> FLOOR({c} * 100 + 0.5) / 100"
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"{table}.{c} at {sf} has {bad} non-2dp values: the "
+            f"_e2 int64 quantization in relational.py is no longer exact"
+        )
+
+
+def test_two_tier_matches_direct_decimal_sum(spark):
+    df = (
+        spark.range(0, 10_000, 1, 8)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            ((F.col("id") % 997) / 100.0).alias("x"),
+        )
+    )
+    got = (
+        _two_tier_sums(df, ["k"], {"t": _e2(F.col("x"))}, {"n": None})
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.groupBy("k")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,6)")).alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert len(got) == len(want) == 7
+    for g, w in zip(got, want):
+        assert g["k"] == w["k"] and g["n"] == w["n"]
+        # exact: int64 cents total == decimal total * 100
+        assert int(g["t"]) == int(w["t"] * 100)
+
+
+def test_two_tier_cube_matches_raw_cube(spark):
+    df = spark.range(0, 5_000, 1, 8).select(
+        (F.col("id") % 3).alias("a"),
+        (F.col("id") % 2).alias("b"),
+        ((F.col("id") % 101) / 100.0).alias("x"),
+    )
+    got = {
+        (r["a"], r["b"]): int(r["t"])
+        for r in _two_tier_sums(
+            df, ["a", "b"], {"t": _e2(F.col("x"))}, cube=True
+        ).collect()
+    }
+    want = {
+        (r["a"], r["b"]): int(r["t"] * 100)
+        for r in df.cube("a", "b")
+        .agg(F.sum(F.col("x").cast("decimal(28,6)")).alias("t"))
+        .collect()
+    }
+    assert got == want
