@@ -96,6 +96,9 @@ INVARIANT_SAMPLE = [
     "grouping_sets_customer",
     # PQ: combine-order independence of the quantized fit + integer ADC
     "ann_pq_topk",
+    # two-tier money sums: CUBE over per-partition subtotals must equal
+    # a raw-row CUBE regardless of how many subtotal rows feed it
+    "agg_cube",
 ]
 
 
