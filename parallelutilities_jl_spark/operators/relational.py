@@ -118,7 +118,12 @@ def _two_tier_sums(
             F.sum(F.col(n).cast("decimal(38,0)")).alias(n)
             for n in terms
         ],
-        *[F.sum(F.col(n)).alias(n) for n in cnts],
+        # empty global input: stage2 sums 0 subtotal rows -> NULL, but a
+        # COUNT(*) semantics must yield 0 (what DuckDB's COUNT returns)
+        *[
+            F.coalesce(F.sum(F.col(n)), F.lit(0).cast("bigint")).alias(n)
+            for n in cnts
+        ],
     )
 
 

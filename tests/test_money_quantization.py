@@ -66,6 +66,19 @@ def test_two_tier_matches_direct_decimal_sum(spark):
         assert int(g["t"]) == int(w["t"] * 100)
 
 
+def test_two_tier_empty_global_input_matches_sql_semantics(spark):
+    """Global agg over zero rows: SUM -> NULL, COUNT(*) -> 0 (one row),
+    exactly what the DuckDB oracle produces for the same shape."""
+    df = spark.range(0, 100, 1, 4).select(
+        (F.col("id") / 10.0).alias("x")
+    ).filter(F.col("id") < -1)
+    rows = _two_tier_sums(
+        df, [], {"t": _e2(F.col("x"))}, {"n": None}
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["t"] is None and rows[0]["n"] == 0
+
+
 def test_two_tier_cube_matches_raw_cube(spark):
     df = spark.range(0, 5_000, 1, 8).select(
         (F.col("id") % 3).alias("a"),
