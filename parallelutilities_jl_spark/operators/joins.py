@@ -116,21 +116,19 @@ def runtime_filtered_join(
     joined = lineitem.join(
         sel, lineitem["l_orderkey"] == sel["o_orderkey"]
     )
-    return (
-        joined.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(
-                (
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("decimal(28,6)")
-            )
-            .cast("double")
-            .alias("revenue"),
-        )
+    from parallelutilities_jl_spark.operators.relational import (
+        _money,
+        _two_tier_sums,
+        _vol4,
     )
+
+    projected = joined.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        _vol4().alias("v4"),
+    )
+    return _two_tier_sums(
+        projected, ["month"], {"t_rev": F.col("v4")}, {"n_lines": None}
+    ).select("month", "n_lines", _money("t_rev", 1e4).alias("revenue"))
 
 
 def q_runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,14 +179,22 @@ def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderstatus"
     )
+    from parallelutilities_jl_spark.operators.relational import (
+        _e2,
+        _money,
+        _two_tier_sums,
+    )
+
     joined = salted_join(li, orders, "okey", n_salts=8)
-    # decimal sum (repo float-parity policy): exact regardless of the
-    # salt-induced combine order
-    return joined.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
-        .cast("double")
-        .alias("sum_qty"),
+    # exact int64-quantized sum (repo float-parity policy): exact
+    # regardless of the salt-induced combine order
+    return _two_tier_sums(
+        joined,
+        ["o_orderstatus"],
+        {"t_qty": _e2(F.col("l_quantity"))},
+        {"n_lines": None},
+    ).select(
+        "o_orderstatus", "n_lines", _money("t_qty", 100.0).alias("sum_qty")
     )
 
 
@@ -205,15 +211,17 @@ FROM a
     "runtime_filtered_join": """
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
-            AS DOUBLE) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR((l_discount) * 100 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
 GROUP BY 1
 """,
     "salted_join_orders": """
 SELECT o_orderstatus, COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100.0 AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """,

@@ -31,15 +31,6 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
 
-# Float parity policy helpers (see module docstring): exact decimal sums,
-# identical on both engines regardless of combine order.
-def _dsum(col) -> F.Column:
-    return F.sum(col.cast("decimal(28,6)")).cast("double")
-
-
-_DD_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
-
-
 def _volume() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
@@ -91,13 +82,14 @@ def _two_tier_sums(
     terms: dict[str, F.Column],
     counts: dict[str, F.Column | None] | None = None,
     cube: bool = False,
+    rollup: bool = False,
 ) -> DataFrame:
     """Exact two-tier integer aggregation: int64 partial sums per
     (keys, input-partition), then a DECIMAL(38,0) merge of the per-
     partition subtotals. `terms` maps output name -> int64 column expr;
     `counts` maps name -> boolean condition (None = COUNT(*)).
-    With cube=True the final merge uses CUBE(keys) — valid because SUM
-    subtotals re-aggregate exactly."""
+    With cube=True / rollup=True the final merge uses CUBE/ROLLUP over
+    the keys — valid because SUM subtotals re-aggregate exactly."""
     cnts = counts or {}
     stage1 = df.groupBy(
         *keys, F.spark_partition_id().alias("_pid")
@@ -112,7 +104,12 @@ def _two_tier_sums(
             for n, c in cnts.items()
         ],
     )
-    grouped = stage1.cube(*keys) if cube else stage1.groupBy(*keys)
+    if cube:
+        grouped = stage1.cube(*keys)
+    elif rollup:
+        grouped = stage1.rollup(*keys)
+    else:
+        grouped = stage1.groupBy(*keys)
     return grouped.agg(
         *[
             F.sum(F.col(n).cast("decimal(38,0)")).alias(n)
@@ -522,22 +519,24 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # per-customer window partition: scale-invariant size, the exact
+    # int64 quantized sum (see _e2) can't overflow at any sf
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
+        (
+            F.sum(_e2(F.col("o_totalprice"))).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("running_total"),
     )
 
 
-ORACLE_WINDOW_RUNNING = """
+ORACLE_WINDOW_RUNNING = f"""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+       CAST(SUM({_DD_E2.format(e="o_totalprice")}) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-         AS running_total
+         / 100.0 AS running_total
 FROM orders
 """
 
@@ -580,25 +579,26 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_cust"),
-            _dsum(F.col("c_acctbal")).alias("total_bal"),
-        )
-        .select(
-            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
-            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
-            "n_cust",
-            "total_bal",
-        )
+    return _two_tier_sums(
+        joined,
+        ["r_name", "n_name"],
+        {"t_bal": _e2(F.col("c_acctbal"))},
+        {"n_cust": None},
+        rollup=True,
+    ).select(
+        F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+        F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+        "n_cust",
+        _money("t_bal", 100.0).alias("total_bal"),
     )
 
 
 ORACLE_ROLLUP = f"""
 SELECT COALESCE(r_name, '(all)') AS region_name,
        COALESCE(n_name, '(all)') AS nation_name,
-       COUNT(*) AS n_cust, {_DD_DSUM.format(e="c_acctbal")} AS total_bal
+       COUNT(*) AS n_cust,
+       CAST(SUM({_DD_E2.format(e="c_acctbal")}) AS DOUBLE) / 100.0
+       AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -955,9 +955,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.withColumn("is_new", is_new)
         .withColumn("session_id", F.sum("is_new").over(wcum).cast("long"))
     )
+    # per-session group: scale-invariant size, int64 sum overflow-safe
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        _dsum(F.col("value")).alias("session_value"),
+        F.sum(_e2(F.col("value"))).alias("t_val"),
+    ).select(
+        "user_id", "session_id", "n_events",
+        _money("t_val", 100.0).alias("session_value"),
     )
 
 
@@ -978,7 +982,8 @@ s AS (
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+       CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100.0 AS session_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -1010,10 +1015,16 @@ def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     average balance — rendered as broadcast join against the tiny
     per-segment aggregate (the scalable form of the subquery)."""
     cust = load_table(spark, sf_dir, "customer")
-    # decimal-sum average (float-parity policy): the threshold must be
-    # identical on both engines or a boundary customer flips in/out
-    seg_avg = cust.groupBy("c_mktsegment").agg(
-        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("seg_avg")
+    # exact quantized average (float-parity policy): the threshold must
+    # be identical on both engines or a boundary customer flips in/out
+    seg_avg = _two_tier_sums(
+        cust,
+        ["c_mktsegment"],
+        {"t_bal": _e2(F.col("c_acctbal"))},
+        {"n_seg": None},
+    ).select(
+        "c_mktsegment",
+        (_money("t_bal", 100.0) / F.col("n_seg")).alias("seg_avg"),
     )
     return (
         cust.join(F.broadcast(seg_avg), "c_mktsegment")
@@ -1031,7 +1042,8 @@ ORACLE_ABOVE_AVG = f"""
 SELECT c_custkey, c_mktsegment, c_acctbal AS bal, seg_avg
 FROM customer
 JOIN (SELECT c_mktsegment AS seg,
-             {_DD_DSUM.format(e="c_acctbal")} / COUNT(*) AS seg_avg
+             CAST(SUM({_DD_E2.format(e="c_acctbal")}) AS DOUBLE) / 100.0
+             / COUNT(*) AS seg_avg
       FROM customer GROUP BY 1) s
   ON c_mktsegment = s.seg
 WHERE c_acctbal > seg_avg
@@ -1444,22 +1456,37 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS over customer: (segment, nation), (segment), () —
     one shuffle, Spark expands the sets in a single Expand node."""
     cust = load_table(spark, sf_dir, "customer")
+    # grouping sets over per-partition int64 subtotals (same exact
+    # re-aggregation argument as _two_tier_sums(cube=True))
+    sub = cust.groupBy(
+        "c_mktsegment", "c_nationkey", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_e2(F.col("c_acctbal"))).alias("t"),
+    )
     return (
-        cust.groupingSets(
+        sub.groupingSets(
             [["c_mktsegment", "c_nationkey"], ["c_mktsegment"], []],
             "c_mktsegment",
             "c_nationkey",
         )
         .agg(
-            F.count(F.lit(1)).alias("n_cust"),
-            _dsum(F.col("c_acctbal")).alias("sum_bal"),
+            F.sum("n").alias("n_cust"),
+            F.sum(F.col("t").cast("decimal(38,0)")).alias("t_bal"),
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n_cust",
+            _money("t_bal", 100.0).alias("sum_bal"),
         )
     )
 
 
 ORACLE_GROUPING_SETS = f"""
 SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
-       {_DD_DSUM.format(e="c_acctbal")} AS sum_bal
+       CAST(SUM({_DD_E2.format(e="c_acctbal")}) AS DOUBLE) / 100.0
+       AS sum_bal
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
 """
@@ -1489,8 +1516,9 @@ SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
 _SQL_TOP_SUPPLIER = """
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+         CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(FLOOR((l_discount) * 100 + 0.5) AS BIGINT)))
+              AS DOUBLE) / 10000.0 AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '2000-01-01'
     AND l_shipdate < TIMESTAMP '2000-04-01'
@@ -1502,10 +1530,12 @@ WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
 
 _SQL_IDLE_RICH_CUSTOMERS = """
 SELECT c_nationkey, COUNT(*) AS n_cust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+       CAST(SUM(CAST(FLOOR((c_acctbal) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100.0 AS total_bal
 FROM customer c
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)))
-                               AS DOUBLE) / COUNT(*)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR((c_acctbal) * 100 + 0.5)
+                                        AS BIGINT)) AS DOUBLE)
+                          / 100.0 / COUNT(*)
                    FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
@@ -1582,21 +1612,21 @@ def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "day_no",
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
-        .over(w)
-        .cast("double")
-        .alias("rev_7d"),
+        (
+            F.sum(_e2(F.col("o_totalprice"))).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("rev_7d"),
     )
 
 
-ORACLE_ROLLING_7D = """
+ORACLE_ROLLING_7D = f"""
 SELECT o_orderkey, o_custkey,
        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day_no,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+       CAST(SUM({_DD_E2.format(e="o_totalprice")}) OVER (
            PARTITION BY o_custkey
            ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) AS rev_7d
+       ) AS DOUBLE) / 100.0 AS rev_7d
 FROM orders
 """
 
@@ -1672,28 +1702,28 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-scaled compare, so a part sitting exactly at the threshold
     cannot flip between engines)."""
     li = load_table(spark, sf_dir, "lineitem")
-    vdec = _volume().cast("decimal(28,6)")
-    per_part = li.groupBy("l_partkey").agg(F.sum(vdec).alias("v_dec"))
-    total = li.agg(F.sum(vdec).alias("t_dec"))
+    # per-part sums: scale-invariant group size, int64-safe; the global
+    # total needs the two-tier decimal merge (it grows with the corpus)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_vol4()).alias("v4")
+    )
+    total = _two_tier_sums(li, [], {"t4": _vol4()})
     return (
         per_part.join(F.broadcast(total))
         .filter(
-            F.col("v_dec") * Q11_FRAC_DEN > F.col("t_dec") * Q11_FRAC_NUM
+            F.col("v4").cast("decimal(38,0)") * Q11_FRAC_DEN
+            > F.col("t4") * Q11_FRAC_NUM
         )
-        .select(
-            "l_partkey", F.col("v_dec").cast("double").alias("part_value")
-        )
+        .select("l_partkey", _money("v4", 1e4).alias("part_value"))
     )
 
 
 ORACLE_IMPORTANT_PARTS = f"""
-WITH pv AS (SELECT l_partkey,
-                   SUM(CAST({_DD_VOLUME} AS DECIMAL(28,6))) AS v_dec
+WITH pv AS (SELECT l_partkey, SUM({_DD_VOL4}) AS v4
             FROM lineitem GROUP BY 1),
-tot AS (SELECT SUM(CAST({_DD_VOLUME} AS DECIMAL(28,6))) AS t_dec
-        FROM lineitem)
-SELECT l_partkey, CAST(v_dec AS DOUBLE) AS part_value
-FROM pv, tot WHERE v_dec * {Q11_FRAC_DEN} > t_dec * {Q11_FRAC_NUM}
+tot AS (SELECT SUM({_DD_VOL4}) AS t4 FROM lineitem)
+SELECT l_partkey, CAST(v4 AS DOUBLE) / 10000.0 AS part_value
+FROM pv, tot WHERE v4 * {Q11_FRAC_DEN} > t4 * {Q11_FRAC_NUM}
 """
 
 
@@ -1789,9 +1819,10 @@ def q_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1998-01-01"))
         )
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # per-supplier sums: scale-invariant group size, int64-safe
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
-        .filter(F.col("q") > Q20_QTY_THRESHOLD)
+        .agg(F.sum(_e2(F.col("l_quantity"))).alias("q2"))
+        .filter(F.col("q2") > Q20_QTY_THRESHOLD * 100)
     )
     sup = load_table(spark, sf_dir, "supplier")
     return sup.join(
@@ -1806,7 +1837,7 @@ SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN (
     AND l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1998-01-01'
   GROUP BY l_suppkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > {Q20_QTY_THRESHOLD})
+  HAVING SUM({_DD_E2.format(e="l_quantity")}) > {Q20_QTY_THRESHOLD * 100})
 """
 
 
@@ -1894,11 +1925,13 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = F.to_timestamp(F.lit(_MERGE_SPLIT))
 
     def partial(df):
-        return df.select(month, "o_totalprice").groupBy("ym").agg(
+        # int64 partial per (month, input partition) — the mergeable
+        # snapshot/delta state; the final merge re-sums in DECIMAL(38,0)
+        return df.select(
+            month, F.spark_partition_id().alias("_pid"), "o_totalprice"
+        ).groupBy("ym", "_pid").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
-                "rev_dec"
-            ),
+            F.sum(_e2(F.col("o_totalprice"))).alias("rev2"),
         )
 
     snapshot = partial(orders.filter(F.col("o_orderdate") < boundary))
@@ -1908,16 +1941,18 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ym")
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.sum(F.col("rev2").cast("decimal(38,0)")).alias("t_rev"),
         )
+        .select("ym", "n_orders", _money("t_rev", 100.0).alias("revenue"))
     )
 
 
 # oracle = full recompute from raw rows; equality proves the merge
-ORACLE_INCR_AGG_MERGE = """
+ORACLE_INCR_AGG_MERGE = f"""
 SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       CAST(SUM({_DD_E2.format(e="o_totalprice")}) AS DOUBLE) / 100.0
+       AS revenue
 FROM orders
 GROUP BY 1
 """

@@ -16,6 +16,11 @@ from parallelutilities_jl_spark.operators.relational import (
 MONEY_COLS = {
     "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     "orders": ["o_totalprice"],
+    # c_acctbal/s_acctbal include negatives: FLOOR(x*100 + 0.5) is still
+    # the exact representation (inputs are never near a .5 boundary)
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "events": ["value"],
 }
 
 
