@@ -55,6 +55,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _val_e2() -> F.Column:
+    """Exact int64 of the 2-dp-exact value column (see
+    operators/relational.py:_e2): integer streaming state is
+    combine-order- and trigger-boundary-independent, and cheaper than
+    per-row decimal accumulation."""
+    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
 def tumbling_counts(events: DataFrame, watermark: bool = True) -> DataFrame:
     """1-hour tumbling window × event_type counts (+ watermark when
     streaming)."""
@@ -63,13 +71,13 @@ def tumbling_counts(events: DataFrame, watermark: bool = True) -> DataFrame:
         src.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # sum in DECIMAL (exact, order-independent), cast to double, no
-            # ROUND: Spark rounds a double's shortest decimal repr while
-            # DuckDB rounds its binary value, so ROUND on the same double
-            # can disagree at exact ties (e.g. x.xxx75/8)
-            F.sum(F.col("value").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            # exact quantized int64 sum (order-independent), cast to
+            # double, no ROUND: Spark rounds a double's shortest decimal
+            # repr while DuckDB rounds its binary value, so ROUND on the
+            # same double can disagree at exact ties (e.g. x.xxx75/8)
+            (
+                F.sum(_val_e2()).cast("double") / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
@@ -88,7 +96,7 @@ def sliding_avg(events: DataFrame, watermark: bool = True) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             (
-                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                F.sum(_val_e2()).cast("double") / F.lit(100.0)
                 / F.count(F.lit(1))
             ).alias("avg_value"),
         )
@@ -107,9 +115,9 @@ def session_agg(events: DataFrame, watermark: bool = True) -> DataFrame:
         src.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            (
+                F.sum(_val_e2()).cast("double") / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -233,7 +241,7 @@ ORACLES = {
     "windowed_event_counts": """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """,
     "sliding_window_avg": """
@@ -241,7 +249,7 @@ WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events),
 w AS (SELECT (sec // 1800) * 1800 - off.o AS win_start, value
       FROM e, (VALUES (0), (1800)) off(o))
 SELECT win_start, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+       CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value
 FROM w GROUP BY win_start
 """,
     # session semantics: a new session starts when the gap since the
@@ -264,7 +272,7 @@ s AS (
 )
 SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM s GROUP BY user_id, sid
 """,
 }
