@@ -12,10 +12,12 @@ Scale notes (these run on a 1000-executor cluster against ~100 TB):
 * Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
   handles skew. Filters are applied before joins so Catalyst pushes them
   into the parquet scans.
-* Float parity policy: double-typed SUMs go through DECIMAL (exact,
-  order-independent) and cast back to double at the edge, never ROUND —
-  double ROUND can disagree between engines at exact half ties, and a
-  rounded value near a tie can flip a row as data changes.
+* Float parity policy: money SUMs run on exact FLOOR-quantized int64
+  (see _e2/_two_tier_sums below — order-independent, overflow-safe via
+  the per-partition-partial + DECIMAL(38,0)-merge tier) and cast back to
+  double at the edge, never ROUND — double ROUND can disagree between
+  engines at exact half ties, and a rounded value near a tie can flip a
+  row as data changes.
 """
 
 from __future__ import annotations
