@@ -1436,21 +1436,29 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON props column → typed stats per
     event_type (get_json_object runs JVM-side — no Python)."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return events.groupBy("event_type").agg(
+    # parse each props JSON ONCE behind a Project boundary — three
+    # aggregates over the same extraction must not re-parse per row
+    proj = events.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return proj.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
     )
 
 
 ORACLE_JSON_PROPS = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY event_type
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
 """
 
 
