@@ -25,7 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# median-of-5: with median-of-3, one co-tenant noise spike lands ON the
+# median (observed spreads like [1.58, 2.45] on unchanged plans); five
+# reps put the median inside the quiet cluster at ~+2 min total runtime
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 # headline set: one per operator family (relational star join, scan-agg,
 # window, as-of, product mapreduce, metadata grid, dedup, similarity, text)
