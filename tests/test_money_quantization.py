@@ -84,6 +84,29 @@ def test_two_tier_empty_global_input_matches_sql_semantics(spark):
     assert rows[0]["t"] is None and rows[0]["n"] == 0
 
 
+def test_two_tier_exact_under_10x_replication(spark):
+    """Volume-growth exactness: replicating the fact table 10x must give
+    EXACTLY 10x each integer total (decimal merge never rounds), the
+    property that makes the two-tier path safe to extrapolate to 100 TB."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+
+    def totals(df):
+        rows = _two_tier_sums(
+            df,
+            ["l_returnflag"],
+            {"t": _e2(F.col("l_extendedprice"))},
+            {"n": None},
+        ).collect()
+        return {r["l_returnflag"]: (int(r["t"]), r["n"]) for r in rows}
+
+    base = totals(li)
+    rep = li.crossJoin(F.broadcast(spark.range(10)))
+    big = totals(rep)
+    assert set(base) == set(big)
+    for k, (t, n) in base.items():
+        assert big[k] == (10 * t, 10 * n)
+
+
 def test_two_tier_cube_matches_raw_cube(spark):
     df = spark.range(0, 5_000, 1, 8).select(
         (F.col("id") % 3).alias("a"),
