@@ -33,13 +33,6 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
 
-def _volume() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
-_DD_VOLUME = "l_extendedprice * (1 - l_discount)"
-
-
 # --- exact integer-quantized money aggregation (the fast path) -------------
 #
 # Every money column in the fixture is a 2-decimal-exact double (pinned by
@@ -51,13 +44,17 @@ _DD_VOLUME = "l_extendedprice * (1 - l_discount)"
 # scan-heavy aggregates like TPC-H Q1.
 #
 # Scale safety: a low-cardinality group's int64 total overflows around
-# sf~10^4 (price cents × 10^11 rows), so for such groups the int64 partial
-# sums are kept per *input partition* — bounded by
-# spark.sql.files.maxPartitionBytes, so a partition subtotal can't
-# overflow — and the cross-partition merge is an exact DECIMAL(38,0) sum
-# over the tiny subtotal set (`_two_tier_sums`). High-cardinality groups
-# whose per-group row count is scale-invariant (per-order, per-customer)
-# sum int64 directly.
+# sf~10^4 (price cents × 10^11 rows), so for such groups the int64
+# partial sums are kept per 2^23-row chunk (monotonically_increasing_id
+# >> 23 — partition id in the high bits, so chunks never cross
+# partitions) and the cross-chunk merge is an exact DECIMAL(38,0) sum
+# over the tiny subtotal set (`_two_tier_sums`). The bound is intrinsic —
+# it does NOT depend on scan/shuffle partition sizing: a chunk subtotal
+# is ≤ 2^23 × max-per-row-term ≈ 9e17 for the largest term (charge at
+# 1e-6 units), 10× inside int64 — and the session runs ANSI mode, so an
+# impossible-by-construction overflow would raise, never wrap silently.
+# High-cardinality groups whose per-group row count is scale-invariant
+# (per-order, per-customer) sum int64 directly.
 def _e2(c: F.Column) -> F.Column:
     """Exact int64 of a 2-dp-exact double: round(100*x) via FLOOR(+0.5),
     identical in Spark and DuckDB (no engine ROUND-mode dependence)."""
@@ -87,14 +84,15 @@ def _two_tier_sums(
     rollup: bool = False,
 ) -> DataFrame:
     """Exact two-tier integer aggregation: int64 partial sums per
-    (keys, input-partition), then a DECIMAL(38,0) merge of the per-
-    partition subtotals. `terms` maps output name -> int64 column expr;
-    `counts` maps name -> boolean condition (None = COUNT(*)).
-    With cube=True / rollup=True the final merge uses CUBE/ROLLUP over
-    the keys — valid because SUM subtotals re-aggregate exactly."""
+    (keys, 2^23-row chunk), then a DECIMAL(38,0) merge of the per-chunk
+    subtotals (see the overflow-bound note above). `terms` maps output
+    name -> int64 column expr; `counts` maps name -> boolean condition
+    (None = COUNT(*)). With cube=True / rollup=True the final merge uses
+    CUBE/ROLLUP over the keys — valid because SUM subtotals re-aggregate
+    exactly."""
     cnts = counts or {}
     stage1 = df.groupBy(
-        *keys, F.spark_partition_id().alias("_pid")
+        *keys, F.shiftright(F.monotonically_increasing_id(), 23).alias("_chunk")
     ).agg(
         *[F.sum(c).alias(n) for n, c in terms.items()],
         *[
@@ -1466,10 +1464,12 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS over customer: (segment, nation), (segment), () —
     one shuffle, Spark expands the sets in a single Expand node."""
     cust = load_table(spark, sf_dir, "customer")
-    # grouping sets over per-partition int64 subtotals (same exact
-    # re-aggregation argument as _two_tier_sums(cube=True))
+    # grouping sets over per-chunk int64 subtotals (same exact
+    # re-aggregation + overflow-bound argument as _two_tier_sums)
     sub = cust.groupBy(
-        "c_mktsegment", "c_nationkey", F.spark_partition_id().alias("_pid")
+        "c_mktsegment",
+        "c_nationkey",
+        F.shiftright(F.monotonically_increasing_id(), 23).alias("_chunk"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_e2(F.col("c_acctbal"))).alias("t"),
@@ -1935,11 +1935,13 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = F.to_timestamp(F.lit(_MERGE_SPLIT))
 
     def partial(df):
-        # int64 partial per (month, input partition) — the mergeable
+        # int64 partial per (month, 2^23-row chunk) — the mergeable
         # snapshot/delta state; the final merge re-sums in DECIMAL(38,0)
         return df.select(
-            month, F.spark_partition_id().alias("_pid"), "o_totalprice"
-        ).groupBy("ym", "_pid").agg(
+            month,
+            F.shiftright(F.monotonically_increasing_id(), 23).alias("_chunk"),
+            "o_totalprice",
+        ).groupBy("ym", "_chunk").agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(_e2(F.col("o_totalprice"))).alias("rev2"),
         )

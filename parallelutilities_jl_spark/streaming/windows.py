@@ -57,11 +57,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _val_e2() -> F.Column:
-    """Exact int64 of the 2-dp-exact value column (see
-    operators/relational.py:_e2): integer streaming state is
-    combine-order- and trigger-boundary-independent, and cheaper than
-    per-row decimal accumulation."""
-    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    """Exact int64 of the 2-dp-exact value column: integer streaming
+    state is combine-order- and trigger-boundary-independent, and
+    cheaper than per-row decimal accumulation. Reuses the batch path's
+    quantizer so the formula can never silently diverge from the
+    _DD_E2 oracle template."""
+    from parallelutilities_jl_spark.operators.relational import _e2
+
+    return _e2(F.col("value"))
 
 def tumbling_counts(events: DataFrame, watermark: bool = True) -> DataFrame:
     """1-hour tumbling window × event_type counts (+ watermark when

@@ -24,7 +24,7 @@ MONEY_COLS = {
 }
 
 
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 @pytest.mark.parametrize(
     "table,cols", MONEY_COLS.items(), ids=list(MONEY_COLS)
 )
