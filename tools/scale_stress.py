@@ -39,6 +39,10 @@ QUERIES = (
     "corpus_shuffle",
     "tfidf_top_terms",
     "quality_canonical_dedup",
+    # money-agg path: the two-tier int64 aggregation (6M lineitem rows
+    # at x10) must stay ~linear AND keep exact totals (the replication
+    # check below asserts 10x rows => exactly 10x each sum)
+    "q1_pricing_summary",
 )
 
 
@@ -78,6 +82,22 @@ def build_stress_corpus() -> None:
         )
     pq.write_table(
         pa.concat_tables(eparts), os.path.join(STRESS, "embeddings.parquet")
+    )
+
+    # 10x lineitem for the money-aggregation tier: shift orderkeys per
+    # shard so join keys stay unique; money columns replicate verbatim,
+    # making every exact int64 total exactly 10x the sf0.1 total
+    li = pq.read_table(os.path.join(SF1, "lineitem.parquet"))
+    lparts = []
+    for s in range(SHARDS):
+        keys = pc.add(li.column("l_orderkey"), s * ID_STRIDE)
+        lparts.append(
+            li.set_column(
+                li.schema.get_field_index("l_orderkey"), "l_orderkey", keys
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(lparts), os.path.join(STRESS, "lineitem.parquet")
     )
 
 
