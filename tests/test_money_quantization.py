@@ -4,8 +4,12 @@ double — and one algebraic one — two-tier integer totals equal a direct
 exact sum. Pin both so fixture drift or a helper regression fails here
 before the driver's correctness gate sees it."""
 
+import math
+from decimal import Decimal
+
 import duckdb
 import pytest
+from hypothesis import given, strategies as st
 from pyspark.sql import functions as F
 
 from parallelutilities_jl_spark.operators.relational import (
@@ -40,6 +44,23 @@ def test_fixture_money_columns_are_2dp_exact(sf, table, cols):
             f"{table}.{c} at {sf} has {bad} non-2dp values: the "
             f"_e2 int64 quantization in relational.py is no longer exact"
         )
+
+
+@given(
+    st.decimals(
+        min_value=Decimal("-99999999.99"),
+        max_value=Decimal("99999999.99"),
+        places=2,
+        allow_nan=False,
+        allow_infinity=False,
+    )
+)
+def test_floor_quantization_exact_for_all_2dp_values(d):
+    """The numeric core of _e2: for ANY 2-dp decimal value (negatives and
+    the full money magnitude range included), FLOOR(double(x)*100 + 0.5)
+    recovers the exact integer hundredths — the double representation
+    error can never reach the 0.5 offset at these magnitudes."""
+    assert math.floor(float(d) * 100 + 0.5) == int(d.scaleb(2))
 
 
 def test_two_tier_matches_direct_decimal_sum(spark):
