@@ -99,6 +99,11 @@ INVARIANT_SAMPLE = [
     # two-tier money sums: CUBE over per-partition subtotals must equal
     # a raw-row CUBE regardless of how many subtotal rows feed it
     "agg_cube",
+    # SQL-entry subquery shapes after the int64 rewrite: the
+    # total_rev = MAX(total_rev) equality filter must hold under any
+    # partitioning (quantized sums are combine-order-free)
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
 ]
 
 
