@@ -496,28 +496,38 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle SimHash: hash the distinct tokens once into a
+    per-row array, then fold the 32 per-bit vote sums with `aggregate`
+    higher-order functions — the whole fingerprint is a narrow map over
+    the corpus scan, no exchange at any scale. (The previous
+    explode + groupBy(doc_id) shape carried a doc-count exchange and a
+    token-row hash-agg; the HOF fold measured ~15% faster at sf0.1 with
+    tighter spread — tools/exp_simhash_zeroshuffle.py.)"""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(TH.words(F.col("text")))).alias("w"),
-    ).select("doc_id", TH.md5_int48(F.col("w")).alias("h"))
-    # one partial-aggregable pass: 32 per-bit vote sums as agg columns
-    # (an explode over bits would shuffle 32× the token rows)
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"s{b}")
-            for b in range(32)
-        ]
+    hs = F.transform(
+        F.array_distinct(TH.words(F.col("text"))),
+        lambda w: TH.md5_int48(w),
     )
+    # bind the hashed array in its own projection so the 32 folds read
+    # the materialized array instead of re-hashing tokens per bit
+    hdf = docs.select("doc_id", hs.alias("hs"))
+
+    def vote(b: int) -> Column:
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        ).alias(f"s{b}")
+
+    vdf = hdf.select("doc_id", *[vote(b) for b in range(32)])
     fp = None
     for b in range(32):
         term = F.when(
             F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return votes.select("doc_id", fp.alias("simhash"))
+    return vdf.select("doc_id", fp.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
