@@ -141,10 +141,11 @@ def main() -> None:
     }
     print(json.dumps(summary))
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or (
-        # selective runs (profiling one query) must not clobber the
-        # committed full-run artifact
+        # selective runs (profiling one query) and non-default SF tiers
+        # (quick sf0.01 contract checks) must not clobber the committed
+        # full-run sf0.1 artifact
         None
-        if only
+        if only or sf is None or abs(sf - 0.1) > 1e-9
         else os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )

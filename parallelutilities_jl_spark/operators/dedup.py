@@ -95,6 +95,64 @@ def minhash_signatures(sh_df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def shingle_arrays(
+    spark: SparkSession, sf_dir: str, k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, shs): each document's DISTINCT shingle set as a per-row
+    array — a narrow map over the corpus scan (the zero-shuffle form of
+    `shingle_docs`; explode it when a shingle-keyed shuffle is actually
+    needed, e.g. document-frequency caps)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    ws = TH.words(F.col("text"))
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.array_distinct(TH.shingles(F.col("ws"), k)).alias("shs"),
+        )
+    )
+
+
+def minhash_per_doc(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SHINGLE_K,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(doc_id, shs, n, h0..h{n-1}) — the full per-document dedup state
+    (distinct shingle set, its size, and the min-hash signature) as a
+    ZERO-SHUFFLE narrow map: shingling, hashing, and the per-salt min
+    folds all happen inside the document row with higher-order
+    functions. The explode + groupBy(doc_id) shape this replaces paid a
+    corpus-sized exchange to reassemble state that never had to leave
+    the row (same md5-once/XOR-permutation scheme; bit-identical
+    signatures — tools/exp_simhash_zeroshuffle.py precedent)."""
+    base = shingle_arrays(spark, sf_dir, k)
+    # bind the hashed array in its own projection so the n_hashes min
+    # folds read it instead of re-hashing every shingle per salt
+    hdf = base.select(
+        "doc_id",
+        "shs",
+        F.transform(F.col("shs"), lambda sh: TH.md5_int60(sh)).alias("hs"),
+    )
+
+    def mh(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: h.bitwiseXOR(F.lit(TH.MINHASH_XOR_SALTS[i])),
+            )
+        ).alias(f"h{i}")
+
+    return hdf.select(
+        "doc_id",
+        "shs",
+        F.size("shs").cast("long").alias("n"),
+        *[mh(i) for i in range(n_hashes)],
+    )
+
+
 def lsh_bands(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
     """(doc_id, band, key): band key = md5 of the band's signature rows.
 
@@ -155,17 +213,16 @@ def candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh_df: DataFrame, threshold: float
+    pairs: DataFrame, arrs: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard for the candidate pairs only: two equi-joins pull
     each doc's shingle *array* onto the pair row, then `array_intersect`
     computes |∩| JVM-side — no shingle-level join. The candidate set is
     tiny relative to the corpus (that's the point of LSH), so carrying
     two bounded arrays per pair beats re-shuffling the exploded shingle
-    table twice."""
-    arrs = sh_df.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"), F.count(F.lit(1)).alias("n")
-    )
+    table twice. `arrs` is a per-doc (doc_id, shs, n) frame — build it
+    with the zero-shuffle `shingle_arrays`, never by re-aggregating an
+    exploded shingle table."""
     aa = arrs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),
@@ -272,30 +329,13 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.3.
 
     The signature mins AND the verify-stage shingle arrays/sizes come
-    out of ONE groupBy(doc_id) pass over the shingle table — the
-    pipeline's only corpus-sized shuffle. The per-doc table is cached
-    and reused by banding, both sides of the candidate join, and the
+    out of `minhash_per_doc` — a zero-shuffle narrow map, so the only
+    exchanges left in the whole pipeline are the LSH bucket join and
+    the candidate verify join. The per-doc table is checkpointed and
+    reused by banding, both sides of the candidate join, and the
     verify; at cluster scale the same role is played by checkpointing
     it to parquet."""
-    sh = shingle_docs(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id", "sh", TH.md5_int60(F.col("sh")).alias("h")
-    )
-    mins = [
-        F.min(F.col("h").bitwiseXOR(F.lit(TH.MINHASH_XOR_SALTS[i]))).alias(
-            f"h{i}"
-        )
-        for i in range(N_HASHES)
-    ]
-    per_doc = (
-        hashed.groupBy("doc_id")
-        .agg(
-            *mins,
-            F.collect_list("sh").alias("shs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint()  # signature frame: reused by bands + verify
-    )
+    per_doc = minhash_per_doc(spark, sf_dir).localCheckpoint()
     cands = candidate_pairs(lsh_bands(per_doc))
     aa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
@@ -330,33 +370,16 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment 1.0); excising such subset-duplication is a standard
     LLM-corpus step alongside Jaccard dedup.
 
-    Same scale shape as `minhash_near_dup`: ONE corpus-sized
-    groupBy(doc_id) feeding signatures, banding, and verify; banded
-    bucket self-join for candidates; exact set math on candidates only.
+    Same scale shape as `minhash_near_dup`: one zero-shuffle
+    `minhash_per_doc` map feeding signatures, banding, and verify;
+    banded bucket self-join for candidates; exact set math on
+    candidates only.
     (LSH banding recalls high-Jaccard pairs best, so low-Jaccard/
     high-containment pairs with very lopsided sizes may be missed by
     the bands — the standard mitigation at scale is re-banding on the
     smaller doc's signature prefix; the fixture's near-dup pairs are
     size-balanced enough that banding recalls them.)"""
-    sh = shingle_docs(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id", "sh", TH.md5_int60(F.col("sh")).alias("h")
-    )
-    mins = [
-        F.min(F.col("h").bitwiseXOR(F.lit(TH.MINHASH_XOR_SALTS[i]))).alias(
-            f"h{i}"
-        )
-        for i in range(N_HASHES)
-    ]
-    per_doc = (
-        hashed.groupBy("doc_id")
-        .agg(
-            *mins,
-            F.collect_list("sh").alias("shs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint()  # signature frame: reused by bands + verify
-    )
+    per_doc = minhash_per_doc(spark, sf_dir).localCheckpoint()
     cands = candidate_pairs(lsh_bands(per_doc))
     aa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
@@ -386,8 +409,8 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The signatures themselves (first 4 hash columns) — checks the
-    sketch layer independently of banding."""
-    sig = minhash_signatures(shingle_docs(spark, sf_dir))
+    sketch layer independently of banding (zero-shuffle per-doc map)."""
+    sig = minhash_per_doc(spark, sf_dir)
     return sig.select("doc_id", "h0", "h1", "h2", "h3")
 
 
@@ -401,7 +424,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Jaccard itself is then EXACT over the full shingle sets via
     `array_intersect` on the candidates — the df cap only bounds who
     gets compared, never the similarity value."""
-    sh = shingle_docs(spark, sf_dir).localCheckpoint()
+    per = shingle_arrays(spark, sf_dir).select(
+        "doc_id", "shs", F.size("shs").cast("long").alias("n")
+    ).localCheckpoint()  # one narrow pass feeds dfreq, candidates, verify
+    sh = per.select("doc_id", F.explode("shs").alias("sh"))
     dfreq = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -423,7 +449,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return jaccard_verify(cands, sh, JACCARD_THRESHOLD)
+    return jaccard_verify(cands, per, JACCARD_THRESHOLD)
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

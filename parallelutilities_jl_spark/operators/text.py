@@ -157,16 +157,27 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: the k minimal shingle hashes summarise
     the document (here k=1 plus the distinct-shingle count) — the
-    order-statistic sketch reused from MinHash."""
+    order-statistic sketch reused from MinHash.
+
+    Zero-shuffle: the distinct shingle set never leaves its document
+    row — min-hash and count are HOF folds over a per-row array (min
+    over distinct == min over all, so `array_distinct` serves both
+    outputs; the previous explode + groupBy(doc_id) + countDistinct
+    paid a corpus-sized exchange plus a distinct-expand for state that
+    was per-row all along)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    sh = (
+    shs = F.array_distinct(TH.shingles(F.col("ws"), 3))
+    return (
         docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 3)
-        .select("doc_id", F.explode(TH.shingles(F.col("ws"), 3)).alias("sh"))
-    )
-    return sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.col("sh"))).alias("fingerprint"),
-        F.countDistinct("sh").alias("n_shingles"),
+        .select("doc_id", shs.alias("shs"))
+        .select(
+            "doc_id",
+            F.array_min(
+                F.transform(F.col("shs"), lambda sh: F.md5(sh))
+            ).alias("fingerprint"),
+            F.size("shs").cast("long").alias("n_shingles"),
+        )
     )
 
 

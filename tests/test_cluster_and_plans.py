@@ -206,6 +206,30 @@ def test_minhash_signatures_partial_agg(spark, sf_dir):
     assert "partial_min" in plan
 
 
+def test_minhash_per_doc_zero_shuffle_and_equivalent(spark, sf_dir):
+    """The per-row HOF signature path must plan with NO exchange at all,
+    and its mins must be bit-identical to the exploded groupBy variant."""
+    from parallelutilities_jl_spark.operators import dedup as D
+
+    per_doc = D.minhash_per_doc(spark, sf_dir)
+    plan = _plan(per_doc)
+    # load_table_parallel's round-robin scan fan-out is the ONLY
+    # exchange allowed — no keyed (hash/range) shuffle anywhere
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    cols = ["doc_id"] + [f"h{i}" for i in range(D.N_HASHES)]
+    a = sorted(map(tuple, per_doc.select(*cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            D.minhash_signatures(D.shingle_docs(spark, sf_dir))
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert a == b
+
+
 def test_embedding_dedup_candidates_are_equijoined(spark, sf_dir):
     """The cosine-dedup tier must NOT be an all-pairs nested loop: LSH
     candidate generation is an equi-join (hash-joinable on band/key), the
