@@ -535,8 +535,13 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda w: TH.md5_int48(w),
     )
     # bind the hashed array in its own projection so the 32 folds read
-    # the materialized array instead of re-hashing tokens per bit
-    hdf = docs.select("doc_id", hs.alias("hs"))
+    # the materialized array instead of re-hashing tokens per bit.
+    # NULL text must DROP the row (the explode this replaced did so
+    # implicitly; the oracle's UNNEST still does) — without the filter
+    # the folds would emit a spurious all-zero fingerprint for it
+    hdf = docs.select("doc_id", hs.alias("hs")).filter(
+        F.col("hs").isNotNull()
+    )
 
     def vote(b: int) -> Column:
         return F.aggregate(

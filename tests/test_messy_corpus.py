@@ -114,6 +114,32 @@ def test_filter_pipeline_counts_null_text_as_dropped(spark, messy_docs):
     assert rows["src0"]["n_total"] == 2 and rows["src0"]["n_kept"] == 0
 
 
+def test_null_text_absent_from_per_doc_fingerprints(spark, messy_docs):
+    """The zero-shuffle HOF folds must keep the explode-era row
+    semantics: a NULL-text doc has no tokens, so it appears in NO
+    per-doc fingerprint/signature frame (the DuckDB oracles' UNNEST
+    drops it; an all-zero fingerprint row would be a silent parity
+    break on real corpora)."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        _simhash_df,
+        minhash_per_doc,
+    )
+    from parallelutilities_jl_spark.operators.text import q_doc_fingerprint
+
+    sim_ids = {r["doc_id"] for r in _simhash_df(spark, messy_docs).collect()}
+    assert 0 not in sim_ids  # NULL text
+    assert 1 in sim_ids  # empty string still tokenizes to ['']
+    mh_ids = {
+        r["doc_id"] for r in minhash_per_doc(spark, messy_docs).collect()
+    }
+    assert 0 not in mh_ids
+    fp_ids = {
+        r["doc_id"]
+        for r in q_doc_fingerprint(spark, messy_docs).collect()
+    }
+    assert 0 not in fp_ids
+
+
 def test_connected_components_chain_and_nonconvergence(spark):
     """A chain graph converges to one component (min-label propagation
     needs diameter-many rounds), and an under-capped run raises instead
