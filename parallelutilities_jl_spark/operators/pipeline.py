@@ -23,7 +23,7 @@ At 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallelutilities_jl_spark.functions import texthash as TH
@@ -769,8 +769,111 @@ FROM s
 """
 
 
+# PII scrub: patterns kept to the Java-regex ∩ RE2 common subset so
+# Spark and the DuckDB oracle compile them identically (no lookaround,
+# no backrefs — neither engine pair needs them for this class)
+PII_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.com"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+def _pii_augmented_text() -> Column:
+    """Deterministic synthetic contact strings: the fixture corpus has
+    no PII (by construction), so the scrub operator seeds its own —
+    doc_id ≡ 0 (mod 3) gets an email + phone, ≡ 1 gets an email, ≡ 2 is
+    left clean. Both engines build the identical augmented text, so the
+    redaction math is fully oracle-checked and non-vacuous."""
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@mail.com")
+    )
+    phone = F.concat(
+        F.lit(" call 555-"), (F.lit(1000) + did % 9000).cast("string")
+    )
+    return (
+        F.when(did % 3 == 0, F.concat(F.col("text"), email, phone))
+        .when(did % 3 == 1, F.concat(F.col("text"), email))
+        .otherwise(F.col("text"))
+    )
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (the redaction step every training corpus runs
+    before packing): regex-redact emails and phone numbers, report per
+    source how many documents were touched, how many of each PII class
+    was removed, and the net character delta of the redaction.
+
+    Scale shape: the scrub itself is a pure narrow map (regexp_count +
+    regexp_replace are JVM codegen expressions — no UDF, no shuffle);
+    the only exchange is the tiny per-source summary agg. At 100 TB the
+    redacted text would be written back through a partitioned sink; the
+    stats frame is what the pipeline run-report keeps."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "source", _pii_augmented_text().alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    per_doc = aug.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("ne"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("np"),
+        (F.length("t") - F.length(redacted)).cast("long").alias("delta"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when((F.col("ne") > 0) | (F.col("np") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        F.sum("ne").cast("long").alias("n_emails"),
+        F.sum("np").cast("long").alias("n_phones"),
+        F.sum("delta").cast("long").alias("chars_removed"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN doc_id % 3 = 0 THEN
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.com' || ' call 555-'
+                  || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           WHEN doc_id % 3 = 1 THEN
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.com'
+           ELSE text
+         END AS t
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS ne,
+         CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS np,
+         CAST(length(t) - length(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS delta
+  FROM aug
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(SUM(delta) AS BIGINT) AS chars_removed
+FROM per_doc
+GROUP BY source
+"""
+
+
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
+    "pii_scrub_stats": q_pii_scrub_stats,
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
@@ -785,6 +888,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_chunk_windows": ORACLE_DOC_CHUNKS,
+    "pii_scrub_stats": ORACLE_PII_SCRUB,
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
