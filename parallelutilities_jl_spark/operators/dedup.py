@@ -521,25 +521,38 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_df(
+    spark: SparkSession, sf_dir: str, with_n_tokens: bool = False
+) -> DataFrame:
     """Zero-shuffle SimHash: hash the distinct tokens once into a
     per-row array, then fold the 32 per-bit vote sums with `aggregate`
     higher-order functions — the whole fingerprint is a narrow map over
     the corpus scan, no exchange at any scale. (The previous
     explode + groupBy(doc_id) shape carried a doc-count exchange and a
     token-row hash-agg; the HOF fold measured ~15% faster at sf0.1 with
-    tighter spread — tools/exp_simhash_zeroshuffle.py.)"""
+    tighter spread — tools/exp_simhash_zeroshuffle.py.)
+
+    `with_n_tokens=True` adds the raw token count to the same narrow
+    pass — composite pipelines (training_order_packing) that need both
+    the fingerprint and the length then tokenize the corpus ONCE
+    instead of running a second scan + a doc-keyed join."""
     docs = load_table_parallel(spark, sf_dir, "documents")
+    # tokenize once; both the hash array and the length read `ws`
+    wdf = docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
+    extra = (
+        [F.size("ws").cast("long").alias("n_tokens")]
+        if with_n_tokens
+        else []
+    )
     hs = F.transform(
-        F.array_distinct(TH.words(F.col("text"))),
-        lambda w: TH.md5_int48(w),
+        F.array_distinct(F.col("ws")), lambda w: TH.md5_int48(w)
     )
     # bind the hashed array in its own projection so the 32 folds read
     # the materialized array instead of re-hashing tokens per bit.
     # NULL text must DROP the row (the explode this replaced did so
     # implicitly; the oracle's UNNEST still does) — without the filter
     # the folds would emit a spurious all-zero fingerprint for it
-    hdf = docs.select("doc_id", hs.alias("hs")).filter(
+    hdf = wdf.select("doc_id", hs.alias("hs"), *extra).filter(
         F.col("hs").isNotNull()
     )
 
@@ -551,14 +564,15 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
         ).alias(f"s{b}")
 
-    vdf = hdf.select("doc_id", *[vote(b) for b in range(32)])
+    carry = ["n_tokens"] if with_n_tokens else []
+    vdf = hdf.select("doc_id", *carry, *[vote(b) for b in range(32)])
     fp = None
     for b in range(32):
         term = F.when(
             F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return vdf.select("doc_id", fp.alias("simhash"))
+    return vdf.select("doc_id", fp.alias("simhash"), *carry)
 
 
 # ---------------------------------------------------------------------------

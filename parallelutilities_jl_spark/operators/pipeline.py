@@ -618,25 +618,22 @@ def q_training_order_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition over data."""
     from parallelutilities_jl_spark.operators.dedup import _simhash_df
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
     # Survivor lineage is materialized ONCE via eager localCheckpoint
-    # (narrow id+hash / id+count frames — tiny next to the corpus), not
+    # (narrow id+hash+count frame — tiny next to the corpus), not
     # .cache(): checkpoint blocks are freed by the ContextCleaner when
     # the frame is GC'd, whereas CacheManager entries pin executor
     # memory until an explicit clearCache — a leak across a 150-query
     # sweep. Checkpointing also truncates the dedup lineage, so the
     # downstream pack/join plan no longer re-plans the fingerprint
-    # stage per consumer branch.
-    fp = _simhash_df(spark, sf_dir).localCheckpoint()
+    # stage per consumer branch. `with_n_tokens` rides the token count
+    # on the same narrow fingerprint pass — the corpus is scanned and
+    # tokenized exactly once, and the old second scan + doc-keyed
+    # n_tokens join are gone.
+    fp = _simhash_df(spark, sf_dir, with_n_tokens=True).localCheckpoint()
     canon = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
-    toks = docs.select(
-        "doc_id",
-        F.size(TH.words(F.col("text"))).cast("long").alias("n_tokens"),
-    )
     kept = (
         fp.join(canon, ["simhash", "doc_id"], "left_semi")
-        .select("doc_id")
-        .join(toks, "doc_id")
+        .select("doc_id", "n_tokens")
         .localCheckpoint()
     )
     pos = shuffle_positions(kept.select("doc_id"))
