@@ -598,12 +598,132 @@ WHERE rnk <= {PQ_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) — cluster-scoped embedding near-dup pruning
+# ---------------------------------------------------------------------------
+
+# Same non-vacuous threshold as the LSH cosine-dedup tier: the fixture
+# embeddings are random (max pair cos ≈ 0.51), so 0.4 yields real drops.
+from parallelutilities_jl_spark.operators.similarity import (  # noqa: E402
+    COSINE_DUP_THRESHOLD as SEMDEDUP_T,
+)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): fit a coarse
+    k-means quantizer, then prune embedding near-duplicates WITHIN each
+    learned cluster — exact cosine is only ever computed between vectors
+    the quantizer already placed together, never across the corpus.
+    Drop rule (deterministic, SQL-expressible): a vector is dropped iff
+    some lower-id vector in its cluster has cosine ≥ τ with it — the
+    lowest id of every near-dup set survives. Output: per-cluster
+    retention census (n_vecs / n_dropped / n_kept), the artifact a
+    curriculum builder consumes.
+
+    This differs from `embedding_cosine_dups` (corpus-wide banded
+    hyperplane LSH) in the candidate structure: here candidates are the
+    learned cells themselves, so recall within a cell is EXACT (no
+    banding miss) and the shuffle is one equi-join on the cluster id.
+    At 100 TB: k scales ~N/1000 so cells stay bounded and the per-cell
+    pair count is O(cell²) with cells of constant size — the paper's
+    own scaling argument; the k×dim model state on the driver stays KB.
+    Cross-engine parity: the same quantized int64 dot / bit-identical
+    sqrt norms as the ANN tier (similarity.DOT_SCALE), so the τ
+    threshold cannot flip between Spark and DuckDB.
+    """
+    from parallelutilities_jl_spark.operators.similarity import dot, norm
+
+    assign = kmeans_fit_assign(spark, sf_dir, iters=IVF_FIT_ITERS)
+    emb = (
+        _emb_double(spark, sf_dir)
+        .select("vec_id", "emb")
+        .join(assign, "vec_id")
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+    a = emb.select(
+        "cluster",
+        F.col("vec_id").alias("ia"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        "cluster",
+        F.col("vec_id").alias("ib"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "cluster",
+            "ib",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
+        .select("cluster", F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    sizes = emb.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    drops = dropped.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    return (
+        sizes.join(drops, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_vecs")
+                - F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+            ).alias("n_kept"),
+        )
+    )
+
+
+def _oracle_semantic_dedup(k: int = K, iters: int = IVF_FIT_ITERS) -> str:
+    from parallelutilities_jl_spark.operators.similarity import (
+        _DD_DOT,
+        _DD_LF,
+    )
+
+    return f"""
+WITH {_DD_LF},
+asg AS ({_oracle_kmeans(k, iters)}),
+dots AS (SELECT sa.cluster, a.vec_id AS ia, b.vec_id AS ib, {_DD_DOT} AS dot
+         FROM lf a JOIN lf b ON a.k = b.k
+         JOIN asg sa ON sa.vec_id = a.vec_id
+         JOIN asg sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster
+         WHERE a.vec_id < b.vec_id
+         GROUP BY 1, 2, 3),
+drp AS (SELECT DISTINCT cluster, ib AS vec_id
+        FROM dots
+        JOIN norms na ON na.vec_id = ia
+        JOIN norms nb ON nb.vec_id = ib
+        WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= {SEMDEDUP_T}),
+sz AS (SELECT cluster, COUNT(*) AS n_vecs FROM asg GROUP BY 1),
+dc AS (SELECT cluster, COUNT(*) AS n_dropped FROM drp GROUP BY 1)
+SELECT sz.cluster,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(n_vecs - COALESCE(n_dropped, 0) AS BIGINT) AS n_kept
+FROM sz LEFT JOIN dc USING (cluster)
+"""
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "ivf_trained_census": q_ivf_trained_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rerank_topk": q_ann_pq_rerank_topk,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -612,4 +732,5 @@ ORACLES = {
     "ann_ivf_trained_topk": _oracle_ivf_trained(),
     "ann_pq_topk": _oracle_pq(),
     "ann_pq_rerank_topk": _oracle_pq_rerank(),
+    "semantic_dedup": _oracle_semantic_dedup(),
 }

@@ -57,3 +57,27 @@ def test_pq_rerank_recall(spark, sf_dir, exact_l2_topk):
         f"PQ+re-rank mean recall@{PQ_TOP_K} degraded: {mean_recall:.2f} "
         f"(per-query {recalls})"
     )
+
+
+def test_semantic_dedup_census_is_consistent(spark, sf_dir):
+    """SemDeDup retention census invariants: the per-cluster counts
+    partition exactly (kept + dropped = size), every cluster keeps at
+    least its lowest-id member (the drop rule can never empty a
+    cluster), and the cluster sizes sum to the corpus."""
+    import duckdb
+
+    from parallelutilities_jl_spark.operators.clustering import (
+        q_semantic_dedup,
+    )
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vecs"]
+        assert r["n_kept"] >= 1
+    con = duckdb.connect()
+    (n_total,) = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()
+    con.close()
+    assert sum(r["n_vecs"] for r in rows) == n_total

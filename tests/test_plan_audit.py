@@ -56,6 +56,7 @@ EAGER_OK = {
     "kmeans_assign",
     "ivf_trained_census",
     "ann_ivf_trained_topk",
+    "semantic_dedup",
 }
 
 
