@@ -868,6 +868,101 @@ GROUP BY source
 """
 
 
+# Curriculum granularity: quality scores quantized to 3 decimal places
+# (FLOOR(score*1000) — a single IEEE multiply + floor, bit-identical on
+# both engines) give a histogram of ≤ ~1001 distinct keys REGARDLESS of
+# corpus size, so the equal-frequency bucketing below never sorts or
+# windows anything data-sized.
+_CURRICULUM_SCALE = 1000
+_CURRICULUM_BUCKETS = 10
+
+
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: assign every document to one of 10
+    equal-frequency quality tiers (ties at 3-dp score granularity land
+    in one tier) and report the per-tier doc and estimated-token budget
+    — the table a curriculum-ordered training run is scheduled from.
+
+    Scale shape (the reason this is not `NTILE() OVER (ORDER BY
+    score)`): a global ntile is a single-partition data-sized window.
+    Here the only data-sized operation is one map-side-combinable
+    groupBy on the quantized score; the cumulative "docs below this
+    score" prefix runs over the ≤1001-row histogram (the same bounded
+    sharded-cumsum pattern as `sequence_packing`), and the tier id is
+    exact integer arithmetic `below * B div N` — no float division at a
+    tier boundary to disagree across engines."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    _, _, score = quality_parts(F.col("text"))
+    per_doc = docs.select(
+        F.floor(score * _CURRICULUM_SCALE).cast("long").alias("sk"),
+        F.ceil(F.length("text").cast("double") / F.lit(4.0))
+        .cast("long")
+        .alias("toks"),
+    )
+    hist = per_doc.groupBy("sk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("toks").alias("tok_sum"),
+    )
+    from pyspark.sql.window import Window as W
+
+    # histogram-sized window (≤1001 rows at any corpus size — bounded by
+    # quantization, not data); the single-partition WindowExec is benign
+    w_below = W.orderBy("sk").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "sk",
+        "cnt",
+        "tok_sum",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+        .cast("long")
+        .alias("below"),
+    )
+    total = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(
+                f"(below * {_CURRICULUM_BUCKETS}) div n_total"
+            ).alias("tier"),
+            "cnt",
+            "tok_sum",
+            "sk",
+        )
+        .groupBy("tier")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.sum("tok_sum").alias("est_tokens"),
+            F.min("sk").alias("min_score_k"),
+            F.max("sk").alias("max_score_k"),
+        )
+    )
+
+
+ORACLE_QUALITY_CURRICULUM = f"""
+WITH d AS (
+  SELECT CAST(FLOOR({dd_quality_score('text')} * {_CURRICULUM_SCALE})
+              AS BIGINT) AS sk,
+         CAST(CEIL(length(text) / 4.0) AS BIGINT) AS toks
+  FROM documents WHERE text IS NOT NULL),
+h AS (SELECT sk, COUNT(*) AS cnt, CAST(SUM(toks) AS BIGINT) AS tok_sum
+      FROM d GROUP BY sk),
+c AS (SELECT sk, cnt, tok_sum,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY sk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM h),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM h)
+SELECT (below * {_CURRICULUM_BUCKETS}) // n_total AS tier,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_sum) AS BIGINT) AS est_tokens,
+       MIN(sk) AS min_score_k,
+       MAX(sk) AS max_score_k
+FROM c CROSS JOIN t
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "pii_scrub_stats": q_pii_scrub_stats,
@@ -881,9 +976,11 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "corpus_shuffle": q_corpus_shuffle,
     "training_order_packing": q_training_order_packing,
+    "quality_curriculum": q_quality_curriculum,
 }
 
 ORACLES = {
+    "quality_curriculum": ORACLE_QUALITY_CURRICULUM,
     "doc_chunk_windows": ORACLE_DOC_CHUNKS,
     "pii_scrub_stats": ORACLE_PII_SCRUB,
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,

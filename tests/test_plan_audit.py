@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "bm25_topk",
     "unigram_logppl",
     "mixture_weighted_sample",
+    "quality_curriculum",
     "sequence_packing",
     "training_order_packing",
     "q11_important_parts",
