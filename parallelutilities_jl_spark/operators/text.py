@@ -381,6 +381,152 @@ def q_vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 5
+# Every symbol is wrapped as "(sym)" in the working representation, so a
+# merge is a plain literal REPLACE of "(x)(y)" with "(xy)": adjacent
+# matches share no characters, which makes left-to-right non-overlapping
+# replacement semantics identical in every engine (the subtle boundary-
+# sharing case of space-separated symbol strings can't arise). Training
+# words are restricted to ^[a-z0-9]+$ (standard BPE pre-tokenization),
+# so "(" and ")" can never appear inside a symbol.
+_BPE_WORD_RE = "^[a-z0-9]+$"
+_BPE_SYM_RE = r"\(([^()]+)\)"
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first `BPE_MERGES` merge steps (Sennrich
+    et al. 2016, arXiv:1508.07909): count adjacent symbol pairs over the
+    word-frequency histogram, take the most frequent pair (ties broken
+    lexicographically), fuse it everywhere, repeat. Output: the learned
+    merge table (rank, pair, fused symbol, weighted pair count) — the
+    artifact a tokenizer ships.
+
+    Spark shape (same driver-held-model loop as `kmeans_assign`): the
+    corpus-sized work is ONE tokenize + groupBy(word) pass; everything
+    after runs on the word-frequency vocabulary (bounded by vocabulary
+    growth, not corpus size — the classic BPE-on-histogram trick), kept
+    distributed and localCheckpoint-materialized once. Each merge round
+    is one map-side-combinable pair-count shuffle plus a 1-row
+    TakeOrderedAndProject argmax to the driver; the chosen pair is
+    applied as a literal REPLACE (narrow map) in the next round's plan.
+    The oracle replays the identical rounds as chained CTEs."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    vocab = (
+        docs.select(F.explode(TH.words(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("word", "(.)", r"($1)").alias("w"), "freq"
+        )
+        .localCheckpoint()  # reused every merge round; freed on GC
+    )
+
+    def pair_counts(wcol: Column) -> DataFrame:
+        syms = F.regexp_extract_all(wcol, F.lit(_BPE_SYM_RE), 1)
+        return (
+            vocab.select(syms.alias("s"), "freq")
+            # single-symbol words have no pairs; the >=2 guard also keeps
+            # sequence() ascending (Spark's sequence(1, 0) is DESCENDING)
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("x"),
+                            F.element_at("s", i + 1).alias("y"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+
+    merges: list[tuple[str, str]] = []
+    out: list[DataFrame] = []
+    for r in range(BPE_MERGES):
+        wcol = F.col("w")
+        for x, y in merges:
+            wcol = F.replace(
+                wcol, F.lit(f"({x})({y})"), F.lit(f"({x}{y})")
+            )
+        top = (
+            pair_counts(wcol)
+            .orderBy(F.col("pair_count").desc(), "x", "y")
+            .limit(1)
+        )
+        rows = top.collect()  # model state: one (x, y) pair per round
+        if not rows:  # corpus exhausted (empty/degenerate): stop merging
+            break
+        row = rows[0]
+        merges.append((row["x"], row["y"]))
+        out.append(
+            top.select(
+                F.lit(r + 1).cast("long").alias("merge_rank"),
+                "x",
+                "y",
+                F.concat("x", "y").alias("merged"),
+                "pair_count",
+            )
+        )
+    if not out:  # no mergeable pairs at all — empty result, same schema
+        return spark.createDataFrame(
+            [],
+            "merge_rank long, x string, y string, merged string, "
+            "pair_count long",
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res
+
+
+def _oracle_bpe_merges(n_merges: int = BPE_MERGES) -> str:
+    """The identical merge rounds as chained CTEs (no RNG → replayable).
+    DuckDB's generate_series(1, 0) is empty (unlike Spark's), so
+    single-symbol words drop out of the pair lateral naturally."""
+    nt = TH.dd_norm_text("text")
+    ctes = [
+        f"""v0 AS (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS w, freq FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT UNNEST(string_split({nt}, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL)
+    WHERE regexp_matches(word, '{_BPE_WORD_RE}') GROUP BY word))"""
+    ]
+    finals = []
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT s[i] AS x, s[i + 1] AS y,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT regexp_extract_all(w, '{_BPE_SYM_RE}', 1) AS s, freq
+        FROM {prev}),
+       UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"t{r} AS (SELECT x, y, pair_count FROM p{r} "
+            f"ORDER BY pair_count DESC, x, y LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT REPLACE(w, '(' || x || ')(' || y || ')', "
+            f"'(' || x || y || ')') AS w, freq "
+            f"FROM {prev} CROSS JOIN t{r})"
+        )
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, x, y, "
+            f"x || y AS merged, pair_count FROM t{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(finals)
+
+
 def _oracles() -> dict[str, str]:
     nt = TH.dd_norm_text("text")
     ws = f"string_split({nt}, ' ')"
@@ -513,6 +659,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_bigrams": q_vocab_top_bigrams,
     "unigram_logppl": q_unigram_logppl,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = _oracles()
+ORACLES["bpe_merges"] = _oracle_bpe_merges()

@@ -81,3 +81,26 @@ def test_semantic_dedup_census_is_consistent(spark, sf_dir):
     ).fetchone()
     con.close()
     assert sum(r["n_vecs"] for r in rows) == n_total
+
+
+def test_bpe_merges_greedy_max_is_monotone(spark, sf_dir):
+    """BPE invariants: ranks are 1..N, fused symbol is the pair
+    concatenation, and the chosen pair count never increases with rank
+    (a merge can only shrink existing pair counts, and any pair created
+    by fusing (x,y) is bounded by the (z,x)/(y,z) counts it came from —
+    so the greedy max is non-increasing)."""
+    from parallelutilities_jl_spark.operators.text import (
+        BPE_MERGES,
+        q_bpe_merges,
+    )
+
+    rows = sorted(
+        q_bpe_merges(spark, sf_dir).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert [r["merge_rank"] for r in rows] == list(range(1, BPE_MERGES + 1))
+    for r in rows:
+        assert r["merged"] == r["x"] + r["y"]
+        assert r["pair_count"] > 0
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)

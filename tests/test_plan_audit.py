@@ -58,6 +58,7 @@ EAGER_OK = {
     "ivf_trained_census",
     "ann_ivf_trained_topk",
     "semantic_dedup",
+    "bpe_merges",
 }
 
 
