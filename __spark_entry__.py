@@ -96,9 +96,10 @@ _CHEAP_FIRST = [
     "distinct_agg", "min_dim", "q17_small_qty_revenue",
     "elementwise_max_arrays", "percentile_stats", "pmapreduce_bigsum",
     "q8_market_share", "mixture_weighted_sample", "multimodal_decode",
-    "multimodal_arrow_hist",
+    "multimodal_arrow_hist", "child_index_shifted",
     "ann_lsh_bucket", "elementwise_product_arrays", "q10_returned_items",
     "max_dim", "q11_important_parts", "corpus_filter_pipeline",
+    "pii_scrub_stats", "quality_curriculum",
     "salted_join_orders", "extrema_dim", "sessionize_events",
     "elementwise_zip_add", "window_rank_functions",
     "ordered_stack_arrays", "ordered_hcat_matrices", "sliding_window_avg",
@@ -119,9 +120,10 @@ _CHEAP_FIRST = [
     "incremental_dedup",
     "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
-    "ann_ivf_trained_topk", "embedding_cosine_dups",
+    "ann_ivf_trained_topk", "embedding_cosine_dups", "bpe_merges",
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
-    "diversified_topk", "training_order_packing",
+    "diversified_topk", "training_order_packing", "ann_pq_topk",
+    "ann_pq_rerank_topk", "semantic_dedup",
 ]
 
 

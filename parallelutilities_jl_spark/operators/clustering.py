@@ -608,6 +608,14 @@ from parallelutilities_jl_spark.operators.similarity import (  # noqa: E402
     COSINE_DUP_THRESHOLD as SEMDEDUP_T,
 )
 
+# k grows with the corpus so cells stay ~this size and the within-cell
+# pair count stays LINEAR in N (k = N/target ⇒ pairs ≈ N·target/2) —
+# the SemDeDup paper's own scaling knob. At the oracle scale factors
+# (≤2000 vectors) this resolves to the K=8 the static oracle replays;
+# the 10x stress tier gets k=80 and must stay ~linear
+# (tools/scale_stress.py).
+SEMDEDUP_CELL_TARGET = 250
+
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): fit a coarse
@@ -633,7 +641,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from parallelutilities_jl_spark.operators.similarity import dot, norm
 
-    assign = kmeans_fit_assign(spark, sf_dir, iters=IVF_FIT_ITERS)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k_eff = max(K, n // SEMDEDUP_CELL_TARGET)
+    assign = kmeans_fit_assign(
+        spark, sf_dir, k=k_eff, iters=IVF_FIT_ITERS
+    )
     emb = (
         _emb_double(spark, sf_dir)
         .select("vec_id", "emb")

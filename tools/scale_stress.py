@@ -39,6 +39,12 @@ QUERIES = (
     "corpus_shuffle",
     "tfidf_top_terms",
     "quality_canonical_dedup",
+    # SemDeDup: k scales with N (constant cell size), so within-cell
+    # pair work must stay ~linear; the kmeans fit itself is 2 fixed
+    # rounds over N rows
+    "semantic_dedup",
+    "quality_curriculum",
+    "bpe_merges",
     # money-agg path: the two-tier int64 aggregation (6M lineitem rows
     # at x10) must stay ~linear AND keep exact totals (the replication
     # check below asserts 10x rows => exactly 10x each sum)
