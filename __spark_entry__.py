@@ -122,6 +122,7 @@ _CHEAP_FIRST = [
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
     "ann_ivf_trained_topk", "embedding_cosine_dups", "bpe_merges",
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
+    "leakage_safe_split",
     "diversified_topk", "training_order_packing", "ann_pq_topk",
     "ann_pq_rerank_topk", "semantic_dedup",
 ]

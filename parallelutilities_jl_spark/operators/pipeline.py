@@ -868,6 +868,101 @@ GROUP BY source
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup COMPONENT
+    representative instead of the raw doc_id, so every member of a
+    near-duplicate cluster lands in the same split — the
+    dedup-before-split discipline of Lee et al. 2022 (arXiv:2107.06499):
+    a test document whose near-copy sits in train is leakage the naive
+    per-doc hash split cannot prevent. Emits the per-split census plus
+    `n_moved`, the count of documents whose split differs from the
+    naive `hash_split_documents` assignment — the direct measure of how
+    much leakage the component keying repaired.
+
+    At 100 TB: rides the LSH component map (banded, df-capped) with one
+    left join of documents against the (much smaller) component table
+    and one groupBy(split) — the same shuffle budget as
+    `quality_canonical_dedup`. Hashing the representative keeps the
+    80/10/10 proportions in expectation because component reps are
+    uniformly spread through id space."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        q_dedup_components,
+    )
+
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    full = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("rep"),
+        "n_chars",
+    )
+    rep_b = (F.col("rep") * _KNUTH) % (2**32) % _SPLIT_BUCKETS
+    doc_b = _bucket_col()
+
+    def split_of(b: Column) -> Column:
+        return (
+            F.when(b < _TRAIN_LT, "train")
+            .when(b < _VAL_LT, "val")
+            .otherwise("test")
+        )
+
+    return (
+        full.select(
+            split_of(rep_b).alias("split"),
+            (split_of(rep_b) != split_of(doc_b)).cast("int").alias("mv"),
+            "rep",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("mv").cast("long").alias("n_moved"),
+        )
+    )
+
+
+def _oracle_leakage_safe_split() -> str:
+    from parallelutilities_jl_spark.operators.dedup import _oracles as ddo
+
+    edge_sql = ddo()["minhash_near_dup"]
+    rep_b = f"(rep * {_KNUTH}) % {2**32} % {_SPLIT_BUCKETS}"
+
+    def split_of(b: str) -> str:
+        return (
+            f"CASE WHEN {b} < {_TRAIN_LT} THEN 'train' "
+            f"WHEN {b} < {_VAL_LT} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH RECURSIVE
+e2 AS (SELECT doc_a, doc_b FROM ({edge_sql})),
+und AS (SELECT doc_a AS u, doc_b AS v FROM e2
+        UNION ALL SELECT doc_b, doc_a FROM e2),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.n, und.v FROM reach r JOIN und ON r.m = und.u
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n),
+fulld AS (SELECT d.doc_id,
+                 COALESCE(c.component_id, d.doc_id) AS rep,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c USING (doc_id)),
+a AS (SELECT {split_of(rep_b)} AS split,
+             CASE WHEN {split_of(rep_b)} <> {split_of(_DD_BUCKET)}
+                  THEN 1 ELSE 0 END AS mv,
+             rep, n_chars
+      FROM fulld)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(mv) AS BIGINT) AS n_moved
+FROM a GROUP BY split
+"""
+
+
 # Curriculum granularity: quality scores quantized to 3 decimal places
 # (FLOOR(score*1000) — a single IEEE multiply + floor, bit-identical on
 # both engines) give a histogram of ≤ ~1001 distinct keys REGARDLESS of
@@ -977,10 +1072,12 @@ QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "training_order_packing": q_training_order_packing,
     "quality_curriculum": q_quality_curriculum,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES = {
     "quality_curriculum": ORACLE_QUALITY_CURRICULUM,
+    "leakage_safe_split": _oracle_leakage_safe_split(),
     "doc_chunk_windows": ORACLE_DOC_CHUNKS,
     "pii_scrub_stats": ORACLE_PII_SCRUB,
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,

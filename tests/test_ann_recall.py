@@ -104,3 +104,54 @@ def test_bpe_merges_greedy_max_is_monotone(spark, sf_dir):
         assert r["pair_count"] > 0
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_leakage_safe_split_never_splits_a_dup_pair(spark, sf_dir):
+    """The guarantee the op exists for: both ends of every verified
+    near-dup pair land in the SAME train/val/test split (the naive
+    per-doc hash split demonstrably violates this — n_moved > 0)."""
+    from pyspark.sql import functions as F
+
+    from parallelutilities_jl_spark.operators.dedup import (
+        q_dedup_components,
+        q_minhash_near_dup,
+    )
+    from parallelutilities_jl_spark.operators.pipeline import (
+        _KNUTH,
+        _SPLIT_BUCKETS,
+        _TRAIN_LT,
+        _VAL_LT,
+    )
+    from parallelutilities_jl_spark.sources.fixtures import load_table
+
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("rep"),
+    )
+    b = (F.col("rep") * _KNUTH) % (2**32) % _SPLIT_BUCKETS
+    split = (
+        F.when(b < _TRAIN_LT, "train")
+        .when(b < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    assigned = rep.select("doc_id", split.alias("split"))
+    pairs = q_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    straddling = (
+        pairs.join(
+            assigned.withColumnsRenamed(
+                {"doc_id": "doc_a", "split": "sa"}
+            ),
+            "doc_a",
+        )
+        .join(
+            assigned.withColumnsRenamed(
+                {"doc_id": "doc_b", "split": "sb"}
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddling == 0
