@@ -97,6 +97,7 @@ _CHEAP_FIRST = [
     "elementwise_max_arrays", "percentile_stats", "pmapreduce_bigsum",
     "q8_market_share", "mixture_weighted_sample", "multimodal_decode",
     "multimodal_arrow_hist", "child_index_shifted",
+    "multimodal_dedup_census",
     "ann_lsh_bucket", "elementwise_product_arrays", "q10_returned_items",
     "max_dim", "q11_important_parts", "corpus_filter_pipeline",
     "pii_scrub_stats", "quality_curriculum",

@@ -77,18 +77,21 @@ def _features_stub(content: bytes) -> list[float]:
     return [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
 
 
-def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a multimodal asset table from the documents fixture: text
-    bytes stand in for encoded media (binary column + modality tag)."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    modality = (
+def _modality_col() -> F.Column:
+    return (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
+
+
+def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a multimodal asset table from the documents fixture: text
+    bytes stand in for encoded media (binary column + modality tag)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
-        modality.alias("modality"),
+        _modality_col().alias("modality"),
         F.col("text").cast("binary").alias("content"),
     )
 
@@ -341,11 +344,87 @@ FROM documents
 """,
 }
 
+DEDUP_BLOCK = 9  # assets per shared-content block (3 copies per modality)
+
+
+def q_multimodal_dedup_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-asset dedup census: content-hash every blob, count unique
+    payloads and the bytes an asset store saves by storing each payload
+    once — the dedup accounting a multimodal ingest logs. The fixture's
+    synthesized assets are all-distinct, so (as with the PII scrub's
+    seeded contacts) duplication is seeded deterministically: every
+    block of {DEDUP_BLOCK} consecutive asset ids shares one payload,
+    giving each modality 3 copies of each blob — non-vacuous and
+    identically reproducible in the oracle.
+
+    Scale shape: per-asset sha256 is a narrow map; the census is a
+    two-level hash agg — groupBy(modality, sha) with map-side combine,
+    then groupBy(modality) over one row per distinct payload. No
+    distinct-expand, no window; the payload bytes themselves never
+    shuffle (only 32-byte hashes and lengths do) — at 100 TB of blobs
+    that is the only workable dedup-accounting shape."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _modality_col().alias("modality"),
+        (F.col("doc_id") - F.col("doc_id") % DEDUP_BLOCK).alias("base_id"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("base_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    per_asset = a.join(b, "base_id").select(
+        "modality",
+        F.sha2(F.col("content"), 256).alias("sha"),
+        F.length("content").cast("long").alias("nb"),
+    )
+    g = per_asset.groupBy("modality", "sha").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.max("nb").alias("nb")
+    )
+    return g.groupBy("modality").agg(
+        F.sum("n_copies").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n_copies") * F.col("nb")).alias("bytes_total"),
+        F.sum("nb").alias("bytes_unique"),
+        (
+            F.sum(F.col("n_copies") * F.col("nb")) - F.sum("nb")
+        ).alias("bytes_saved"),
+    )
+
+
+ORACLE_DEDUP_CENSUS = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         doc_id - (doc_id % {DEDUP_BLOCK}) AS base_id
+  FROM documents),
+c AS (SELECT a.modality, sha256(d.text) AS sha,
+             CAST(length(d.text) AS BIGINT) AS nb
+      FROM a JOIN documents d ON d.doc_id = a.base_id),
+g AS (SELECT modality, sha, COUNT(*) AS n_copies, MAX(nb) AS nb
+      FROM c GROUP BY 1, 2)
+SELECT modality,
+       CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n_copies * nb) AS BIGINT) AS bytes_total,
+       CAST(SUM(nb) AS BIGINT) AS bytes_unique,
+       CAST(SUM(n_copies * nb) - SUM(nb) AS BIGINT) AS bytes_saved
+FROM g GROUP BY modality
+"""
+
+
 QUERIES = {
     "multimodal_arrow_hist": q_multimodal_arrow_hist,
+    "multimodal_dedup_census": q_multimodal_dedup_census,
     "multimodal_binary_stats": q_multimodal_binary_stats,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
 }
+
+ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
