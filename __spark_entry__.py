@@ -98,7 +98,8 @@ _CHEAP_FIRST = [
     "q8_market_share", "mixture_weighted_sample", "multimodal_decode",
     "multimodal_arrow_hist", "child_index_shifted",
     "multimodal_dedup_census",
-    "ann_lsh_bucket", "elementwise_product_arrays", "q10_returned_items",
+    "ann_lsh_bucket", "ann_index_delta", "elementwise_product_arrays",
+    "q10_returned_items",
     "max_dim", "q11_important_parts", "corpus_filter_pipeline",
     "pii_scrub_stats", "quality_curriculum",
     "salted_join_orders", "extrema_dim", "sessionize_events",

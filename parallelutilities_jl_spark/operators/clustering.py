@@ -729,6 +729,109 @@ FROM sz LEFT JOIN dc USING (cluster)
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: assign a delta batch to existing cells
+# ---------------------------------------------------------------------------
+
+DELTA_N = 50  # vec_id < DELTA_N plays the freshly-ingested batch
+
+_DSUM18_COL = "CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
+
+
+def q_ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index delta-maintenance: a freshly-ingested vector batch is
+    assigned to the EXISTING coarse cells (cell centroid = per-dim mean
+    of the current members, the fixture's `label` standing in for the
+    trained cells) — no refit, no driver round-trip. This is the steady-
+    state ingest path of an IVF index: training is rare, delta
+    assignment is continuous.
+
+    Fully lazy, unlike the fit loop: centroids are a k×dim-row
+    aggregate joined BROADCAST onto the exploded delta batch, distances
+    re-aggregate per (vec, cell), and the argmin is a struct-min — the
+    whole thing is one plan with no collect. At 100 TB the broadcast is
+    k×dim rows (KB–MB) and the delta-batch work is O(batch × k × dim),
+    independent of corpus size. Assignment math is the same quantized
+    int64 distance as `kmeans_assign` (argmin-safe under the decimal
+    mean's last-ulp engine drift — see the PQ note for why floors of
+    the distance VALUE would not be)."""
+    emb_long = _emb_double(spark, sf_dir).select(
+        "vec_id", "label", F.posexplode("emb").alias("idx", "val")
+    )
+    old = emb_long.filter(F.col("vec_id") >= DELTA_N)
+    cent = (
+        old.groupBy("label", "idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+        .select(F.col("label").alias("cell"), "idx", "cval")
+    )
+    new = emb_long.filter(F.col("vec_id") < DELTA_N).select(
+        "vec_id", F.col("label").alias("own_label"), "idx", "val"
+    )
+    term = F.floor(
+        (F.col("val") - F.col("cval"))
+        * (F.col("val") - F.col("cval"))
+        * F.lit(float(DOT_SCALE))
+    ).cast("long")
+    dists = (
+        new.join(F.broadcast(cent), "idx")
+        .groupBy("vec_id", "own_label", "cell")
+        .agg(F.sum(term).alias("d"))
+    )
+    return (
+        dists.groupBy("vec_id", "own_label")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("d"),
+                    F.col("cell").cast("long").alias("cell"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cell").alias("cell"),
+            (F.col("m.cell") == F.col("own_label"))
+            .cast("int")
+            .alias("matches_own_label"),
+        )
+    )
+
+
+def _oracle_ann_index_delta() -> str:
+    qd = (
+        "SUM(CAST(FLOOR(((n.val - c.cval) * (n.val - c.cval)) * "
+        f"{float(DOT_SCALE)}) AS BIGINT))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         UNNEST(generate_series(0, len(embedding) - 1)) AS idx,
+         UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+  FROM embeddings),
+cent AS (SELECT label AS cell, idx,
+                {_DSUM18_COL.format(e='val')} / COUNT(*) AS cval
+         FROM e WHERE vec_id >= {DELTA_N} GROUP BY label, idx),
+n AS (SELECT vec_id, label AS own_label, idx, val FROM e
+      WHERE vec_id < {DELTA_N}),
+d AS (SELECT n.vec_id, n.own_label, c.cell, {qd} AS d
+      FROM n JOIN cent c ON c.idx = n.idx
+      GROUP BY 1, 2, 3)
+SELECT vec_id, cell,
+       CAST(CASE WHEN cell = own_label THEN 1 ELSE 0 END AS INT)
+         AS matches_own_label
+FROM (SELECT vec_id, own_label, CAST(cell AS BIGINT) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d, cell) AS rn
+      FROM d)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "ivf_trained_census": q_ivf_trained_topk,
@@ -736,6 +839,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rerank_topk": q_ann_pq_rerank_topk,
     "semantic_dedup": q_semantic_dedup,
+    "ann_index_delta": q_ann_index_delta,
 }
 
 ORACLES = {
@@ -745,4 +849,5 @@ ORACLES = {
     "ann_pq_topk": _oracle_pq(),
     "ann_pq_rerank_topk": _oracle_pq_rerank(),
     "semantic_dedup": _oracle_semantic_dedup(),
+    "ann_index_delta": _oracle_ann_index_delta(),
 }
