@@ -107,6 +107,25 @@ SHOWCASE = {
         "shuffle (asserted under simulated size in tests); at fixture "
         "scale the filtered side simply broadcasts"
     ),
+    "quality_curriculum": (
+        "equal-frequency tiers without NTILE: one map-side-combinable "
+        "groupBy on the quantized score; the prefix-sum window runs over "
+        "the <=1001-row histogram, never the data"
+    ),
+    "leakage_safe_split": (
+        "split hash keyed on the near-dup component representative: "
+        "component map (LSH + label propagation) left-joins the corpus, "
+        "then one tiny census agg — no dup pair straddles splits"
+    ),
+    "ann_index_delta": (
+        "IVF delta ingest: k-by-dim centroid agg broadcast onto the "
+        "exploded batch, per-(vec, cell) integer distance agg, "
+        "struct-min argmin — one lazy plan, no refit, no collect"
+    ),
+    "multimodal_dedup_census": (
+        "binary dedup accounting: payloads hash in place; only 32-byte "
+        "hashes + lengths enter the two-level (modality, sha) agg"
+    ),
 }
 
 HEADER = '''# PLANS — physical plans of flagship queries (sf0.01, local[32])
