@@ -119,7 +119,7 @@ _CHEAP_FIRST = [
     "q15_top_supplier", "multimodal_resize", "q22_idle_rich_customers",
     "approx_distinct_check", "minhash_near_dup", "containment_dups",
     "simhash_near_dup",
-    "incremental_dedup",
+    "incremental_dedup", "link_graph_pagerank",
     "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
     "ann_ivf_trained_topk", "embedding_cosine_dups", "bpe_merges",

@@ -933,8 +933,137 @@ WHERE CAST(ni AS DOUBLE) / LEAST(x.n, y.n) >= {CONTAINMENT_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Power iteration over the dup graph (PageRank)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 10**12  # unnormalized uniform init mass per node
+PR_TELEPORT = PR_SCALE * 15 // 100  # 0.15 · init, exact integer
+PR_OUT_DEG = 2
+
+
+def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration PageRank — document centrality over a link
+    graph, the importance signal crawl-based corpus curation weights
+    quality by. Fixed {PR_ITERS} iterations, damping 0.85. The fixture
+    has no hyperlinks (and the near-dup graph degenerates to isolated
+    pairs, where PageRank is uniform by symmetry), so — like the PII
+    scrub's seeded contacts — the citation edges are synthesized
+    deterministically: each doc links to {PR_OUT_DEG} targets at
+    `md5("lnk"‖doc_id‖":"‖j) mod N` (md5 is non-linear, so in-degrees
+    are Poisson-spread — some 0, some 5+ — and ranks genuinely
+    differentiate; an affine `(a·doc_id+j) mod N` map is a bijection
+    and collapses PageRank back to uniform), identically in both
+    engines.
+
+    Engine-exact by construction: ranks are unnormalized int64 mass
+    (init {PR_SCALE} per node), each update is
+    `teleport + (17·Σ(r_u div outdeg_u)) div 20` — integer division and
+    sums only, so every engine and combine order produces identical
+    ranks (no float mass anywhere; both engines' integer `div` agree on
+    the all-positive operands). Spark shape: each round is one
+    groupBy(dst) shuffle of the edge list joined against the rank
+    frame; the whole {PR_ITERS}-round recursion is ONE lazy plan — no
+    driver state, no collect (contrast with the driver-held-model loops
+    of kmeans/BPE: rank state is corpus-sized, so it must stay on the
+    cluster). At corpus scale mass totals are bounded by ~N·{PR_SCALE}
+    ·17 — scale PR_SCALE down with N to stay inside int64 (ranks are
+    relative)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    def _target(j: int) -> Column:
+        key = F.concat(
+            F.lit("lnk"),
+            F.col("doc_id").cast("string"),
+            F.lit(f":{j}"),
+        )
+        return TH.md5_int48(key) % F.col("n")
+
+    # checkpoint the static frames once: every round re-references edges
+    # and deg, and without truncation Spark replans (and re-executes)
+    # the edge synthesis + 1-row count broadcast per round — the classic
+    # iterative-lineage blowup (27 exchanges → 9 at 3 rounds here)
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("u"),
+            F.explode(
+                F.array(
+                    *[
+                        _target(j).alias("v")
+                        for j in range(1, PR_OUT_DEG + 1)
+                    ]
+                )
+            ).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    r = docs.select(
+        F.col("doc_id").alias("u"),
+        F.lit(PR_SCALE).cast("long").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            r.join(deg, "u")
+            .select("u", F.expr("r div deg").alias("c"))
+            .join(edges, "u")
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = docs.join(
+            contrib, docs["doc_id"] == contrib["v"], "left"
+        ).select(
+            F.col("doc_id").alias("u"),
+            (
+                F.lit(PR_TELEPORT).cast("long")
+                + F.expr("(17 * coalesce(s, 0)) div 20")
+            ).alias("r"),
+        )
+    return r.select(F.col("u").alias("doc_id"), F.col("r").alias("rank"))
+
+
+def _oracle_pagerank(iters: int = PR_ITERS) -> str:
+    links = " UNION ALL ".join(
+        "SELECT doc_id AS u, "
+        + TH.dd_md5_int48(
+            f"('lnk' || CAST(doc_id AS VARCHAR) || ':{j}')"
+        )
+        + " % nn.n AS v FROM documents, nn"
+        for j in range(1, PR_OUT_DEG + 1)
+    )
+    ctes = [
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)",
+        f"e AS ({links})",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u)",
+        f"r0 AS (SELECT doc_id AS u, CAST({PR_SCALE} AS BIGINT) AS r "
+        "FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.v AS u, SUM(p.r // d.deg) AS s "
+            f"FROM e JOIN r{i - 1} p ON p.u = e.u "
+            f"JOIN deg d ON d.u = e.u GROUP BY e.v)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT d.doc_id AS u, CAST({PR_TELEPORT} + "
+            f"(17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS r "
+            f"FROM documents d LEFT JOIN s{i} s ON s.u = d.doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS doc_id, r AS rank FROM r{iters}"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "link_graph_pagerank": q_link_graph_pagerank,
     "containment_dups": q_containment_dups,
     "incremental_dedup": q_incremental_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -948,6 +1077,7 @@ QUERIES = {
 
 ORACLES = _oracles()
 ORACLES["dedup_components"] = _oracle_components()
+ORACLES["link_graph_pagerank"] = _oracle_pagerank()
 ORACLES["quality_canonical_dedup"] = _oracle_quality_canonical()
 ORACLES["containment_dups"] = (
     f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "

@@ -59,6 +59,7 @@ EAGER_OK = {
     "ann_ivf_trained_topk",
     "semantic_dedup",
     "bpe_merges",
+    "link_graph_pagerank",
 }
 
 
