@@ -1970,8 +1970,53 @@ GROUP BY 1
 """
 
 
+def q_table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics over the fact table — the
+    stats a cost-based optimizer (and a data-quality monitor) feeds on:
+    row count, per-column NDV, null counts, and min/max bounds, all in
+    ONE scan. NDVs here are exact multi-column COUNT(DISTINCT ...) (an
+    Expand in Spark — each row fans out once per distinct agg, map-side
+    combinable) so the oracle equality is exact; at 100 TB the same
+    query swaps `approx_count_distinct` (HLL, mergeable — the repo's
+    `approx_distinct_check` is precisely the exact-vs-HLL tolerance
+    gate for that swap). Quantity bounds are exact integers (the
+    fixture's quantities are integral doubles); date bounds cast to
+    DATE for cross-engine hash parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("ndv_orderkey"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("nulls_quantity"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min(F.col("l_quantity").cast("long")).alias("min_qty"),
+        F.max(F.col("l_quantity").cast("long")).alias("max_qty"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_shipdate"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_shipdate"),
+    )
+
+
+ORACLE_TABLE_COLUMN_STATS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_orderkey,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_returnflag,
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS nulls_quantity,
+       MIN(l_orderkey) AS min_orderkey,
+       MAX(l_orderkey) AS max_orderkey,
+       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+       CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+       CAST(MAX(l_shipdate) AS DATE) AS max_shipdate
+FROM lineitem
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
+    "table_column_stats": q_table_column_stats,
     "incremental_agg_merge": q_incremental_agg_merge,
     "q3_shipping_priority": q_shipping_priority,
     "q5_local_supplier_volume": q_local_supplier_volume,
@@ -2026,6 +2071,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
+    "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "q4_order_priority": ORACLE_ORDER_PRIORITY,
     "q7_volume_shipping": ORACLE_VOLUME_SHIPPING,
     "q8_market_share": ORACLE_MARKET_SHARE,
