@@ -78,7 +78,8 @@ _CHEAP_FIRST = [
     "above_segment_avg", "q14_promo_revenue", "lang_id_ngram",
     "pmapbatch_map", "agg_rollup", "extrema_all_dims", "scalar_functions",
     "zorder_cell_stats",
-    "which_partition", "table_column_stats", "grouping_sets_customer",
+    "which_partition", "table_column_stats", "retention_cohorts",
+    "grouping_sets_customer",
     "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",
     "elementwise_min_arrays", "nelements_dim", "q20_promo_suppliers",

@@ -1970,6 +1970,62 @@ GROUP BY 1
 """
 
 
+_DAY_SECS = 86400
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix — the canonical product-analytics
+    rollup: users grouped by first-active day, and for each later day
+    the count still active. Emits (cohort, day_offset, n_active,
+    cohort_size) — the numerator/denominator of every retention curve.
+    (Daily grain because the fixture spans one month with every user
+    active every week — weekly cohorts would collapse to a single
+    always-100% cell; daily cohorts genuinely decay.)
+
+    Scale shape: one distinct-(user, day) shuffle, a user-keyed MIN to
+    find cohorts (same key as the distinct — AQE reuses the
+    partitioning), one (cohort, offset) agg, and a broadcast of the
+    tiny cohort-size table. `n_active` is a plain COUNT because the
+    (user, day) distinct upstream already guarantees one row per user
+    per day — no distinct-expand in the big agg. Day keys are exact
+    integer division of the epoch (positive domain, so Spark's `div`
+    and DuckDB's `//` agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(
+        f"unix_timestamp(date_trunc('day', ts)) div {_DAY_SECS}"
+    ).alias("day")
+    uw = ev.select("user_id", day).distinct()
+    first = uw.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        uw.join(first, "user_id")
+        .groupBy("cohort", (F.col("day") - F.col("cohort")).alias(
+            "day_offset"
+        ))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort").select(
+        "cohort", "day_offset", "n_active", "cohort_size"
+    )
+
+
+ORACLE_RETENTION_COHORTS = f"""
+WITH uw AS (SELECT DISTINCT user_id,
+                   CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                     // {_DAY_SECS} AS day
+            FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM uw GROUP BY 1),
+s AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+r AS (SELECT f.cohort, uw.day - f.cohort AS day_offset,
+             COUNT(*) AS n_active
+      FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT r.cohort, r.day_offset, r.n_active, s.cohort_size
+FROM r JOIN s USING (cohort)
+"""
+
+
 def q_table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-TABLE-style column statistics over the fact table — the
     stats a cost-based optimizer (and a data-quality monitor) feeds on:
@@ -2017,6 +2073,7 @@ FROM lineitem
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "table_column_stats": q_table_column_stats,
+    "retention_cohorts": q_retention_cohorts,
     "incremental_agg_merge": q_incremental_agg_merge,
     "q3_shipping_priority": q_shipping_priority,
     "q5_local_supplier_volume": q_local_supplier_volume,
@@ -2072,6 +2129,7 @@ QUERIES = {
 ORACLES = {
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "q4_order_priority": ORACLE_ORDER_PRIORITY,
     "q7_volume_shipping": ORACLE_VOLUME_SHIPPING,
     "q8_market_share": ORACLE_MARKET_SHARE,
