@@ -1970,6 +1970,86 @@ GROUP BY 1
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24  # unbounded converts every fixture user (the
+# month-long stream has every type per user somewhere); 24 h yields a
+# real 150 -> 60 -> 25 drop-off at sf0.01
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel: how many users performed
+    view → click → purchase IN THAT TIME ORDER, each step within
+    {FUNNEL_WINDOW_HOURS} h of the previous one (co-occurrence without
+    ordering is not a funnel). Min-chaining makes the sequential match
+    exact with plain relational ops: t1 = first view; t2 = first click
+    in (t1, t1+W]; t3 = first purchase in (t2, t2+W] — the standard
+    windowed-funnel formulation (greedy-earliest matching).
+
+    Scale shape: each step is a user-keyed MIN over a pushed-down
+    event-type slice joined to the (shrinking) per-user frontier on
+    user_id — the same equi-key throughout, so AQE reuses the
+    partitioning; no window over the event stream, no per-user
+    collect_list. Output is one tiny row per step."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def step_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        s = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(
+                (F.col("ts") > F.col("t"))
+                & (
+                    F.col("ts")
+                    <= F.expr(
+                        f"t + INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"
+                    )
+                )
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    out = None
+    prev = None
+    for i, etype in enumerate(FUNNEL_STEPS):
+        prev = step_after(etype, prev)
+        row = prev.agg(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(etype).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _oracle_funnel() -> str:
+    ctes = []
+    prev = None
+    selects = []
+    for i, etype in enumerate(FUNNEL_STEPS, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, MIN(ts) AS t FROM events "
+                f"WHERE event_type = '{etype}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+                f"JOIN {prev} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{etype}' AND e.ts > p.t "
+                f"AND e.ts <= p.t + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR "
+                f"GROUP BY e.user_id)"
+            )
+        prev = f"s{i}"
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step_idx, '{etype}' AS step, "
+            f"COUNT(*) AS n_users FROM s{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+ORACLE_FUNNEL_CONVERSION = _oracle_funnel()
+
+
 _DAY_SECS = 86400
 
 
@@ -2074,6 +2154,7 @@ QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "table_column_stats": q_table_column_stats,
     "retention_cohorts": q_retention_cohorts,
+    "funnel_conversion": q_funnel_conversion,
     "incremental_agg_merge": q_incremental_agg_merge,
     "q3_shipping_priority": q_shipping_priority,
     "q5_local_supplier_volume": q_local_supplier_volume,
@@ -2130,6 +2211,7 @@ ORACLES = {
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "q4_order_priority": ORACLE_ORDER_PRIORITY,
     "q7_volume_shipping": ORACLE_VOLUME_SHIPPING,
     "q8_market_share": ORACLE_MARKET_SHARE,
