@@ -79,7 +79,7 @@ _CHEAP_FIRST = [
     "pmapbatch_map", "agg_rollup", "extrema_all_dims", "scalar_functions",
     "zorder_cell_stats",
     "which_partition", "table_column_stats", "retention_cohorts",
-    "funnel_conversion", "grouping_sets_customer",
+    "funnel_conversion", "scd2_status_history", "grouping_sets_customer",
     "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",
     "elementwise_min_arrays", "nelements_dim", "q20_promo_suppliers",

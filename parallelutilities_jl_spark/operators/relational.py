@@ -1970,6 +1970,79 @@ GROUP BY 1
 """
 
 
+def q_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse a keyed change
+    stream into validity intervals — the MERGE a warehouse dimension
+    load performs nightly. Source: each customer's order-status
+    timeline (one status per active day via min_by/arg_min on the
+    orderkey); consecutive equal statuses collapse into one version
+    with `[eff_from_day, eff_to_day)` bounds (open current version ⇒
+    NULL eff_to_day) and a per-key version number.
+
+    Scale shape: one (custkey, day) min_by agg (map-side combinable),
+    then LAG/LEAD/ROW_NUMBER windows partitioned BY KEY —
+    per-customer history is short and the window never crosses keys, so
+    state is bounded per partition and there is no global sort. Day
+    keys are exact integer epoch division (positive domain — `div` and
+    `//` agree)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    per_day = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.expr(
+                "unix_timestamp(date_trunc('day', o_orderdate)) div 86400"
+            ).alias("day"),
+            "o_orderkey",
+            "o_orderstatus",
+        )
+        .groupBy("custkey", "day")
+        .agg(F.min_by("o_orderstatus", "o_orderkey").alias("status"))
+    )
+    w = W.partitionBy("custkey").orderBy("day")
+    changes = (
+        per_day.withColumn("prev", F.lag("status").over(w))
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("status"))
+        )
+        .select("custkey", "status", F.col("day").alias("eff_from_day"))
+    )
+    w2 = W.partitionBy("custkey").orderBy("eff_from_day")
+    return changes.select(
+        "custkey",
+        "status",
+        "eff_from_day",
+        (F.lead("eff_from_day").over(w2)).alias("eff_to_day"),
+        F.row_number().over(w2).cast("long").alias("version_n"),
+    )
+
+
+ORACLE_SCD2_STATUS_HISTORY = """
+WITH per_day AS (
+  SELECT o_custkey AS custkey,
+         CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT)
+           // 86400 AS day,
+         arg_min(o_orderstatus, o_orderkey) AS status
+  FROM orders GROUP BY 1, 2
+),
+changes AS (
+  SELECT custkey, status, day AS eff_from_day FROM (
+    SELECT custkey, day, status,
+           LAG(status) OVER (PARTITION BY custkey ORDER BY day) AS prev
+    FROM per_day)
+  WHERE prev IS NULL OR prev <> status
+)
+SELECT custkey, status, eff_from_day,
+       LEAD(eff_from_day) OVER (PARTITION BY custkey
+                                ORDER BY eff_from_day) AS eff_to_day,
+       CAST(ROW_NUMBER() OVER (PARTITION BY custkey
+                               ORDER BY eff_from_day) AS BIGINT)
+         AS version_n
+FROM changes
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_WINDOW_HOURS = 24  # unbounded converts every fixture user (the
 # month-long stream has every type per user somewhere); 24 h yields a
@@ -2155,6 +2228,7 @@ QUERIES = {
     "table_column_stats": q_table_column_stats,
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
+    "scd2_status_history": q_scd2_status_history,
     "incremental_agg_merge": q_incremental_agg_merge,
     "q3_shipping_priority": q_shipping_priority,
     "q5_local_supplier_volume": q_local_supplier_volume,
@@ -2212,6 +2286,7 @@ ORACLES = {
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "scd2_status_history": ORACLE_SCD2_STATUS_HISTORY,
     "q4_order_priority": ORACLE_ORDER_PRIORITY,
     "q7_volume_shipping": ORACLE_VOLUME_SHIPPING,
     "q8_market_share": ORACLE_MARKET_SHARE,
