@@ -40,6 +40,54 @@ def running_count_per_key(grouped_stream, key_col: str = "user_id") -> DataFrame
     )
 
 
+def running_topk_per_key(
+    grouped_stream,
+    k: int = 3,
+    key_col: str = "user_id",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key running top-k: state is the bounded k-item leaderboard
+    (two parallel arrays in the state store), merged with each trigger's
+    batch and re-emitted — the template for any bounded-sketch state
+    (heaps, HLL registers, CMS rows). Ties break on the lower event id,
+    so the leaderboard is deterministic regardless of batch split.
+    State per key is O(k) forever — safe at any stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        if state.exists:
+            vals, ids = state.get
+            items = list(zip(list(vals), list(ids)))
+        else:
+            items = []
+        for pdf in pdfs:
+            items.extend(
+                zip(pdf[val_col].astype(float), pdf[id_col].astype(int))
+            )
+        # top-k by (value desc, id asc) — deterministic under any
+        # batch boundary placement
+        items.sort(key=lambda t: (-t[0], t[1]))
+        items = items[:k]
+        state.update(([v for v, _ in items], [i for _, i in items]))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(items),
+                "rnk": list(range(1, len(items) + 1)),
+                id_col: [i for _, i in items],
+                val_col: [v for v, _ in items],
+            }
+        )
+
+    return grouped_stream.applyInPandasWithState(
+        fn,
+        f"{key_col} long, rnk long, {id_col} long, {val_col} double",
+        "vals array<double>, ids array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_sum_per_key(
     grouped_stream, key_col: str = "user_id", val_col: str = "value"
 ) -> DataFrame:

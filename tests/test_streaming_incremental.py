@@ -146,3 +146,61 @@ def test_watermark_drops_late_batch(spark, sf_dir, ts_sorted_table):
         assert late_windows.isdisjoint(emitted)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stateful_topk_across_batches(spark, sf_dir, ts_sorted_table):
+    """Custom stateful top-k: the per-key leaderboard must be identical
+    whether the stream arrives in one trigger or four — the bounded
+    O(k) state merge across batch boundaries is exactly what the
+    operator exists for."""
+    from pyspark.sql import functions as F
+
+    from parallelutilities_jl_spark.streaming.stateful import (
+        running_topk_per_key,
+    )
+
+    t = ts_sorted_table
+    stage = tempfile.mkdtemp(prefix="pu_events_topk_")
+    try:
+        stream = _stream_from(spark, stage)
+        q = (
+            running_topk_per_key(stream.groupBy("user_id"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_topk")
+            .start()
+        )
+        try:
+            step = t.num_rows // N_BATCHES
+            for i in range(N_BATCHES):
+                hi = t.num_rows if i == N_BATCHES - 1 else (i + 1) * step
+                _feed(stage, t, i * step, hi, i)
+                q.processAllAvailable()
+            # update mode re-emits per trigger; keep the LAST emission
+            # per (user, rank)
+            got = {
+                (r["user_id"], r["rnk"]): (r["event_id"], r["value"])
+                for r in spark.sql("SELECT * FROM t_topk").collect()
+            }
+        finally:
+            q.stop()
+        from pyspark.sql.window import Window as W
+
+        ev = load_table(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        want = {
+            (r["user_id"], r["rnk"]): (r["event_id"], r["value"])
+            for r in ev.select(
+                "user_id",
+                "event_id",
+                "value",
+                F.row_number().over(w).cast("long").alias("rnk"),
+            )
+            .filter(F.col("rnk") <= 3)
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
