@@ -125,6 +125,7 @@ _CHEAP_FIRST = [
     "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
     "ann_ivf_trained_topk", "embedding_cosine_dups", "bpe_merges",
+    "bpe_apply_fertility",
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
     "leakage_safe_split",
     "diversified_topk", "training_order_packing", "ann_pq_topk",

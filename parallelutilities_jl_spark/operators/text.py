@@ -393,23 +393,10 @@ _BPE_WORD_RE = "^[a-z0-9]+$"
 _BPE_SYM_RE = r"\(([^()]+)\)"
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, first `BPE_MERGES` merge steps (Sennrich
-    et al. 2016, arXiv:1508.07909): count adjacent symbol pairs over the
-    word-frequency histogram, take the most frequent pair (ties broken
-    lexicographically), fuse it everywhere, repeat. Output: the learned
-    merge table (rank, pair, fused symbol, weighted pair count) — the
-    artifact a tokenizer ships.
-
-    Spark shape (same driver-held-model loop as `kmeans_assign`): the
-    corpus-sized work is ONE tokenize + groupBy(word) pass; everything
-    after runs on the word-frequency vocabulary (bounded by vocabulary
-    growth, not corpus size — the classic BPE-on-histogram trick), kept
-    distributed and localCheckpoint-materialized once. Each merge round
-    is one map-side-combinable pair-count shuffle plus a 1-row
-    TakeOrderedAndProject argmax to the driver; the chosen pair is
-    applied as a literal REPLACE (narrow map) in the next round's plan.
-    The oracle replays the identical rounds as chained CTEs."""
+def _learn_bpe(spark: SparkSession, sf_dir: str):
+    """The BPE training loop shared by `bpe_merges` (emits the merge
+    table) and `bpe_apply_fertility` (applies the merges back to the
+    corpus). Returns (vocab_df, merges, per-round top-1 DataFrames)."""
     docs = load_table_parallel(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -474,6 +461,33 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count",
             )
         )
+    return vocab, merges, out
+
+
+def _apply_merges(wcol: Column, merges: list[tuple[str, str]]) -> Column:
+    for x, y in merges:
+        wcol = F.replace(wcol, F.lit(f"({x})({y})"), F.lit(f"({x}{y})"))
+    return wcol
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first `BPE_MERGES` merge steps (Sennrich
+    et al. 2016, arXiv:1508.07909): count adjacent symbol pairs over the
+    word-frequency histogram, take the most frequent pair (ties broken
+    lexicographically), fuse it everywhere, repeat. Output: the learned
+    merge table (rank, pair, fused symbol, weighted pair count) — the
+    artifact a tokenizer ships.
+
+    Spark shape (same driver-held-model loop as `kmeans_assign`): the
+    corpus-sized work is ONE tokenize + groupBy(word) pass; everything
+    after runs on the word-frequency vocabulary (bounded by vocabulary
+    growth, not corpus size — the classic BPE-on-histogram trick), kept
+    distributed and localCheckpoint-materialized once. Each merge round
+    is one map-side-combinable pair-count shuffle plus a 1-row
+    TakeOrderedAndProject argmax to the driver; the chosen pair is
+    applied as a literal REPLACE (narrow map) in the next round's plan.
+    The oracle replays the identical rounds as chained CTEs."""
+    _, merges, out = _learn_bpe(spark, sf_dir)
     if not out:  # no mergeable pairs at all — empty result, same schema
         return spark.createDataFrame(
             [],
@@ -486,10 +500,56 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-def _oracle_bpe_merges(n_merges: int = BPE_MERGES) -> str:
-    """The identical merge rounds as chained CTEs (no RNG → replayable).
-    DuckDB's generate_series(1, 0) is empty (unlike Spark's), so
-    single-symbol words drop out of the pair lateral naturally."""
+def q_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the tokenizer story: APPLY the learned merges
+    back to the corpus and measure the compression they buy — weighted
+    symbol counts before/after, i.e. how far 5 merges move tokens/word
+    toward the fertility a shipped tokenizer reports. Application is a
+    literal-REPLACE chain over the checkpointed word-frequency vocab (a
+    pure narrow map — at corpus scale this is the per-document tokenize
+    pass, embarrassingly parallel); symbol counts are length-difference
+    tricks on the wrapped encoding, so both engines count identically.
+    `saved_e6` = floor((before-after)·10⁶ / before): exact int64 inputs
+    (< 2⁵³) through one correctly-rounded division — engine-stable."""
+    vocab, merges, out = _learn_bpe(spark, sf_dir)
+    if not out:  # empty/degenerate corpus: no stats row (and the
+        # ungrouped agg below would emit a single all-NULL row instead)
+        return spark.createDataFrame(
+            [],
+            "n_words long, symbols_before long, symbols_after long, "
+            "saved_e6 long",
+        )
+
+    def n_syms(c: Column) -> Column:
+        return (
+            F.length(c) - F.length(F.replace(c, F.lit("("), F.lit("")))
+        ).cast("long")
+
+    per_word = vocab.select(
+        "freq",
+        n_syms(F.col("w")).alias("before"),
+        n_syms(_apply_merges(F.col("w"), merges)).alias("after"),
+    )
+    return per_word.agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.col("before")).alias("symbols_before"),
+        F.sum(F.col("freq") * F.col("after")).alias("symbols_after"),
+        F.floor(
+            (
+                F.sum(F.col("freq") * F.col("before"))
+                - F.sum(F.col("freq") * F.col("after"))
+            )
+            * F.lit(1_000_000).cast("long")
+            / F.sum(F.col("freq") * F.col("before"))
+        ).alias("saved_e6"),
+    )
+
+
+def _bpe_cte_chain(n_merges: int = BPE_MERGES) -> tuple[list[str], list[str]]:
+    """The merge rounds as chained CTEs (no RNG → replayable). DuckDB's
+    generate_series(1, 0) is empty (unlike Spark's), so single-symbol
+    words drop out of the pair lateral naturally. Returns (ctes,
+    per-round merge-table SELECTs); the final vocab is `v{n_merges}`."""
     nt = TH.dd_norm_text("text")
     ctes = [
         f"""v0 AS (
@@ -524,7 +584,29 @@ def _oracle_bpe_merges(n_merges: int = BPE_MERGES) -> str:
             f"SELECT CAST({r} AS BIGINT) AS merge_rank, x, y, "
             f"x || y AS merged, pair_count FROM t{r}"
         )
+    return ctes, finals
+
+
+def _oracle_bpe_merges(n_merges: int = BPE_MERGES) -> str:
+    ctes, finals = _bpe_cte_chain(n_merges)
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(finals)
+
+
+def _oracle_bpe_fertility(n_merges: int = BPE_MERGES) -> str:
+    ctes, _ = _bpe_cte_chain(n_merges)
+    syms = "length(w) - length(REPLACE(w, '(', ''))"
+    return f"""
+WITH {",".join(ctes)},
+b AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+             CAST(SUM(freq * ({syms})) AS BIGINT) AS symbols_before
+      FROM v0),
+a AS (SELECT CAST(SUM(freq * ({syms})) AS BIGINT) AS symbols_after
+      FROM v{n_merges})
+SELECT n_words, symbols_before, symbols_after,
+       CAST(FLOOR((symbols_before - symbols_after) * CAST(1000000 AS BIGINT)
+                  / symbols_before) AS BIGINT) AS saved_e6
+FROM b CROSS JOIN a
+"""
 
 
 def _oracles() -> dict[str, str]:
@@ -660,7 +742,9 @@ QUERIES = {
     "vocab_top_bigrams": q_vocab_top_bigrams,
     "unigram_logppl": q_unigram_logppl,
     "bpe_merges": q_bpe_merges,
+    "bpe_apply_fertility": q_bpe_apply_fertility,
 }
 
 ORACLES = _oracles()
 ORACLES["bpe_merges"] = _oracle_bpe_merges()
+ORACLES["bpe_apply_fertility"] = _oracle_bpe_fertility()
