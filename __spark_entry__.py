@@ -103,7 +103,7 @@ _CHEAP_FIRST = [
     "ann_lsh_bucket", "ann_index_delta", "elementwise_product_arrays",
     "q10_returned_items",
     "max_dim", "q11_important_parts", "corpus_filter_pipeline",
-    "pii_scrub_stats", "quality_curriculum",
+    "pii_scrub_stats", "quality_curriculum", "lang_mix_entropy",
     "salted_join_orders", "extrema_dim", "sessionize_events",
     "elementwise_zip_add", "window_rank_functions",
     "ordered_stack_arrays", "ordered_hcat_matrices", "sliding_window_avg",

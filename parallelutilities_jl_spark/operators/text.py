@@ -393,6 +393,61 @@ _BPE_WORD_RE = "^[a-z0-9]+$"
 _BPE_SYM_RE = r"\(([^()]+)\)"
 
 
+def q_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix entropy — the diversity number a dataset
+    card reports per subcorpus (a source whose language distribution
+    collapsed is a curation bug). H = log2(N) − (Σ c·log2 c)/N over the
+    per-(source, lang) doc counts, computed ENTIRELY in the quantized
+    fixed-point log2 (`_qlog2`, 2^20 scale — no libm, so both engines
+    produce the identical integer; the final division is exact integer
+    `div` on the positive domain). Two map-side-combinable aggs on tiny
+    group counts; nothing data-sized after the first.
+    Int64 bound: Σ c·qlog2(c) ≤ N·40·2^20 — fine to ~10¹² docs/source;
+    beyond that the sum moves to DECIMAL(38,0) like the money tier."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    g = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "source",
+            "c",
+            F.expr(_qlog2("c", spark=True)).alias("qc"),
+        )
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum(F.col("c") * F.col("qc")).alias("s"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            (
+                F.expr(_qlog2("n_docs", spark=True))
+                - F.expr("s div n_docs")
+            ).alias("entropy_q"),
+        )
+    )
+
+
+ORACLE_LANG_MIX_ENTROPY = f"""
+WITH g AS (
+  SELECT source, COUNT(*) AS c FROM documents GROUP BY source, lang),
+t AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_langs,
+         CAST(SUM(c * {_qlog2('c', spark=False)}) AS BIGINT) AS s
+  FROM g GROUP BY source)
+SELECT source, n_docs, n_langs,
+       CAST({_qlog2('n_docs', spark=False)} - s // n_docs AS BIGINT)
+         AS entropy_q
+FROM t
+"""
+
+
 def _learn_bpe(spark: SparkSession, sf_dir: str):
     """The BPE training loop shared by `bpe_merges` (emits the merge
     table) and `bpe_apply_fertility` (applies the merges back to the
@@ -743,8 +798,10 @@ QUERIES = {
     "unigram_logppl": q_unigram_logppl,
     "bpe_merges": q_bpe_merges,
     "bpe_apply_fertility": q_bpe_apply_fertility,
+    "lang_mix_entropy": q_lang_mix_entropy,
 }
 
 ORACLES = _oracles()
 ORACLES["bpe_merges"] = _oracle_bpe_merges()
 ORACLES["bpe_apply_fertility"] = _oracle_bpe_fertility()
+ORACLES["lang_mix_entropy"] = ORACLE_LANG_MIX_ENTROPY
