@@ -89,7 +89,8 @@ _CHEAP_FIRST = [
     "window_running_sum", "dedup_exact", "join_anti",
     "pmapbatch_partitions", "productsplit_partition_agg",
     "partition_and_index", "elementwise_sum_arrays", "set_ops",
-    "token_stats", "ann_cosine_topk", "join_broadcast_dim",
+    "token_stats", "embedding_norm_stats", "ann_cosine_topk",
+    "join_broadcast_dim",
     "runtime_filtered_join",
     "bm25_topk",
     "q3_shipping_priority", "agg_cube", "q13_custdist", "range_join",
@@ -127,7 +128,7 @@ _CHEAP_FIRST = [
     "ann_ivf_trained_topk", "embedding_cosine_dups", "bpe_merges",
     "bpe_apply_fertility",
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
-    "leakage_safe_split",
+    "leakage_safe_split", "dedup_rate_by_source",
     "diversified_topk", "training_order_packing", "ann_pq_topk",
     "ann_pq_rerank_topk", "semantic_dedup",
 ]

@@ -1061,8 +1061,83 @@ def _oracle_pagerank(iters: int = PR_ITERS) -> str:
     )
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication accounting — "which crawl is dirtiest",
+    the number a pipeline run reports before deciding where to spend
+    recrawl budget. A document is *redundant* if it sits in a near-dup
+    component and is not its canonical (min-id) member; the rate is
+    floor(redundant·10⁶ / docs) — exact int division, engine-stable.
+
+    Scale shape: rides the LSH component map (banded, df-capped) with
+    one left join of the corpus against the much smaller component
+    table and one per-source agg — the same budget as
+    `quality_canonical_dedup`."""
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    flags = docs.join(comp, "doc_id", "left").select(
+        "source",
+        F.col("component_id").isNotNull().cast("long").alias("in_group"),
+        (
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") != F.col("doc_id"))
+        )
+        .cast("long")
+        .alias("redundant"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("in_group").alias("n_in_dup_groups"),
+            F.sum("redundant").alias("n_redundant"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_in_dup_groups",
+            "n_redundant",
+            F.expr("(n_redundant * 1000000) div n_docs").alias(
+                "dup_rate_e6"
+            ),
+        )
+    )
+
+
+def _oracle_dedup_rate_by_source() -> str:
+    edge_sql = _oracles()["minhash_near_dup"]
+    return f"""
+WITH RECURSIVE
+e2 AS (SELECT doc_a, doc_b FROM ({edge_sql})),
+und AS (SELECT doc_a AS u, doc_b AS v FROM e2
+        UNION ALL SELECT doc_b, doc_a FROM e2),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.n, und.v FROM reach r JOIN und ON r.m = und.u
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n),
+flags AS (
+  SELECT d.source,
+         CASE WHEN c.component_id IS NOT NULL THEN 1 ELSE 0 END
+           AS in_group,
+         CASE WHEN c.component_id IS NOT NULL
+                   AND c.component_id <> d.doc_id THEN 1 ELSE 0 END
+           AS redundant
+  FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(in_group) AS BIGINT) AS n_in_dup_groups,
+       CAST(SUM(redundant) AS BIGINT) AS n_redundant,
+       (CAST(SUM(redundant) AS BIGINT) * 1000000) // COUNT(*)
+         AS dup_rate_e6
+FROM flags GROUP BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
     "link_graph_pagerank": q_link_graph_pagerank,
     "containment_dups": q_containment_dups,
     "incremental_dedup": q_incremental_dedup,
@@ -1078,6 +1153,7 @@ QUERIES = {
 ORACLES = _oracles()
 ORACLES["dedup_components"] = _oracle_components()
 ORACLES["link_graph_pagerank"] = _oracle_pagerank()
+ORACLES["dedup_rate_by_source"] = _oracle_dedup_rate_by_source()
 ORACLES["quality_canonical_dedup"] = _oracle_quality_canonical()
 ORACLES["containment_dups"] = (
     f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "

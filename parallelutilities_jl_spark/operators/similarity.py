@@ -543,11 +543,53 @@ WHERE rnk <= 3
 """,
 }
 
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA census — the validation pass an ANN index build runs
+    before trusting its input: per-cell vector counts, zero-vector
+    detection (un-normalizable → cosine is undefined → must be quarantined
+    before the dedup/search tiers), and the quantized squared-norm range
+    (catching scale drift between embedding batches). The squared norm
+    is the same exact int64 self-dot the ANN tier uses (DOT_SCALE), so
+    the min/max bounds are engine-identical integers. One narrow map +
+    one map-side-combinable agg; nothing else."""
+    emb = _emb_double(spark, sf_dir)
+    qn = dot(F.col("emb"), F.col("emb")).alias("qn")
+    return (
+        emb.select("label", qn)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("qn") == 0).cast("long")).alias("n_zero"),
+            F.min("qn").alias("min_qn"),
+            F.max("qn").alias("max_qn"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_NORM_STATS = f"""
+WITH lf AS (SELECT vec_id, label,
+                   UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE)))
+                     AS v
+            FROM embeddings),
+qn AS (SELECT vec_id, ANY_VALUE(label) AS label,
+              CAST(SUM(CAST(FLOOR((v * v) * {float(DOT_SCALE)}) AS BIGINT))
+                   AS BIGINT) AS qn
+       FROM lf GROUP BY vec_id)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       MIN(qn) AS min_qn, MAX(qn) AS max_qn
+FROM qn GROUP BY label
+"""
+
+
 QUERIES = {
     "embedding_cosine_dups": q_embedding_cosine_dups,
+    "embedding_norm_stats": q_embedding_norm_stats,
     "embedding_cosine_exact": q_embedding_cosine_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
 }
+
+ORACLES["embedding_norm_stats"] = ORACLE_EMBEDDING_NORM_STATS
