@@ -1002,6 +1002,13 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("toks"),
     )
+    return curriculum_tiers(per_doc)
+
+
+def curriculum_tiers(per_doc: DataFrame) -> DataFrame:
+    """Equal-frequency tier census from a (sk, toks) frame — split out
+    so property tests can drive synthetic score distributions through
+    the identical plan."""
     hist = per_doc.groupBy("sk").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("toks").alias("tok_sum"),

@@ -72,3 +72,51 @@ def test_pack_sequences_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
     with pytest.raises(AssertionError):
         pack_sequences(df, capacity=100)
+
+
+def _score_sets():
+    rnd = random.Random(20260814)
+    cases = []
+    # heavy ties (few distinct scores), uniform spread, one giant tie
+    cases.append([rnd.randint(0, 5) * 100 for _ in range(300)])
+    cases.append([rnd.randint(0, 1000) for _ in range(400)])
+    cases.append([7] * 123 + [900] * 4)
+    return cases
+
+
+@pytest.mark.parametrize(
+    "sks", _score_sets(), ids=["ties", "uniform", "giant-tie"]
+)
+def test_curriculum_tiers_partition_and_order(spark, sks):
+    """Equal-frequency tier invariants under tie-heavy synthetic score
+    distributions the fixture never produces: tiers partition the docs
+    exactly, tier ids are in [0, B), tier score ranges are disjoint and
+    ordered (higher tier ⇒ strictly higher scores), and every tier's
+    doc count stays within the tie-spill bound (a tier can only exceed
+    the ideal n/B share because one quantized score's whole tie block
+    lands in it)."""
+    from collections import Counter
+
+    from parallelutilities_jl_spark.operators.pipeline import (
+        _CURRICULUM_BUCKETS,
+        curriculum_tiers,
+    )
+
+    rnd = random.Random(sum(sks))
+    rows = [(sk, rnd.randint(1, 50)) for sk in sks]
+    per_doc = spark.createDataFrame(rows, "sk long, toks long")
+    out = curriculum_tiers(per_doc).collect()
+    n = len(sks)
+    assert sum(r["n_docs"] for r in out) == n
+    assert sum(r["est_tokens"] for r in out) == sum(t for _, t in rows)
+    tiers = sorted(out, key=lambda r: r["tier"])
+    for r in tiers:
+        assert 0 <= r["tier"] < _CURRICULUM_BUCKETS
+        assert r["min_score_k"] <= r["max_score_k"]
+    for lo, hi in zip(tiers, tiers[1:]):
+        assert lo["max_score_k"] < hi["min_score_k"]
+    # tie-spill bound: tier size <= ideal share + (largest tie block - 1)
+    biggest_tie = max(Counter(sks).values())
+    ideal = -(-n // _CURRICULUM_BUCKETS)
+    for r in tiers:
+        assert r["n_docs"] <= ideal + biggest_tie - 1
