@@ -2223,8 +2223,211 @@ FROM lineitem
 """
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of `part` on (price low, size high) — the
+    dominance query behind "cheapest part at every size class". A point
+    survives iff no other part is <= in price AND >= in size with at
+    least one strict. The naive formulation is an O(n^2) dominance
+    anti-join; for a 2-D skyline the exact answer is a SORT + running
+    max: a part is dominated iff a strictly-cheaper part reaches its
+    size (m_lt >= size) or an equal-priced part exceeds it (m_eq >
+    size). Duplicate (price, size) points don't dominate each other —
+    both survive, matching set-semantics skyline.
+
+    Scale shape: two-tier. Tier 1 collapses the data to a per-price
+    histogram (groupBy price_c → max size — one map-side-combinable
+    shuffle; the domain of int64 cent prices is bounded by the price
+    range, not the row count). Tier 2 runs the running max over that
+    histogram — the only ordered pass touches histogram rows, never
+    data rows, so no data-sized sort and no rangepartitioning exchange.
+    The (tiny) dominance frontier broadcasts back onto the parts scan.
+    Prices quantized to exact int64 cents (fixture doubles are 2-dp
+    exact, see _e2), so "strictly cheaper" has no double ties."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            _e2(F.col("p_retailprice")).alias("price_c"),
+        )
+    )
+    hist = p.groupBy("price_c").agg(F.max("p_size").alias("m_eq"))
+    w_lt = W.orderBy("price_c").rowsBetween(W.unboundedPreceding, -1)
+    frontier = hist.withColumn("m_lt", F.max("m_eq").over(w_lt))
+    return (
+        p.join(F.broadcast(frontier), "price_c")
+        .filter(
+            (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size")))
+            & (F.col("m_eq") <= F.col("p_size"))
+        )
+        .select("p_partkey", "price_c", "p_size")
+    )
+
+
+ORACLE_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+f AS (
+  SELECT p_partkey, price_c, p_size,
+         MAX(p_size) OVER (ORDER BY price_c
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt,
+         MAX(p_size) OVER (PARTITION BY price_c) AS m_eq
+  FROM p)
+SELECT p_partkey, price_c, p_size FROM f
+WHERE (m_lt IS NULL OR m_lt < p_size) AND m_eq <= p_size
+"""
+
+
+ISLAND_GAP_SECS = 1800  # an event extends a user's activity 30 min
+
+
+def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge each user's event intervals
+    [ts, ts+{ISLAND_GAP_SECS}s) into maximal overlapping runs and
+    report per-user island count + total covered seconds — the interval
+    union behind session stitching, uptime accounting, and coverage
+    dedup. New island when an event starts strictly after the running
+    max end of all prior intervals (touching merges).
+
+    Scale shape: everything is windowed per user_id — one hash shuffle
+    on the natural key, then two narrow window passes (running max,
+    running sum) and a (user, island) agg that reuses the partitioning.
+    No self-join (the classic interval-overlap join formulation is
+    O(n^2) per user); integer epoch-second arithmetic end-to-end, so
+    island boundaries are bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    iv = ev.withColumn("e", F.col("t") + F.lit(ISLAND_GAP_SECS))
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_new",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("t") > F.max("e").over(w_prev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = (
+        marked.withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("t").alias("start_t"),
+            F.max("e").alias("end_t"),
+        )
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("end_t") - F.col("start_t")).alias("covered_secs"),
+        F.max(F.col("end_t") - F.col("start_t")).alias("longest_secs"),
+    )
+
+
+ORACLE_INTERVAL_ISLANDS = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t,
+         epoch_us(ts) // 1000000 + {ISLAND_GAP_SECS} AS e
+  FROM events),
+m AS (
+  SELECT user_id, t, e,
+         CASE WHEN MAX(e) OVER w IS NULL
+                OR t > MAX(e) OVER w THEN 1 ELSE 0 END AS is_new
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+         t, e
+  FROM m),
+g AS (
+  SELECT user_id, island, MIN(t) AS start_t, MAX(e) AS end_t
+  FROM isl GROUP BY user_id, island)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(end_t - start_t) AS BIGINT) AS covered_secs,
+       CAST(MAX(end_t - start_t) AS BIGINT) AS longest_secs
+FROM g GROUP BY user_id
+"""
+
+
+ANOMALY_Z = 2  # flag days beyond 2 population std-devs
+
+
+def q_anomaly_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly flags on the event stream: per event_type daily
+    counts, flagging days whose count deviates more than {ANOMALY_Z}
+    population std-devs from that type's mean — the data-quality canary
+    every ingestion pipeline runs. The z-test is evaluated in EXACT
+    integer arithmetic: z^2 > Z^2 ⇔ (N·c − S)² > Z²·(N·Q − S²) with
+    N = #days, S = Σc, Q = Σc² — no float variance, no sqrt, so both
+    engines flag identical days.
+
+    Scale shape: one map-side-combinable (type, day) count, a tiny
+    per-type stats agg (≤ #types rows) broadcast back onto the daily
+    counts. At 100 TB the daily rollup is the only data-sized shuffle.
+    Int64 bound: (N·c)² caps the day count at ~3e9/N days before
+    overflow — past that, promote the squared terms to DECIMAL(38,0)
+    (one cast, same formula)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("nn") * F.col("n") - F.col("s")
+    var_n3 = F.col("nn") * F.col("q") - F.col("s") * F.col("s")
+    return j.select(
+        "event_type",
+        "day",
+        "n",
+        (dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * var_n3).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+ORACLE_ANOMALY_DAILY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, COUNT(*) AS nn, SUM(n) AS s, SUM(n * n) AS q
+  FROM daily GROUP BY 1)
+SELECT d.event_type, d.day, d.n,
+       (nn * n - s) * (nn * n - s)
+         > {ANOMALY_Z * ANOMALY_Z} * (nn * q - s * s) AS is_anomaly
+FROM daily d JOIN st USING (event_type)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
+    "skyline_parts": q_skyline_parts,
+    "interval_islands": q_interval_islands,
+    "anomaly_daily_counts": q_anomaly_daily_counts,
     "table_column_stats": q_table_column_stats,
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
@@ -2282,6 +2485,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "skyline_parts": ORACLE_SKYLINE_PARTS,
+    "interval_islands": ORACLE_INTERVAL_ISLANDS,
+    "anomaly_daily_counts": ORACLE_ANOMALY_DAILY,
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,

@@ -664,6 +664,85 @@ FROM b CROSS JOIN a
 """
 
 
+FUZZY_MAX_DIST = 3  # edit-distance bound for vocab variant pairs
+
+
+def q_vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-level fuzzy matching (typo/variant detection): distinct
+    corpus tokens, blocked self-join, Levenshtein <= {FUZZY_MAX_DIST}.
+    The entity-resolution shape every cleaning pipeline needs — dedup the
+    corpus to its vocabulary FIRST (|V| << corpus), then pair only within
+    blocks, never all-pairs over documents.
+
+    Scale shape: the vocab agg is one map-side-combinable shuffle; the
+    self-join is keyed on the blocking key (first character here; a real
+    pipeline uses phonetic keys or char-ngram LSH for recall), so the
+    join is an equi-join with per-block cardinality, not a cartesian.
+    The |len(a)-len(b)| <= d prefilter is implied by the distance bound
+    but lets the engine drop pairs before the O(len^2) edit-distance
+    kernel. Levenshtein itself is JVM-side (`F.levenshtein`), identical
+    unit-cost semantics in DuckDB.
+
+    Blocking trades recall for scale by construction: pairs whose first
+    characters differ are unreachable (documented contract, same on both
+    engines)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TH.words(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", F.substring("tok", 1, 1))
+    )
+    a = vocab.select(
+        F.col("blk"),
+        F.col("tok").alias("tok_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = vocab.select(
+        F.col("blk"),
+        F.col("tok").alias("tok_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("tok_a") < F.col("tok_b"))
+            & (
+                F.abs(F.length("tok_a") - F.length("tok_b"))
+                <= FUZZY_MAX_DIST
+            )
+            & (
+                F.levenshtein(F.col("tok_a"), F.col("tok_b"))
+                <= FUZZY_MAX_DIST
+            )
+        )
+        .select(
+            "tok_a",
+            "tok_b",
+            F.levenshtein(F.col("tok_a"), F.col("tok_b")).alias("dist"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
+def _oracle_vocab_fuzzy() -> str:
+    raw_ws = TH.dd_words("text")
+    d = FUZZY_MAX_DIST
+    return f"""
+WITH tok AS (SELECT UNNEST({raw_ws}) AS tok FROM documents),
+v AS (SELECT tok, COUNT(*) AS n, substr(tok, 1, 1) AS blk
+      FROM tok WHERE tok <> '' GROUP BY tok)
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       CAST(levenshtein(a.tok, b.tok) AS INT) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM v a JOIN v b ON a.blk = b.blk AND a.tok < b.tok
+WHERE abs(len(a.tok) - len(b.tok)) <= {d}
+  AND levenshtein(a.tok, b.tok) <= {d}
+"""
+
+
 def _oracles() -> dict[str, str]:
     nt = TH.dd_norm_text("text")
     ws = f"string_split({nt}, ' ')"
@@ -799,9 +878,11 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_apply_fertility": q_bpe_apply_fertility,
     "lang_mix_entropy": q_lang_mix_entropy,
+    "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
 }
 
 ORACLES = _oracles()
 ORACLES["bpe_merges"] = _oracle_bpe_merges()
 ORACLES["bpe_apply_fertility"] = _oracle_bpe_fertility()
 ORACLES["lang_mix_entropy"] = ORACLE_LANG_MIX_ENTROPY
+ORACLES["vocab_fuzzy_pairs"] = _oracle_vocab_fuzzy()
