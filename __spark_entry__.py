@@ -79,6 +79,8 @@ _CHEAP_FIRST = [
     "pmapbatch_map", "agg_rollup", "extrema_all_dims", "scalar_functions",
     "zorder_cell_stats",
     "which_partition", "table_column_stats", "retention_cohorts",
+    "skyline_parts", "anomaly_daily_counts", "interval_islands",
+    "vocab_fuzzy_pairs",
     "funnel_conversion", "scd2_status_history", "grouping_sets_customer",
     "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",
