@@ -1061,6 +1061,130 @@ def _oracle_pagerank(iters: int = PR_ITERS) -> str:
     )
 
 
+TRI_OUT_DEG = 3  # denser than PR_OUT_DEG so E[triangles] ≈ 36 > 0 at any N
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting + global clustering coefficient
+    over the synthesized citation graph (same md5 edge synthesis as
+    `link_graph_pagerank`, out-degree {TRI_OUT_DEG}) — the graph-motif
+    census behind community/spam structure analysis of a crawl. The
+    MapReduce-classic formulation (Suri & Vassilvitskii, WWW'11):
+    canonicalize to undirected id-oriented edges (a < b), join wedges
+    a–b–c on the middle vertex, close them against the edge list on
+    (a, c). Random-graph expectation makes the answer scale-invariant
+    (E[tri] ≈ (2·outdeg)³/6 regardless of N), so the census is
+    non-vacuous at every SF.
+
+    Scale shape: two equi-joins + two aggs over the edge list — no
+    cartesian, no sort. Id-orientation (a<b<c) counts each triangle
+    exactly once and bounds the wedge join by per-vertex out-wedges; on
+    a skewed real graph you'd orient by (degree, id) so hubs generate
+    no wedges (same join shape, documented swap). Wedges are
+    Σ C(deg,2) via an exact integer agg; `closed_e6` =
+    floor(3·tri·10⁶ / wedges) keeps the coefficient engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = [
+        TH.md5_int48(
+            F.concat(
+                F.lit("lnk"),
+                F.col("doc_id").cast("string"),
+                F.lit(f":{j}"),
+            )
+        )
+        % F.col("n")
+        for j in range(1, TRI_OUT_DEG + 1)
+    ]
+    und = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("u"),
+            F.explode(F.array(*targets)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"),
+            F.greatest("u", "v").alias("b"),
+        )
+        .distinct()
+        # lazy checkpoint: truncates lineage so the edge synthesis runs
+        # once for its 4 consumers (wedge join ×2, degrees, edge count)
+        # without executing at plan-build time (keeps the query lazy for
+        # the plan audit and driver)
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.alias("e1")
+    e2 = und.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    ).alias("e2")
+    e3 = und.select(
+        F.col("a").alias("a3"), F.col("b").alias("c3")
+    ).alias("e3")
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n.crossJoin(counts)
+        .crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("n").alias("n_nodes"),
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3 * n_triangles * 1000000) div n_wedges"),
+            ).alias("closed_e6"),
+        )
+    )
+
+
+def _oracle_triangles() -> str:
+    links = " UNION ALL ".join(
+        "SELECT doc_id AS u, "
+        + TH.dd_md5_int48(f"('lnk' || CAST(doc_id AS VARCHAR) || ':{j}')")
+        + " % nn.n AS v FROM documents, nn"
+        for j in range(1, TRI_OUT_DEG + 1)
+    )
+    return f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+raw AS ({links}),
+und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+        FROM raw WHERE u <> v),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+deg AS (SELECT x, COUNT(*) AS d FROM (
+          SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und)
+        GROUP BY x),
+wed AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg),
+ec AS (SELECT COUNT(*) AS n_edges FROM und)
+SELECT nn.n AS n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN (3 * n_triangles * 1000000) // n_wedges END AS closed_e6
+FROM nn CROSS JOIN ec CROSS JOIN wed CROSS JOIN tri
+"""
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication accounting — "which crawl is dirtiest",
     the number a pipeline run reports before deciding where to spend
@@ -1139,6 +1263,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "link_graph_pagerank": q_link_graph_pagerank,
+    "triangle_count": q_triangle_count,
     "containment_dups": q_containment_dups,
     "incremental_dedup": q_incremental_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1153,6 +1278,7 @@ QUERIES = {
 ORACLES = _oracles()
 ORACLES["dedup_components"] = _oracle_components()
 ORACLES["link_graph_pagerank"] = _oracle_pagerank()
+ORACLES["triangle_count"] = _oracle_triangles()
 ORACLES["dedup_rate_by_source"] = _oracle_dedup_rate_by_source()
 ORACLES["quality_canonical_dedup"] = _oracle_quality_canonical()
 ORACLES["containment_dups"] = (

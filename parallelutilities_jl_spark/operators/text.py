@@ -664,6 +664,64 @@ FROM b CROSS JOIN a
 """
 
 
+SKIPGRAM_W = 3  # co-occurrence window (word2vec-style context radius)
+SKIPGRAM_TOP_N = 20
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counting — the (center, context) pair
+    histogram word2vec/GloVe training data starts from (Mikolov et al.,
+    arXiv:1301.3781). Counts unordered forward pairs (w_i, w_j) with
+    i < j <= i+{SKIPGRAM_W}; symmetric contexts are this doubled, so
+    forward-only loses nothing and halves the pair stream. Top-N by
+    count with a total deterministic tiebreak.
+
+    Scale shape: the pair stream is built INSIDE each document row with
+    higher-order functions (nested transform over index sequences — no
+    positions explode, no self-join on position adjacency), so the only
+    data-sized operations are one explode and one map-side-combinable
+    groupBy; orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition local top-N, no global sort)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(TH.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(
+                        sequence(1, size(ws) - 1),
+                        i -> transform(
+                          sequence(i + 1, least(i + {SKIPGRAM_W}, size(ws))),
+                          j -> concat(element_at(ws, i), ' ',
+                                      element_at(ws, j)))))"""
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(SKIPGRAM_TOP_N)
+    )
+
+
+def _oracle_skipgrams() -> str:
+    raw_ws = TH.dd_words("text")
+    return f"""
+WITH w AS (SELECT {raw_ws} AS ws FROM documents),
+pr AS (SELECT UNNEST(flatten(list_transform(
+         generate_series(1, len(ws) - 1),
+         i -> list_transform(
+           generate_series(i + 1, least(i + {SKIPGRAM_W}, len(ws))),
+           j -> ws[i] || ' ' || ws[j])))) AS pair
+       FROM w WHERE len(ws) >= 2)
+SELECT pair, COUNT(*) AS n FROM pr GROUP BY pair
+ORDER BY n DESC, pair LIMIT {SKIPGRAM_TOP_N}
+"""
+
+
 FUZZY_MAX_DIST = 3  # edit-distance bound for vocab variant pairs
 
 
@@ -879,6 +937,7 @@ QUERIES = {
     "bpe_apply_fertility": q_bpe_apply_fertility,
     "lang_mix_entropy": q_lang_mix_entropy,
     "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
+    "skipgram_pairs": q_skipgram_pairs,
 }
 
 ORACLES = _oracles()
@@ -886,3 +945,4 @@ ORACLES["bpe_merges"] = _oracle_bpe_merges()
 ORACLES["bpe_apply_fertility"] = _oracle_bpe_fertility()
 ORACLES["lang_mix_entropy"] = ORACLE_LANG_MIX_ENTROPY
 ORACLES["vocab_fuzzy_pairs"] = _oracle_vocab_fuzzy()
+ORACLES["skipgram_pairs"] = _oracle_skipgrams()

@@ -26,6 +26,7 @@ audit_plan = _plan_audit.audit_plan
 #  - scalar/model joins broadcast a 1-row aggregate or a tiny model table
 #  - §2.2 metadata queries join np-sized partition-bounds frames
 BNLJ_ALLOWED = {
+    "triangle_count",  # 1-row census frames (n/edges/wedges/tri) crossed
     "ann_cosine_topk",
     "ann_int8_topk",
     "embedding_cosine_exact",

@@ -110,6 +110,80 @@ def test_anomaly_flags_match_integer_zscore(spark):
     assert flagged > 0
 
 
+def test_triangle_count_matches_python_neighbor_intersection(spark):
+    from parallelutilities_jl_spark.operators.dedup import (
+        TRI_OUT_DEG,
+        q_triangle_count,
+    )
+
+    row = q_triangle_count(spark, SF).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
+    n = len(ids)
+    # re-synthesize the citation edges definitionally in Python
+    import hashlib
+
+    def tgt(doc_id: int, j: int) -> int:
+        h = hashlib.md5(f"lnk{doc_id}:{j}".encode()).hexdigest()
+        return int(h[:12], 16) % n
+
+    und = set()
+    for d in ids:
+        for j in range(1, TRI_OUT_DEG + 1):
+            v = tgt(d, j)
+            if v != d:
+                und.add((min(d, v), max(d, v)))
+    nbr: dict[int, set[int]] = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for a, b in und
+        for c in nbr[a] & nbr[b]
+        if c > b  # a < b < c counts each triangle once
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in nbr.values())
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        n,
+        len(und),
+        wedges,
+        tris,
+    )
+    assert tris > 0  # the census is non-vacuous on the fixture
+    assert row.closed_e6 == 3 * tris * 1_000_000 // wedges
+
+
+def test_skipgram_pairs_match_python_window_count(spark):
+    from collections import Counter
+
+    from parallelutilities_jl_spark.operators.text import (
+        SKIPGRAM_TOP_N,
+        SKIPGRAM_W,
+        q_skipgram_pairs,
+    )
+
+    got = [(r.pair, r.n) for r in q_skipgram_pairs(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    texts = [r[0] for r in con.sql("SELECT text FROM documents").fetchall()]
+    c: Counter = Counter()
+    import re
+
+    for t in texts:
+        ws = re.sub(r"\s+", " ", (t or "").lower().strip()).split(" ")
+        for i, w in enumerate(ws):
+            for j in range(i + 1, min(i + SKIPGRAM_W, len(ws) - 1) + 1):
+                c[f"{w} {ws[j]}"] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:SKIPGRAM_TOP_N]
+    assert got == want and got
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
