@@ -81,6 +81,13 @@ HEADLINE = [
     "table_column_stats",
     "multimodal_dedup_census",
     "link_graph_pagerank",
+    # round-6 second-continuation additions
+    "skyline_parts",
+    "interval_islands",
+    "anomaly_daily_counts",
+    "vocab_fuzzy_pairs",
+    "skipgram_pairs",
+    "triangle_count",
 ]
 
 
