@@ -88,6 +88,8 @@ HEADLINE = [
     "vocab_fuzzy_pairs",
     "skipgram_pairs",
     "triangle_count",
+    "hard_negative_mining",
+    "rolling_active_users",
 ]
 
 

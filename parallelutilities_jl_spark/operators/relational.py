@@ -2369,6 +2369,58 @@ FROM g GROUP BY user_id
 """
 
 
+ROLLING_WINDOW_DAYS = 7  # trailing window for the active-user series
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {ROLLING_WINDOW_DAYS}-day distinct active users per day
+    (the WAU/MAU series) — EXACT, not HLL: a user active on day d is
+    "active" for observation days [d, d+{ROLLING_WINDOW_DAYS}-1], so
+    the sliding distinct count is a {ROLLING_WINDOW_DAYS}-way offset
+    fan-out of the COMPACTED user-day frame followed by one
+    count-distinct. Observation days past the stream's end are clipped.
+
+    Scale shape: the event stream collapses to distinct (user, day)
+    FIRST (map-side-combinable — at 100 TB this is the only data-sized
+    shuffle; user-days are bounded by users × window, orders of
+    magnitude smaller), then the ×{ROLLING_WINDOW_DAYS} explode and the
+    per-day distinct agg run on the compacted frame. No data-sized
+    window, no per-day self-join; the max-day clip is a broadcast
+    1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    mx = ud.agg(F.max("day").alias("mxd"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {ROLLING_WINDOW_DAYS - 1}))"
+            )
+        ).alias("obs_day"),
+    )
+    return (
+        contrib.join(F.broadcast(mx), F.col("obs_day") <= F.col("mxd"))
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+mx AS (SELECT MAX(day) AS mxd FROM ud),
+c AS (
+  SELECT user_id, day + CAST(UNNEST(generate_series(0,
+           {ROLLING_WINDOW_DAYS - 1})) AS INTEGER) AS obs_day
+  FROM ud)
+SELECT obs_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM c, mx WHERE obs_day <= mxd
+GROUP BY obs_day
+"""
+
+
 ANOMALY_Z = 2  # flag days beyond 2 population std-devs
 
 
@@ -2428,6 +2480,7 @@ QUERIES = {
     "skyline_parts": q_skyline_parts,
     "interval_islands": q_interval_islands,
     "anomaly_daily_counts": q_anomaly_daily_counts,
+    "rolling_active_users": q_rolling_active_users,
     "table_column_stats": q_table_column_stats,
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
@@ -2488,6 +2541,7 @@ ORACLES = {
     "skyline_parts": ORACLE_SKYLINE_PARTS,
     "interval_islands": ORACLE_INTERVAL_ISLANDS,
     "anomaly_daily_counts": ORACLE_ANOMALY_DAILY,
+    "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,

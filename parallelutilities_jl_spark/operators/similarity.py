@@ -118,6 +118,49 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored, TOP_K)
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query vector, the top-{TOP_K} most-similar candidates whose label
+    DIFFERS — the near-miss negatives that make a contrastive batch
+    informative (in-batch random negatives are too easy; the highest-
+    cosine wrong-label neighbors are the training signal, per the dense
+    retrieval literature, e.g. ANCE arXiv:2007.00808).
+
+    Scale shape: identical to the brute-force cosine baseline (broadcast
+    query set × candidate scan, quantized-int64 dot products, per-query
+    window top-k) with the label-mismatch predicate pushed into the scan
+    — at 100 TB you'd swap the candidate scan for the IVF/LSH tier
+    exactly as `ann_ivf_topk` does; the mining predicate is unchanged."""
+    emb = _emb_double(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("emb").alias("ce"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("cid") != F.col("qid"))
+            & (F.col("clabel") != F.col("qlabel"))
+        )
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (norm(F.col("qe")) * norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    return _topk(scored, TOP_K)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF: search only the query's coarse cell (label) — candidate
     generation becomes an equi-join on the cell id."""
@@ -489,6 +532,9 @@ SELECT ia, ib, CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_e6 FROM (
 WHERE cos >= {COSINE_DUP_THRESHOLD}
 """,
     "ann_cosine_topk": _dd_topk(f"a.vec_id < {N_QUERIES}", "", TOP_K),
+    "hard_negative_mining": _dd_topk(
+        f"a.vec_id < {N_QUERIES} AND b.label <> a.label", "", TOP_K
+    ),
     "ann_int8_topk": f"""
 WITH lf AS (SELECT vec_id,
                    UNNEST(generate_series(1, len(embedding))) AS k,
@@ -587,6 +633,7 @@ QUERIES = {
     "embedding_norm_stats": q_embedding_norm_stats,
     "embedding_cosine_exact": q_embedding_cosine_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "hard_negative_mining": q_hard_negative_mining,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,

@@ -27,7 +27,9 @@ audit_plan = _plan_audit.audit_plan
 #  - §2.2 metadata queries join np-sized partition-bounds frames
 BNLJ_ALLOWED = {
     "triangle_count",  # 1-row census frames (n/edges/wedges/tri) crossed
+    "rolling_active_users",  # 1-row max-day clip frame broadcast
     "ann_cosine_topk",
+    "hard_negative_mining",  # same broadcast-query-side shape as ann_cosine
     "ann_int8_topk",
     "embedding_cosine_exact",
     "bm25_topk",

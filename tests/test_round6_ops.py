@@ -184,6 +184,80 @@ def test_skipgram_pairs_match_python_window_count(spark):
     assert got == want and got
 
 
+def test_hard_negative_mining_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from parallelutilities_jl_spark.operators.similarity import (
+        DOT_SCALE,
+        N_QUERIES,
+        TOP_K,
+        q_hard_negative_mining,
+    )
+
+    got: dict[int, list] = {}
+    for r in q_hard_negative_mining(spark, SF).collect():
+        got.setdefault(r.qid, []).append((r.rnk, r.cid, r.score_e6))
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: (lab, np.array(e, dtype=np.float64)) for vid, lab, e in rows}
+
+    def qcos(a, b):
+        # replicate the engine's quantized-int64 dot exactly
+        d = int(np.sum(np.floor(a * b * DOT_SCALE)))
+        na = np.sqrt(float(int(np.sum(np.floor(a * a * DOT_SCALE)))))
+        nb = np.sqrt(float(int(np.sum(np.floor(b * b * DOT_SCALE)))))
+        return d / (na * nb)
+
+    assert set(got) == {v for v in vecs if v < N_QUERIES}
+    for qid, hits in got.items():
+        qlab, qe = vecs[qid]
+        scored = sorted(
+            (
+                (-qcos(qe, ce), cid)
+                for cid, (clab, ce) in vecs.items()
+                if cid != qid and clab != qlab
+            ),
+        )[:TOP_K]
+        want = [
+            (i + 1, cid, int(np.floor(-neg * 1e6)))
+            for i, (neg, cid) in enumerate(scored)
+        ]
+        assert sorted(hits) == want, f"qid {qid}"
+
+
+def test_rolling_active_users_matches_python_sets(spark):
+    from parallelutilities_jl_spark.operators.relational import (
+        ROLLING_WINDOW_DAYS,
+        q_rolling_active_users,
+    )
+
+    got = {
+        r.obs_day: r.n_active
+        for r in q_rolling_active_users(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    ud = con.sql(
+        f"SELECT DISTINCT user_id, CAST(ts AS DATE) "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    days = sorted({d for _, d in ud})
+    assert days
+    import datetime
+
+    for obs in days:  # every day observed in the stream must be present
+        active = {
+            u
+            for u, d in ud
+            if d <= obs
+            and d > obs - datetime.timedelta(days=ROLLING_WINDOW_DAYS)
+        }
+        assert got[obs] == len(active), f"day {obs}"
+    # clipped: no observation day past the stream end
+    assert max(got) == max(days)
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
