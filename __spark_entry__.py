@@ -81,7 +81,7 @@ _CHEAP_FIRST = [
     "which_partition", "table_column_stats", "retention_cohorts",
     "skyline_parts", "anomaly_daily_counts", "interval_islands",
     "vocab_fuzzy_pairs", "skipgram_pairs", "triangle_count",
-    "hard_negative_mining", "rolling_active_users",
+    "hard_negative_mining", "rolling_active_users", "embedding_diversity",
     "funnel_conversion", "scd2_status_history", "grouping_sets_customer",
     "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",

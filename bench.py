@@ -90,6 +90,7 @@ HEADLINE = [
     "triangle_count",
     "hard_negative_mining",
     "rolling_active_users",
+    "embedding_diversity",
 ]
 
 

@@ -612,6 +612,105 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIV_SCALE = 10**6  # per-component quantizer for the diversity census
+
+
+def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity census — mean pairwise dot product over
+    ALL n² vector pairs WITHOUT any pairwise join, via the algebraic
+    identity Σ_{{i≠j}}⟨v_i,v_j⟩ = ‖Σv‖² − Σ‖v‖². A collapsing embedding
+    space (mode collapse, anisotropy — Ethayarajh, arXiv:1909.00512)
+    shows up as mean-pair-dot → mean-self-dot; this is the one-pass
+    number a training run monitors.
+
+    Scale shape: the O(n²) pair space never materializes — one narrow
+    quantize map, one per-dim sum (64-row agg after a posexplode that
+    is map-side combined per partition), one global row agg. Components
+    are quantized to int64 (floor(v·10⁶)) so every partial sum is exact
+    and order-independent; the squared per-dim totals accumulate in
+    DECIMAL(38,0) (they exceed int64 at corpus scale), and the single
+    final division is one correctly-rounded double op — identical in
+    both engines (same policy as bpe's saved_e6)."""
+    emb = _emb_double(spark, sf_dir)
+    q = emb.select(
+        F.transform(
+            "emb",
+            lambda v: F.floor(v * F.lit(float(DIV_SCALE))).cast("long"),
+        ).alias("qv")
+    )
+    dims = (
+        q.select(F.posexplode("qv").alias("k", "x"))
+        .groupBy("k")
+        .agg(F.sum("x").alias("s"))
+    )
+    a = dims.agg(
+        F.sum(
+            F.col("s").cast("decimal(38,0)")
+            * F.col("s").cast("decimal(38,0)")
+        ).alias("a")
+    )
+    nb = q.select(
+        F.aggregate(
+            "qv",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ).alias("self_sq")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("self_sq").cast("decimal(38,0)")).alias("b"),
+    )
+    return nb.crossJoin(F.broadcast(a)).select(
+        "n",
+        F.floor(
+            F.col("b").cast("double")
+            / (F.col("n") * F.lit(float(DIV_SCALE)))
+        )
+        .cast("long")
+        .alias("mean_self_dot_e6"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                (F.col("a") - F.col("b")).cast("double")
+                / (
+                    F.col("n")
+                    * (F.col("n") - 1)
+                    * F.lit(float(DIV_SCALE))
+                )
+            ).cast("long"),
+        ).alias("mean_pair_dot_e6"),
+    )
+
+
+ORACLE_EMBEDDING_DIVERSITY = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * {float(DIV_SCALE)})
+                     AS BIGINT)) AS qv
+  FROM embeddings),
+lf AS (SELECT vec_id,
+              UNNEST(generate_series(1, len(qv))) AS k,
+              UNNEST(qv) AS x
+       FROM q),
+dims AS (SELECT k, SUM(x) AS s FROM lf GROUP BY k),
+aa AS (SELECT SUM(s * s) AS a FROM dims),
+bb AS (SELECT COUNT(*) AS n, SUM(self_sq) AS b FROM (
+         SELECT vec_id, SUM(x * x) AS self_sq FROM lf GROUP BY vec_id)),
+f AS (SELECT n, CAST(b AS DOUBLE) AS bd,
+             -- subtract EXACTLY in int128 first, convert once: two
+             -- separate double conversions would cancel catastrophically
+             CAST(a - b AS DOUBLE) AS dd
+      FROM aa CROSS JOIN bb)
+SELECT n,
+       CAST(FLOOR(bd / (n * {float(DIV_SCALE)})) AS BIGINT)
+         AS mean_self_dot_e6,
+       CASE WHEN n > 1 THEN
+         CAST(FLOOR(dd / (n * (n - 1) * {float(DIV_SCALE)}))
+              AS BIGINT) END AS mean_pair_dot_e6
+FROM f
+"""
+
+
 ORACLE_EMBEDDING_NORM_STATS = f"""
 WITH lf AS (SELECT vec_id, label,
                    UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE)))
@@ -634,9 +733,11 @@ QUERIES = {
     "embedding_cosine_exact": q_embedding_cosine_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     "hard_negative_mining": q_hard_negative_mining,
+    "embedding_diversity": q_embedding_diversity,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
 }
 
 ORACLES["embedding_norm_stats"] = ORACLE_EMBEDDING_NORM_STATS
+ORACLES["embedding_diversity"] = ORACLE_EMBEDDING_DIVERSITY

@@ -28,6 +28,7 @@ audit_plan = _plan_audit.audit_plan
 BNLJ_ALLOWED = {
     "triangle_count",  # 1-row census frames (n/edges/wedges/tri) crossed
     "rolling_active_users",  # 1-row max-day clip frame broadcast
+    "embedding_diversity",  # 1-row ‖Σv‖² frame crossed with 1-row (n,B)
     "ann_cosine_topk",
     "hard_negative_mining",  # same broadcast-query-side shape as ann_cosine
     "ann_int8_topk",

@@ -227,6 +227,48 @@ def test_hard_negative_mining_matches_numpy_bruteforce(spark):
         assert sorted(hits) == want, f"qid {qid}"
 
 
+def test_embedding_diversity_matches_numpy_pairwise(spark):
+    import numpy as np
+
+    from parallelutilities_jl_spark.operators.similarity import (
+        DIV_SCALE,
+        q_embedding_diversity,
+    )
+
+    row = q_embedding_diversity(spark, SF).collect()[0]
+    con = duckdb.connect()
+    vecs = [
+        np.floor(np.array(e, dtype=np.float64) * DIV_SCALE).astype(object)
+        for (e,) in con.sql(
+            f"SELECT embedding FROM '{SF}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    n = len(vecs)
+    # definitional O(n^2)-equivalent check via exact Python bigints
+    svec = sum(vecs)  # elementwise, arbitrary-precision objects
+    a = int(sum(int(x) * int(x) for x in svec))
+    b = int(sum(int(np.dot(v, v)) for v in vecs))
+    import math
+
+    assert row.n == n
+    assert row.mean_self_dot_e6 == math.floor(b / (n * DIV_SCALE))
+    assert row.mean_pair_dot_e6 == math.floor(
+        (a - b) / (n * (n - 1) * DIV_SCALE)
+    )
+    # the pairwise identity really covers all pairs: spot-check against
+    # a direct pair sum on a small prefix
+    m = 40
+    direct = sum(
+        int(np.dot(vecs[i], vecs[j]))
+        for i in range(m)
+        for j in range(m)
+        if i != j
+    )
+    sm = sum(vecs[:m])
+    bm = sum(int(np.dot(v, v)) for v in vecs[:m])
+    assert direct == int(sum(int(x) * int(x) for x in sm)) - bm
+
+
 def test_rolling_active_users_matches_python_sets(spark):
     from parallelutilities_jl_spark.operators.relational import (
         ROLLING_WINDOW_DAYS,
