@@ -91,6 +91,7 @@ HEADLINE = [
     "hard_negative_mining",
     "rolling_active_users",
     "embedding_diversity",
+    "trimmed_robust_stats",
 ]
 
 

@@ -2369,6 +2369,96 @@ FROM g GROUP BY user_id
 """
 
 
+TRIM_PCT = 5  # symmetric trim fraction (percent) for robust stats
+
+
+def q_trimmed_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {TRIM_PCT}%-trimmed and winsorized mean of lineitem
+    quantity WITHOUT a global sort — robust statistics via the
+    bounded-domain histogram trick (quantities are small integers, as
+    most physical measures are after quantization): collapse the table
+    to a value histogram, take cumulative ranks over the ≤|domain|-row
+    histogram, and intersect each value's rank interval with the kept
+    band [k, n−k]. kept_i = max(0, min(cum_i, n−k) − max(cum_i − c_i,
+    k)) is exact integer arithmetic, so both engines agree bit-for-bit;
+    the winsorized tails clamp to the rank-(k+1) and rank-(n−k) values
+    read off the same histogram.
+
+    Scale shape: ONE map-side-combinable groupBy is the only data-sized
+    operation; the cumulative window runs over the bounded histogram
+    (50 rows here), not the data. Contrast with sort-based trimmed
+    means (global sort) or two-pass percentile+filter (two scans).
+    Int64 bound: sum·10⁶ overflows past ~2·10¹¹ rows — promote the two
+    mean numerators to DECIMAL(38,0) at that scale (one cast each)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .select(F.col("l_quantity").cast("long").alias("v"))
+    )
+    hist = li.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.agg(
+        F.sum("c").alias("n"),
+        F.expr(f"sum(c) * {TRIM_PCT} div 100").alias("k"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("c"), F.col("k")),
+    )
+    agg = j.agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.sum(F.col("v") * kept).alias("tsum"),
+        F.sum(kept).alias("tn"),
+        F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("v"))).alias(
+            "lo_v"
+        ),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("v"))
+        ).alias("hi_v"),
+    )
+    return agg.select(
+        "n",
+        "k",
+        "lo_v",
+        "hi_v",
+        F.expr("tsum * 1000000 div tn").alias("trimmed_mean_e6"),
+        F.expr(
+            "(tsum + k * (lo_v + hi_v)) * 1000000 div n"
+        ).alias("winsor_mean_e6"),
+    )
+
+
+ORACLE_TRIMMED_ROBUST = f"""
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+tot AS (SELECT SUM(c) AS n, SUM(c) * {TRIM_PCT} // 100 AS k FROM hist),
+j AS (SELECT v, c, cum, n, k,
+             GREATEST(0, LEAST(cum, n - k) - GREATEST(cum - c, k)) AS kept
+      FROM cum CROSS JOIN tot),
+agg AS (
+  SELECT ANY_VALUE(n) AS n, ANY_VALUE(k) AS k,
+         SUM(v * kept) AS tsum, SUM(kept) AS tn,
+         MIN(CASE WHEN cum >= k + 1 THEN v END) AS lo_v,
+         MIN(CASE WHEN cum >= n - k THEN v END) AS hi_v
+  FROM j)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       lo_v, hi_v,
+       CAST(tsum * 1000000 // tn AS BIGINT) AS trimmed_mean_e6,
+       CAST((tsum + k * (lo_v + hi_v)) * 1000000 // n AS BIGINT)
+         AS winsor_mean_e6
+FROM agg
+"""
+
+
 ROLLING_WINDOW_DAYS = 7  # trailing window for the active-user series
 
 
@@ -2481,6 +2571,7 @@ QUERIES = {
     "interval_islands": q_interval_islands,
     "anomaly_daily_counts": q_anomaly_daily_counts,
     "rolling_active_users": q_rolling_active_users,
+    "trimmed_robust_stats": q_trimmed_robust_stats,
     "table_column_stats": q_table_column_stats,
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
@@ -2542,6 +2633,7 @@ ORACLES = {
     "interval_islands": ORACLE_INTERVAL_ISLANDS,
     "anomaly_daily_counts": ORACLE_ANOMALY_DAILY,
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
+    "trimmed_robust_stats": ORACLE_TRIMMED_ROBUST,
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "triangle_count",  # 1-row census frames (n/edges/wedges/tri) crossed
     "rolling_active_users",  # 1-row max-day clip frame broadcast
     "embedding_diversity",  # 1-row ‖Σv‖² frame crossed with 1-row (n,B)
+    "trimmed_robust_stats",  # 1-row (n,k) totals crossed onto the histogram
     "ann_cosine_topk",
     "hard_negative_mining",  # same broadcast-query-side shape as ann_cosine
     "ann_int8_topk",

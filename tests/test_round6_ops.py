@@ -300,6 +300,32 @@ def test_rolling_active_users_matches_python_sets(spark):
     assert max(got) == max(days)
 
 
+def test_trimmed_robust_stats_match_python_sort(spark):
+    from parallelutilities_jl_spark.operators.relational import (
+        TRIM_PCT,
+        q_trimmed_robust_stats,
+    )
+
+    row = q_trimmed_robust_stats(spark, SF).collect()[0]
+    con = duckdb.connect()
+    vals = sorted(
+        int(v)
+        for (v,) in con.sql(
+            f"SELECT l_quantity FROM '{SF}/lineitem.parquet' "
+            "WHERE l_quantity IS NOT NULL"
+        ).fetchall()
+    )
+    n = len(vals)
+    k = n * TRIM_PCT // 100
+    trimmed = vals[k : n - k]
+    winsor = [vals[k]] * k + trimmed + [vals[n - k - 1]] * k
+    assert row.n == n and row.k == k
+    assert row.lo_v == vals[k] and row.hi_v == vals[n - k - 1]
+    assert row.trimmed_mean_e6 == sum(trimmed) * 10**6 // len(trimmed)
+    assert row.winsor_mean_e6 == sum(winsor) * 10**6 // n
+    assert k > 0  # non-vacuous: the trim really removes rows
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):

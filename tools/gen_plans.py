@@ -126,6 +126,27 @@ SHOWCASE = {
         "binary dedup accounting: payloads hash in place; only 32-byte "
         "hashes + lengths enter the two-level (modality, sha) agg"
     ),
+    "skyline_parts": (
+        "Pareto skyline without the O(n^2) dominance join OR a data-"
+        "sized sort: per-price histogram agg, running max over the "
+        "bounded histogram only, frontier broadcast back onto the scan"
+    ),
+    "embedding_diversity": (
+        "mean pairwise dot over ALL n^2 pairs with NO pairwise join — "
+        "the sum-vector identity turns it into one 64-row per-dim agg "
+        "+ one row agg; decimal(38,0) squared accumulators, one "
+        "correctly-rounded final division"
+    ),
+    "triangle_count": (
+        "graph-motif census: id-oriented edge list, wedge equi-join "
+        "closed against the edges — two shuffles, no cartesian; the "
+        "1-row census frames cross via bounded BNLJ"
+    ),
+    "rolling_active_users": (
+        "exact sliding-window distinct: compact to user-days FIRST, "
+        "then the 7-way offset fan-out and count-distinct run on the "
+        "compacted frame — the only data-sized shuffle is the dedup"
+    ),
 }
 
 HEADER = '''# PLANS — physical plans of flagship queries (sf0.01, local[32])
