@@ -116,3 +116,66 @@ def running_sum_per_key(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_ALPHA_DEN = 8  # α = 1/8: a' = (x + (den-1)·a) div den, exact int64
+
+
+def running_ewma_per_key(
+    grouped_stream,
+    key_col: str = "user_id",
+    val_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key integer fixed-point EWMA — the recursive per-element fold
+    a' = (x + {EWMA_ALPHA_DEN-1}·a) div {EWMA_ALPHA_DEN} that batch SQL
+    cannot express without recursion (no window frame computes a value
+    that depends on its own previous OUTPUT), and the metric every
+    monitoring pipeline smooths with. Values quantize to int64 e6 units
+    (floor(v·10⁶) — bit-deterministic), so the fold is exact integer
+    arithmetic: the result is a pure function of the per-key event
+    sequence, independent of where trigger boundaries fall.
+
+    State per key is O(1) forever: the current accumulator + count.
+    Rows are folded in (ts, event_id) order WITHIN each trigger;
+    cross-trigger order is arrival order, so the operator assumes an
+    in-order-per-key stream (pair with watermark-driven reordering
+    upstream for out-of-order sources) — the pinned invariant is
+    batch-boundary independence, tested by feeding the same in-order
+    stream in 1 vs N micro-batches."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        if state.exists:
+            acc, n = state.get
+            acc = int(acc)
+            n = int(n)
+        else:
+            acc, n = None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for v in pdf[val_col]:
+                x = math.floor(float(v) * 1_000_000)
+                acc = (
+                    x
+                    if acc is None
+                    else (x + (EWMA_ALPHA_DEN - 1) * acc)
+                    // EWMA_ALPHA_DEN
+                )
+                n += 1
+        if acc is not None:
+            state.update((acc, n))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "ewma_e6": [acc]}
+            )
+
+    return grouped_stream.applyInPandasWithState(
+        fn,
+        f"{key_col} long, n long, ewma_e6 long",
+        "acc long, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -204,3 +204,62 @@ def test_stateful_topk_across_batches(spark, sf_dir, ts_sorted_table):
         assert got == want
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_stateful_ewma_across_batches(spark, sf_dir, ts_sorted_table):
+    """Integer EWMA fold: the accumulator after the whole stream must be
+    identical whether the in-order stream arrives in one trigger or
+    four — trigger boundaries must not move the recursion's fold points.
+    Reference result computed by a plain Python fold per user."""
+    import math
+
+    from parallelutilities_jl_spark.streaming.stateful import (
+        EWMA_ALPHA_DEN,
+        running_ewma_per_key,
+    )
+
+    t = ts_sorted_table
+    stage = tempfile.mkdtemp(prefix="pu_events_ewma_")
+    try:
+        stream = _stream_from(spark, stage)
+        q = (
+            running_ewma_per_key(stream.groupBy("user_id"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_ewma")
+            .start()
+        )
+        try:
+            step = t.num_rows // N_BATCHES
+            for i in range(N_BATCHES):
+                hi = t.num_rows if i == N_BATCHES - 1 else (i + 1) * step
+                _feed(stage, t, i * step, hi, i)
+                q.processAllAvailable()
+            got = {
+                r["user_id"]: (r["n"], r["ewma_e6"])
+                for r in spark.sql(
+                    "SELECT * FROM t_ewma"
+                ).collect()  # update mode: dict keeps the LAST emission
+            }
+        finally:
+            q.stop()
+
+        ev = load_table(spark, sf_dir, "events").orderBy(
+            "ts", "event_id"
+        )
+        want: dict[int, tuple[int, int]] = {}
+        folds: dict[int, int] = {}
+        counts: dict[int, int] = {}
+        for r in ev.collect():
+            x = math.floor(r["value"] * 1_000_000)
+            if r["user_id"] in folds:
+                folds[r["user_id"]] = (
+                    x + (EWMA_ALPHA_DEN - 1) * folds[r["user_id"]]
+                ) // EWMA_ALPHA_DEN
+            else:
+                folds[r["user_id"]] = x
+            counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+        want = {u: (counts[u], folds[u]) for u in folds}
+        assert got == want and got
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
