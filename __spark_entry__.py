@@ -82,7 +82,7 @@ _CHEAP_FIRST = [
     "skyline_parts", "anomaly_daily_counts", "interval_islands",
     "vocab_fuzzy_pairs", "skipgram_pairs", "triangle_count",
     "hard_negative_mining", "rolling_active_users", "embedding_diversity",
-    "trimmed_robust_stats",
+    "trimmed_robust_stats", "user_behavior_similarity",
     "funnel_conversion", "scd2_status_history", "grouping_sets_customer",
     "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",

@@ -92,6 +92,7 @@ HEADLINE = [
     "rolling_active_users",
     "embedding_diversity",
     "trimmed_robust_stats",
+    "user_behavior_similarity",
 ]
 
 

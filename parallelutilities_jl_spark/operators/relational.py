@@ -2369,6 +2369,91 @@ FROM g GROUP BY user_id
 """
 
 
+BEHAV_TOP_N = 20  # most-similar (query, neighbor) rows reported
+BEHAV_N_QUERY = 10  # query cohort: user_id < this
+
+
+def q_user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity between users' daily-activity vectors —
+    the collaborative-filtering / behavioral-cohort shape (REPOSE, ICDE
+    2021 territory): each user is a sparse (day → event-count) vector;
+    a query cohort (user_id < {BEHAV_N_QUERY}) is matched against the
+    whole population via the INVERTED-INDEX join (pairs meet only on
+    days both were active — no dense vectors, no all-pairs). Top
+    {BEHAV_TOP_N} (query, neighbor) rows by cosine, exact integer dot
+    products, deterministic tiebreak.
+
+    Scale shape: one (user, day) count agg; the day-keyed join's
+    fan-out is Σ_day |Q ∩ day|·n_day — LINEAR in users because the
+    query side is a broadcast cohort (the all-pairs variant is
+    inherently quadratic on dense behavior and needs LSH bucketing —
+    same tradeoff as the ANN tiers, which is exactly the family this
+    follows). Norms ride a tiny per-user agg broadcast onto the pair
+    stream. The single cosine division is one correctly-rounded double
+    op (floor·10⁶ reported)."""
+    ev = load_table(spark, sf_dir, "events")
+    uv = ev.groupBy(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    norms = uv.groupBy("u").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a = uv.filter(F.col("u") < BEHAV_N_QUERY).select(
+        F.col("u").alias("ua"), "day", F.col("c").alias("ca")
+    )
+    b = uv.select(
+        F.col("u").alias("ub"), "day", F.col("c").alias("cb")
+    )
+    dots = (
+        F.broadcast(a)
+        .join(b, "day")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("u").alias("ua"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("u").alias("ub"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "ua")
+        .join(F.broadcast(nb), "ub")
+        .select(
+            "ua",
+            "ub",
+            F.floor(
+                F.col("dot")
+                * F.lit(1e6)
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .orderBy(F.col("cos_e6").desc(), "ua", "ub")
+        .limit(BEHAV_TOP_N)
+    )
+
+
+ORACLE_USER_BEHAVIOR_SIM = f"""
+WITH uv AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+norms AS (SELECT u, SUM(c * c) AS n2 FROM uv GROUP BY u),
+dots AS (
+  SELECT a.u AS ua, b.u AS ub, SUM(a.c * b.c) AS dot
+  FROM uv a JOIN uv b ON a.day = b.day AND a.u <> b.u
+  WHERE a.u < {BEHAV_N_QUERY}
+  GROUP BY 1, 2)
+SELECT ua, ub,
+       CAST(FLOOR(dot * 1e6 /
+             (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))))
+            AS BIGINT) AS cos_e6
+FROM dots JOIN norms na ON na.u = ua JOIN norms nb ON nb.u = ub
+ORDER BY cos_e6 DESC, ua, ub LIMIT {BEHAV_TOP_N}
+"""
+
+
 TRIM_PCT = 5  # symmetric trim fraction (percent) for robust stats
 
 
@@ -2572,6 +2657,7 @@ QUERIES = {
     "anomaly_daily_counts": q_anomaly_daily_counts,
     "rolling_active_users": q_rolling_active_users,
     "trimmed_robust_stats": q_trimmed_robust_stats,
+    "user_behavior_similarity": q_user_behavior_similarity,
     "table_column_stats": q_table_column_stats,
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
@@ -2634,6 +2720,7 @@ ORACLES = {
     "anomaly_daily_counts": ORACLE_ANOMALY_DAILY,
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "trimmed_robust_stats": ORACLE_TRIMMED_ROBUST,
+    "user_behavior_similarity": ORACLE_USER_BEHAVIOR_SIM,
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,

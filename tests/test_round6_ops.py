@@ -326,6 +326,47 @@ def test_trimmed_robust_stats_match_python_sort(spark):
     assert k > 0  # non-vacuous: the trim really removes rows
 
 
+def test_user_behavior_similarity_matches_python_sparse_cosine(spark):
+    import math
+
+    from parallelutilities_jl_spark.operators.relational import (
+        BEHAV_N_QUERY,
+        BEHAV_TOP_N,
+        q_user_behavior_similarity,
+    )
+
+    got = [
+        (r.ua, r.ub, r.cos_e6)
+        for r in q_user_behavior_similarity(spark, SF).collect()
+    ]
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, CAST(ts AS DATE), COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    vec: dict[int, dict] = {}
+    for u, d, c in rows:
+        vec.setdefault(u, {})[d] = int(c)
+    scored = []
+    for ua in sorted(vec):
+        if ua >= BEHAV_N_QUERY:
+            continue
+        va = vec[ua]
+        for ub, vb in vec.items():
+            if ub == ua:
+                continue
+            dot = sum(va[d] * vb[d] for d in va.keys() & vb.keys())
+            if dot == 0:
+                continue
+            na = math.sqrt(float(sum(x * x for x in va.values())))
+            nb = math.sqrt(float(sum(x * x for x in vb.values())))
+            scored.append(
+                (ua, ub, math.floor(dot * 1e6 / (na * nb)))
+            )
+    want = sorted(scored, key=lambda t: (-t[2], t[0], t[1]))[:BEHAV_TOP_N]
+    assert got == want and got
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):

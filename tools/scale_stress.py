@@ -49,6 +49,19 @@ QUERIES = (
     # at x10) must stay ~linear AND keep exact totals (the replication
     # check below asserts 10x rows => exactly 10x each sum)
     "q1_pricing_summary",
+    # round-6 second continuation: pair fan-out (skipgram), vocab-level
+    # join (should be near-FLAT — the vocab doesn't grow with shards),
+    # the join-free diversity identity, the wedge-join triangle census
+    # (edges ~ 3N), the bounded-histogram robust stats, and the two
+    # events-keyed window/fan-out ops (10x users at constant per-user
+    # history => ~linear)
+    "skipgram_pairs",
+    "vocab_fuzzy_pairs",
+    "embedding_diversity",
+    "triangle_count",
+    "trimmed_robust_stats",
+    "rolling_active_users",
+    "interval_islands",
 )
 
 
@@ -104,6 +117,26 @@ def build_stress_corpus() -> None:
         )
     pq.write_table(
         pa.concat_tables(lparts), os.path.join(STRESS, "lineitem.parquet")
+    )
+
+    # 10x events for the user-keyed window/fan-out ops: shift user_id and
+    # event_id per shard — 10x distinct users, each with the original
+    # per-user history, so per-user state stays constant while rows grow
+    ev = pq.read_table(os.path.join(SF1, "events.parquet"))
+    eparts = []
+    for s in range(SHARDS):
+        uids = pc.add(ev.column("user_id"), s * ID_STRIDE)
+        eids = pc.add(ev.column("event_id"), s * ID_STRIDE)
+        t = ev.set_column(
+            ev.schema.get_field_index("user_id"), "user_id", uids
+        )
+        eparts.append(
+            t.set_column(
+                t.schema.get_field_index("event_id"), "event_id", eids
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(eparts), os.path.join(STRESS, "events.parquet")
     )
 
 
