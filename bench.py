@@ -93,6 +93,7 @@ HEADLINE = [
     "embedding_diversity",
     "trimmed_robust_stats",
     "user_behavior_similarity",
+    "multimodal_shard_manifest",
 ]
 
 

@@ -417,6 +417,96 @@ FROM g GROUP BY modality
 """
 
 
+
+SHARD_BYTES = 16384  # target shard size (WebDataset-style tar shards)
+PREFIX_BUCKET = 64  # asset_id range per tier-1 prefix-sum bucket
+
+
+def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: assign every asset a byte offset
+    in deterministic asset_id order and cut shards every {SHARD_BYTES}
+    bytes (an item may straddle a cut, as tar writers that cap "bytes
+    before starting a new shard" do) — the packing manifest a
+    large-scale multimodal training loader is driven by.
+
+    Scale shape: the global running byte offset is a TWO-TIER
+    distributed prefix sum — tier 1 is a windowed cumulative sum WITHIN
+    each asset_id//{PREFIX_BUCKET} bucket (hash-partitioned, parallel),
+    tier 2 is a running total over the per-bucket byte sums (a frame
+    |ids|/{PREFIX_BUCKET} the size of the data, broadcast back) — so no
+    data-sized single-partition window anywhere. The manifest agg
+    reuses the shard_id key. Offsets are exact int64, so shard cuts are
+    engine-identical."""
+    from pyspark.sql.window import Window as W
+
+    assets = synthesize_assets(spark, sf_dir).select(
+        "asset_id",
+        "modality",
+        F.length("content").cast("long").alias("n_bytes"),
+    )
+    b = assets.withColumn(
+        "b", F.expr(f"asset_id div {PREFIX_BUCKET}")
+    )
+    w_in = (
+        W.partitionBy("b")
+        .orderBy("asset_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    intra = b.withColumn(
+        "cum_in",
+        F.coalesce(F.sum("n_bytes").over(w_in), F.lit(0).cast("long")),
+    )
+    btot = b.groupBy("b").agg(F.sum("n_bytes").alias("tot"))
+    w_b = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "off",
+        F.coalesce(F.sum("tot").over(w_b), F.lit(0).cast("long")),
+    ).select("b", "off")
+    placed = intra.join(F.broadcast(boff), "b").select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        (F.col("off") + F.col("cum_in")).alias("start_off"),
+    )
+    shards = placed.withColumn(
+        "shard_id", F.expr(f"start_off div {SHARD_BYTES}")
+    )
+    return shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("asset_id").alias("first_asset"),
+        F.max("asset_id").alias("last_asset"),
+        F.sum((F.col("modality") == "image").cast("long")).alias(
+            "n_image"
+        ),
+    )
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+placed AS (
+  SELECT asset_id, modality, n_bytes,
+         COALESCE(SUM(n_bytes) OVER (ORDER BY asset_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM a)
+SELECT CAST(start_off // {SHARD_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       MIN(asset_id) AS first_asset,
+       MAX(asset_id) AS last_asset,
+       CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_image
+FROM placed GROUP BY 1
+"""
+
+
 QUERIES = {
     "multimodal_arrow_hist": q_multimodal_arrow_hist,
     "multimodal_dedup_census": q_multimodal_dedup_census,
@@ -425,6 +515,8 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_shard_manifest": q_multimodal_shard_manifest,
 }
 
 ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
+ORACLES["multimodal_shard_manifest"] = ORACLE_SHARD_MANIFEST

@@ -367,6 +367,43 @@ def test_user_behavior_similarity_matches_python_sparse_cosine(spark):
     assert got == want and got
 
 
+def test_shard_manifest_matches_python_sequential_pack(spark):
+    from parallelutilities_jl_spark.operators.multimodal import (
+        SHARD_BYTES,
+        q_multimodal_shard_manifest,
+    )
+
+    got = {
+        r.shard_id: (
+            r.n_assets,
+            r.shard_bytes,
+            r.first_asset,
+            r.last_asset,
+            r.n_image,
+        )
+        for r in q_multimodal_shard_manifest(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, octet_length(encode(text)) "
+        f"FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    # definitional sequential packing (the two-tier prefix sum must
+    # reproduce exactly this single-threaded fold)
+    want: dict[int, list] = {}
+    off = 0
+    for doc_id, nb in rows:
+        sid = off // SHARD_BYTES
+        st = want.setdefault(sid, [0, 0, doc_id, doc_id, 0])
+        st[0] += 1
+        st[1] += nb
+        st[3] = doc_id
+        st[4] += 1 if doc_id % 3 == 0 else 0
+        off += nb
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert len(got) > 2  # the cap really cuts multiple shards
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
