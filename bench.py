@@ -94,6 +94,7 @@ HEADLINE = [
     "trimmed_robust_stats",
     "user_behavior_similarity",
     "multimodal_shard_manifest",
+    "fk_orphan_census",
 ]
 
 

@@ -2369,6 +2369,123 @@ FROM g GROUP BY user_id
 """
 
 
+def q_fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the constraint check a lakehouse
+    runs because parquet has no foreign keys: for each FK edge of the
+    star schema, the row count, distinct-key count, and ORPHAN count
+    (non-null children whose parent key is absent — null keys are a
+    different defect, counted by table_column_stats-style checks). One
+    tiny row per edge; a nonzero orphan count is the data-quality
+    alarm.
+
+    Scale shape: every child table is scanned ONCE — all its FK edges
+    ride the same pass as left joins against distinct parent-key
+    frames (dimension parents broadcast; the lineitem→orders edge
+    shuffles on the join key like every fact-fact join), then a single
+    aggregate emits all of that child's edge counts, fanned out to
+    per-edge rows from the 1-row result. Orphans are COUNTED, never
+    materialized."""
+
+    def keys_of(parent: DataFrame, pkey: str, alias: str) -> DataFrame:
+        return (
+            parent.select(F.col(pkey).alias(alias))
+            .distinct()
+            .withColumn(f"hit_{alias}", F.lit(1))
+        )
+
+    def orphan_sum(ckey: str) -> F.Column:
+        return F.sum(
+            F.when(
+                F.col(f"hit_{ckey}").isNull()
+                & F.col(ckey).isNotNull(),
+                1,
+            ).otherwise(0)
+        ).cast("long")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    li_agg = (
+        li.select("l_orderkey", "l_partkey")
+        .join(keys_of(orders, "o_orderkey", "l_orderkey"), "l_orderkey", "left")
+        .join(
+            F.broadcast(keys_of(part, "p_partkey", "l_partkey")),
+            "l_partkey",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("k_order"),
+            F.countDistinct("l_partkey").alias("k_part"),
+            orphan_sum("l_orderkey").alias("o_order"),
+            orphan_sum("l_partkey").alias("o_part"),
+        )
+    )
+
+    def one_edge(
+        name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str
+    ) -> DataFrame:
+        return (
+            child.select(ckey)
+            .join(F.broadcast(keys_of(parent, pkey, ckey)), ckey, "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(ckey).alias("n_keys"),
+                orphan_sum(ckey).alias("n_orphans"),
+            )
+        )
+
+    out = li_agg.select(
+        F.lit("lineitem.orderkey->orders").alias("fk_edge"),
+        "n_rows",
+        F.col("k_order").alias("n_keys"),
+        F.col("o_order").alias("n_orphans"),
+    ).unionAll(
+        li_agg.select(
+            F.lit("lineitem.partkey->part").alias("fk_edge"),
+            "n_rows",
+            F.col("k_part").alias("n_keys"),
+            F.col("o_part").alias("n_orphans"),
+        )
+    )
+    for e in (
+        one_edge("orders.custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        one_edge("customer.nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        one_edge("supplier.nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+    ):
+        out = out.unionAll(e)
+    return out
+
+
+def _oracle_fk_census() -> str:
+    edges = [
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    selects = [
+        f"""SELECT '{name}' AS fk_edge,
+       (SELECT COUNT(*) FROM {c}) AS n_rows,
+       CAST((SELECT COUNT(DISTINCT {ck}) FROM {c}) AS BIGINT) AS n_keys,
+       (SELECT COUNT(*) FROM {c}
+        WHERE {ck} IS NOT NULL
+          AND {ck} NOT IN (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL))
+         AS n_orphans"""
+        for name, c, ck, p, pk in edges
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLE_FK_ORPHAN_CENSUS = _oracle_fk_census()
+
+
 BEHAV_TOP_N = 20  # most-similar (query, neighbor) rows reported
 BEHAV_N_QUERY = 10  # query cohort: user_id < this
 
@@ -2658,6 +2775,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "trimmed_robust_stats": q_trimmed_robust_stats,
     "user_behavior_similarity": q_user_behavior_similarity,
+    "fk_orphan_census": q_fk_orphan_census,
     "table_column_stats": q_table_column_stats,
     "retention_cohorts": q_retention_cohorts,
     "funnel_conversion": q_funnel_conversion,
@@ -2721,6 +2839,7 @@ ORACLES = {
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "trimmed_robust_stats": ORACLE_TRIMMED_ROBUST,
     "user_behavior_similarity": ORACLE_USER_BEHAVIOR_SIM,
+    "fk_orphan_census": ORACLE_FK_ORPHAN_CENSUS,
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,
     "table_column_stats": ORACLE_TABLE_COLUMN_STATS,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,

@@ -150,3 +150,73 @@ def test_skyline_on_synthetic_shapes(spark, label, pts):
         assert want  # non-vacuous
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_fk_orphan_census_counts_deliberate_violations(spark):
+    """The fixture schema has referential integrity, so every fixture
+    n_orphans is 0 — this synthetic star schema has DELIBERATE orphans
+    and null keys on every edge, pinning the count logic (orphan =
+    non-null child key with no parent; nulls excluded)."""
+    from parallelutilities_jl_spark.operators.relational import (
+        q_fk_orphan_census,
+    )
+
+    stage = tempfile.mkdtemp(prefix="pu_prop_fk_")
+    try:
+        def w(name, cols):
+            pq.write_table(
+                pa.table(cols), os.path.join(stage, f"{name}.parquet")
+            )
+
+        w("nation", {"n_nationkey": pa.array([0, 1], pa.int64())})
+        w(
+            "customer",
+            {
+                "c_custkey": pa.array([10, 11, 12, 13], pa.int64()),
+                "c_nationkey": pa.array([0, 1, 7, None], pa.int64()),
+            },
+        )
+        w(
+            "supplier",
+            {
+                "s_suppkey": pa.array([20, 21], pa.int64()),
+                "s_nationkey": pa.array([0, 9], pa.int64()),
+            },
+        )
+        w("part", {"p_partkey": pa.array([100, 101], pa.int64())})
+        w(
+            "orders",
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([10, 11, 99, None, 12], pa.int64()),
+            },
+        )
+        w(
+            "lineitem",
+            {
+                "l_orderkey": pa.array(
+                    [1, 1, 2, 77, None, 5], pa.int64()
+                ),
+                "l_partkey": pa.array(
+                    [100, 555, 101, 100, 101, None], pa.int64()
+                ),
+            },
+        )
+        got = {
+            r.fk_edge: (r.n_rows, r.n_keys, r.n_orphans)
+            for r in q_fk_orphan_census(spark, stage).collect()
+        }
+        assert got == {
+            # 6 rows; distinct non-null orderkeys {1,2,77,5}; orphan: 77
+            "lineitem.orderkey->orders": (6, 4, 1),
+            # distinct non-null partkeys {100,555,101}; orphan: 555
+            "lineitem.partkey->part": (6, 3, 1),
+            # custkeys {10,11,99,12}; orphan: 99
+            "orders.custkey->customer": (5, 4, 1),
+            # nationkeys {0,1,7}; orphan: 7
+            "customer.nationkey->nation": (4, 3, 1),
+            # nationkeys {0,9}; orphan: 9
+            "supplier.nationkey->nation": (2, 2, 1),
+        }
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
