@@ -95,6 +95,7 @@ HEADLINE = [
     "user_behavior_similarity",
     "multimodal_shard_manifest",
     "fk_orphan_census",
+    "dedup_eval_confusion",
 ]
 
 

@@ -358,6 +358,136 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVAL_NUM, _EVAL_DEN = 3, 10  # threshold 3/10 == JACCARD_THRESHOLD, exact
+
+
+def q_dedup_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning confusion matrix for the MinHash tier: on the
+    LSH candidate set, compare the SIGNATURE-estimated Jaccard
+    (matching minhash components / {N_HASHES}) against the EXACT
+    shingle Jaccard at the same {_EVAL_NUM}/{_EVAL_DEN} threshold —
+    the precision/recall table a pipeline reads before trusting
+    signature-only dedup at scale (where exact verification of every
+    candidate is the expensive step being traded away). Both
+    predicates are exact integer cross-multiplications (matches·den ≥
+    num·{N_HASHES}; ni·den ≥ num·(na+nb−ni)), so both engines classify
+    identically — no float thresholding anywhere.
+
+    Scale shape: the same two exchanges as `minhash_near_dup` (LSH
+    bucket join, candidate verify join) plus a 1-row agg; recall here
+    is WITHIN-candidate recall (pairs LSH never surfaces are unseen by
+    construction — that generator-recall tradeoff is the banding
+    parameter, measured separately by `ngram_jaccard_pairs`)."""
+    per_doc = minhash_per_doc(spark, sf_dir).localCheckpoint(eager=False)
+    cands = candidate_pairs(lsh_bands(per_doc))
+    aa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+        *[F.col(f"h{i}").alias(f"ah{i}") for i in range(N_HASHES)],
+    )
+    bb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"ah{i}") == F.col(f"bh{i}")).cast("long")
+        for i in range(N_HASHES)
+    )
+    ni = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    j = (
+        cands.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            matches.alias("m"),
+            ni.alias("ni"),
+            (F.col("na") + F.col("nb") - ni).alias("un"),
+        )
+        .select(
+            (F.col("m") * _EVAL_DEN >= _EVAL_NUM * N_HASHES).alias("pred"),
+            (F.col("ni") * _EVAL_DEN >= _EVAL_NUM * F.col("un")).alias(
+                "truth"
+            ),
+        )
+    )
+
+    def cnt(p: bool, t: bool) -> F.Column:
+        return F.sum(
+            ((F.col("pred") == p) & (F.col("truth") == t)).cast("long")
+        )
+
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        cnt(True, True).alias("tp"),
+        cnt(True, False).alias("fp"),
+        cnt(False, True).alias("fn"),
+        cnt(False, False).alias("tn"),
+    )
+    return agg.select(
+        "n_candidates",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 1000000 div (tp + fp)"),
+        ).alias("precision_e6"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 1000000 div (tp + fn)"),
+        ).alias("recall_e6"),
+    )
+
+
+def _oracle_eval_confusion() -> str:
+    m_terms = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return (
+        f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
+        f"bok AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING COUNT(*) <= {MAX_LSH_BUCKET}), "
+        "bandsf AS (SELECT bands.* FROM bands JOIN bok USING (band, key)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bandsf a JOIN bandsf b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id), "
+        f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT doc_a, doc_b, COUNT(*) AS ni
+          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+          GROUP BY doc_a, doc_b),
+cls AS (
+  SELECT ({m_terms}) * {_EVAL_DEN} >= {_EVAL_NUM * N_HASHES} AS pred,
+         COALESCE(ni, 0) * {_EVAL_DEN}
+           >= {_EVAL_NUM} * (x.n + y.n - COALESCE(ni, 0)) AS truth
+  FROM cand
+  JOIN sig a ON a.doc_id = doc_a
+  JOIN sig b ON b.doc_id = doc_b
+  JOIN sizes x ON x.doc_id = doc_a
+  JOIN sizes y ON y.doc_id = doc_b
+  LEFT JOIN inter USING (doc_a, doc_b)),
+agg AS (
+  SELECT COUNT(*) AS n_candidates,
+         CAST(SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM cls)
+SELECT n_candidates, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_e6,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_e6
+FROM agg
+"""
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
@@ -1264,6 +1394,7 @@ QUERIES = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "link_graph_pagerank": q_link_graph_pagerank,
     "triangle_count": q_triangle_count,
+    "dedup_eval_confusion": q_dedup_eval_confusion,
     "containment_dups": q_containment_dups,
     "incremental_dedup": q_incremental_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1279,6 +1410,7 @@ ORACLES = _oracles()
 ORACLES["dedup_components"] = _oracle_components()
 ORACLES["link_graph_pagerank"] = _oracle_pagerank()
 ORACLES["triangle_count"] = _oracle_triangles()
+ORACLES["dedup_eval_confusion"] = _oracle_eval_confusion()
 ORACLES["dedup_rate_by_source"] = _oracle_dedup_rate_by_source()
 ORACLES["quality_canonical_dedup"] = _oracle_quality_canonical()
 ORACLES["containment_dups"] = (

@@ -404,6 +404,95 @@ def test_shard_manifest_matches_python_sequential_pack(spark):
     assert len(got) > 2  # the cap really cuts multiple shards
 
 
+def test_dedup_eval_confusion_matches_python_classifier(spark):
+    """Re-derive the confusion matrix from the raw signatures and
+    shingle sets computed in pure Python (md5 only, no Spark logic)."""
+    import hashlib
+    import re as _re
+
+    from parallelutilities_jl_spark.functions import texthash as TH
+    from parallelutilities_jl_spark.operators.dedup import (
+        _EVAL_DEN,
+        _EVAL_NUM,
+        BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+        q_dedup_eval_confusion,
+    )
+
+    row = q_dedup_eval_confusion(spark, SF).collect()[0]
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", (t or "").lower().strip())
+
+    def md5_int60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    shs = {}
+    sig = {}
+    for doc_id, t in texts:
+        ws = norm(t).split(" ")
+        if len(ws) < SHINGLE_K:
+            continue
+        ss = {
+            " ".join(ws[i : i + SHINGLE_K])
+            for i in range(len(ws) - SHINGLE_K + 1)
+        }
+        shs[doc_id] = ss
+        hs = [md5_int60(x) for x in ss]
+        sig[doc_id] = [
+            min(h ^ TH.MINHASH_XOR_SALTS[i] for h in hs)
+            for i in range(N_HASHES)
+        ]
+    # LSH candidates (band key = md5 of joined band rows)
+    buckets: dict = {}
+    for d, sg in sig.items():
+        for b in range(BANDS):
+            key = hashlib.md5(
+                "|".join(
+                    str(sg[b * ROWS_PER_BAND + r])
+                    for r in range(ROWS_PER_BAND)
+                ).encode()
+            ).hexdigest()
+            buckets.setdefault((b, key), []).append(d)
+    cands = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cands.add((ds[i], ds[j]))
+    tp = fp = fn = tn = 0
+    for a, b in cands:
+        m = sum(1 for i in range(N_HASHES) if sig[a][i] == sig[b][i])
+        ni = len(shs[a] & shs[b])
+        un = len(shs[a]) + len(shs[b]) - ni
+        pred = m * _EVAL_DEN >= _EVAL_NUM * N_HASHES
+        truth = ni * _EVAL_DEN >= _EVAL_NUM * un
+        tp += pred and truth
+        fp += pred and not truth
+        fn += (not pred) and truth
+        tn += (not pred) and (not truth)
+    assert (row.n_candidates, row.tp, row.fp, row.fn, row.tn) == (
+        len(cands),
+        tp,
+        fp,
+        fn,
+        tn,
+    )
+    assert row.n_candidates > 0 and (tp + fn) > 0  # non-vacuous
+    assert row.precision_e6 == (
+        tp * 10**6 // (tp + fp) if tp + fp else None
+    )
+    assert row.recall_e6 == (
+        tp * 10**6 // (tp + fn) if tp + fn else None
+    )
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
