@@ -96,6 +96,8 @@ HEADLINE = [
     "multimodal_shard_manifest",
     "fk_orphan_census",
     "dedup_eval_confusion",
+    "padding_waste_buckets",
+    "oov_rate_by_source",
 ]
 
 

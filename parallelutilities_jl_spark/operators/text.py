@@ -664,6 +664,133 @@ FROM b CROSS JOIN a
 """
 
 
+PAD_BUCKET_MAX_EXP = 12  # length buckets: powers of two up to 2^12
+
+
+def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency — the padding-waste table
+    behind dynamic batching: documents grouped into power-of-two token
+    buckets (every doc in a batch pads to the bucket ceiling), emitting
+    per-bucket doc counts, real tokens, padded tokens, and exact waste
+    rate floor((padded−real)·10⁶/padded). The number that says whether
+    a pipeline should bucket-batch or sort-batch.
+
+    Scale shape: one narrow token-count map (whitespace tokens, the
+    same normalization the packing ops use) + one map-side-combinable
+    groupBy over ≤{PAD_BUCKET_MAX_EXP}+1 buckets. Bucket ceiling is
+    2^ceil(log2 n) computed with integer comparisons (no float log —
+    engine-exact everywhere)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    n_tok = F.size(TH.words(F.col("text"))).cast("long")
+    # smallest power of two >= n (n >= 1 always: words('') == [''])
+    ceilings = [2**e for e in range(PAD_BUCKET_MAX_EXP + 1)]
+    bucket = F.lit(2**PAD_BUCKET_MAX_EXP).cast("long")
+    for c in reversed(ceilings):
+        bucket = F.when(F.col("n") <= c, F.lit(c).cast("long")).otherwise(
+            bucket
+        )
+    per = docs.select(n_tok.alias("n")).select(
+        "n", bucket.alias("bucket")
+    )
+    agg = per.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("real_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "real_tokens",
+        padded.alias("padded_tokens"),
+        F.expr(
+            "(n_docs * bucket - real_tokens) * 1000000"
+            " div (n_docs * bucket)"
+        ).alias("waste_e6"),
+    )
+
+
+def _oracle_padding_waste() -> str:
+    ws = TH.dd_words("text")
+    cases = " ".join(
+        f"WHEN n <= {2**e} THEN {2**e}"
+        for e in range(PAD_BUCKET_MAX_EXP + 1)
+    )
+    return f"""
+WITH t AS (SELECT CAST(len({ws}) AS BIGINT) AS n FROM documents),
+b AS (SELECT n, CAST(CASE {cases} ELSE {2**PAD_BUCKET_MAX_EXP} END
+                AS BIGINT) AS bucket FROM t),
+agg AS (SELECT bucket, COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS real_tokens
+        FROM b GROUP BY bucket)
+SELECT bucket, n_docs, real_tokens,
+       n_docs * bucket AS padded_tokens,
+       CAST((n_docs * bucket - real_tokens) * 1000000
+            // (n_docs * bucket) AS BIGINT) AS waste_e6
+FROM agg
+"""
+
+
+OOV_VOCAB_K = 20  # "tokenizer vocabulary" = top-K corpus tokens
+
+
+def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a fixed top-{OOV_VOCAB_K}
+    corpus vocabulary — the dataset-card number that says which
+    subcorpus a tokenizer trained on the head of the distribution will
+    fragment worst. Vocabulary selection is deterministic (count desc,
+    token asc), OOV is an exact integer count, rate is
+    floor(oov·10⁶/total).
+
+    Scale shape: one token-count shuffle builds the vocab (top-K via
+    TakeOrdered, no global sort), broadcast back as a membership array
+    literal-free join; the per-source tally is one map-side-combinable
+    groupBy over the token stream."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(TH.words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    tallied = tok.join(F.broadcast(vocab), "w", "left")
+    return (
+        tallied.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_rate_e6"),
+        )
+    )
+
+
+def _oracle_oov_rate() -> str:
+    raw_ws = TH.dd_words("text")
+    return f"""
+WITH tok AS (SELECT source, UNNEST({raw_ws}) AS w FROM documents),
+tf AS (SELECT source, w FROM tok WHERE w <> ''),
+vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tf GROUP BY w
+                         ORDER BY c DESC, w LIMIT {OOV_VOCAB_K})),
+t AS (SELECT source,
+             CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END AS oov
+      FROM tf)
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_rate_e6
+FROM t GROUP BY source
+"""
+
+
 SKIPGRAM_W = 3  # co-occurrence window (word2vec-style context radius)
 SKIPGRAM_TOP_N = 20
 
@@ -938,6 +1065,8 @@ QUERIES = {
     "lang_mix_entropy": q_lang_mix_entropy,
     "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
     "skipgram_pairs": q_skipgram_pairs,
+    "padding_waste_buckets": q_padding_waste_buckets,
+    "oov_rate_by_source": q_oov_rate_by_source,
 }
 
 ORACLES = _oracles()
@@ -946,3 +1075,5 @@ ORACLES["bpe_apply_fertility"] = _oracle_bpe_fertility()
 ORACLES["lang_mix_entropy"] = ORACLE_LANG_MIX_ENTROPY
 ORACLES["vocab_fuzzy_pairs"] = _oracle_vocab_fuzzy()
 ORACLES["skipgram_pairs"] = _oracle_skipgrams()
+ORACLES["padding_waste_buckets"] = _oracle_padding_waste()
+ORACLES["oov_rate_by_source"] = _oracle_oov_rate()
