@@ -84,7 +84,7 @@ _CHEAP_FIRST = [
     "hard_negative_mining", "rolling_active_users", "embedding_diversity",
     "trimmed_robust_stats", "user_behavior_similarity",
     "multimodal_shard_manifest", "fk_orphan_census", "dedup_eval_confusion",
-    "padding_waste_buckets", "oov_rate_by_source",
+    "padding_waste_buckets", "oov_rate_by_source", "median_mad_stats",
     "funnel_conversion", "scd2_status_history", "grouping_sets_customer",
     "q19_bracketed_revenue",
     "dict_merge_ordered", "pivot_status", "window_lag_lead",

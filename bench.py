@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_eval_confusion",
     "padding_waste_buckets",
     "oov_rate_by_source",
+    "median_mad_stats",
 ]
 
 

@@ -2661,6 +2661,78 @@ FROM agg
 """
 
 
+def q_median_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and MAD (median absolute deviation — THE robust
+    scale estimator) of lineitem quantity, without a global sort and
+    without two data scans: the bounded-integer value histogram is
+    computed once (the only data-sized operation), the median is read
+    off its cumulative ranks, the |v − median| DEVIATION histogram is
+    derived from the 50-row value histogram itself (never from the
+    data), and the MAD is read off the deviation histogram's ranks.
+    Lower-median convention at even counts (rank ⌈n/2⌉ — integer,
+    engine-exact; the interpolated variant needs one more histogram
+    lookup, same shape).
+
+    Pairs with `trimmed_robust_stats`: together they are the
+    outlier-resistant location/scale panel a data-quality monitor
+    tracks instead of mean/stddev."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .select(F.col("l_quantity").cast("long").alias("v"))
+    )
+    hist = li.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.agg(F.expr("(sum(c) + 1) div 2").alias("mrank"),
+                   F.sum("c").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("mrank"))
+        .agg(F.min("v").alias("median"), F.first("n").alias("n"))
+    )
+    dev = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("v") - F.col("median")).alias("d"))
+        .agg(F.sum("c").alias("c"))
+    )
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    dcum = dev.withColumn("cum", F.sum("c").over(wd))
+    return (
+        dcum.crossJoin(F.broadcast(med))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("median").alias("median"),
+            F.min("d").alias("mad"),
+        )
+    )
+
+
+ORACLE_MEDIAN_MAD = """
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+tot AS (SELECT (SUM(c) + 1) // 2 AS mrank, SUM(c) AS n FROM hist),
+med AS (SELECT MIN(v) AS median, ANY_VALUE(n) AS n
+        FROM cum CROSS JOIN tot WHERE cum >= mrank),
+dev AS (SELECT ABS(v - median) AS d, SUM(c) AS c
+        FROM hist CROSS JOIN med GROUP BY 1),
+dcum AS (
+  SELECT d, SUM(c) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dev)
+SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+       ANY_VALUE(median) AS median,
+       MIN(d) AS mad
+FROM dcum CROSS JOIN med WHERE cum >= (n + 1) // 2
+"""
+
+
 ROLLING_WINDOW_DAYS = 7  # trailing window for the active-user series
 
 
@@ -2774,6 +2846,7 @@ QUERIES = {
     "anomaly_daily_counts": q_anomaly_daily_counts,
     "rolling_active_users": q_rolling_active_users,
     "trimmed_robust_stats": q_trimmed_robust_stats,
+    "median_mad_stats": q_median_mad_stats,
     "user_behavior_similarity": q_user_behavior_similarity,
     "fk_orphan_census": q_fk_orphan_census,
     "table_column_stats": q_table_column_stats,
@@ -2838,6 +2911,7 @@ ORACLES = {
     "anomaly_daily_counts": ORACLE_ANOMALY_DAILY,
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "trimmed_robust_stats": ORACLE_TRIMMED_ROBUST,
+    "median_mad_stats": ORACLE_MEDIAN_MAD,
     "user_behavior_similarity": ORACLE_USER_BEHAVIOR_SIM,
     "fk_orphan_census": ORACLE_FK_ORPHAN_CENSUS,
     "incremental_agg_merge": ORACLE_INCR_AGG_MERGE,

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "rolling_active_users",  # 1-row max-day clip frame broadcast
     "embedding_diversity",  # 1-row ‖Σv‖² frame crossed with 1-row (n,B)
     "trimmed_robust_stats",  # 1-row (n,k) totals crossed onto the histogram
+    "median_mad_stats",  # 1-row rank/median frames crossed onto histograms
     "ann_cosine_topk",
     "hard_negative_mining",  # same broadcast-query-side shape as ann_cosine
     "ann_int8_topk",

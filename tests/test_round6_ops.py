@@ -493,6 +493,28 @@ def test_dedup_eval_confusion_matches_python_classifier(spark):
     )
 
 
+def test_median_mad_match_python_sort(spark):
+    from parallelutilities_jl_spark.operators.relational import (
+        q_median_mad_stats,
+    )
+
+    row = q_median_mad_stats(spark, SF).collect()[0]
+    con = duckdb.connect()
+    vals = sorted(
+        int(v)
+        for (v,) in con.sql(
+            f"SELECT l_quantity FROM '{SF}/lineitem.parquet' "
+            "WHERE l_quantity IS NOT NULL"
+        ).fetchall()
+    )
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1]  # lower median, 1-indexed rank (n+1)//2
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(n + 1) // 2 - 1]
+    assert (row.n, row.median, row.mad) == (n, med, mad)
+    assert mad > 0  # non-vacuous spread on the fixture
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
