@@ -874,6 +874,112 @@ GROUP BY source
 """
 
 
+BOILER_NAV = "<nav>home | about | login</nav> "
+BOILER_FOOT = " <footer>copyright 2024 example corp</footer>"
+_TAG_RE = r"</?[a-z]+>"
+
+
+def _boiler_augmented_text() -> Column:
+    """Deterministic synthetic HTML wrappers (the fixture corpus is
+    plain text, so the scrub seeds its own boilerplate, like the PII
+    op): doc_id ≡ 0 (mod 4) gets nav + footer chrome, ≡ 1 gets a bare
+    <div> wrapper, the rest stay clean. Identical construction in both
+    engines — the extraction math is oracle-checked and non-vacuous."""
+    did = F.col("doc_id")
+    return (
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(BOILER_NAV), F.col("text"), F.lit(BOILER_FOOT)),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("<div>"), F.col("text"), F.lit("</div>")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+def q_boilerplate_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-boilerplate removal pass (the main-content extraction step
+    every web corpus runs before quality scoring): strip nav/footer
+    blocks wholesale, then residual markup tags, and report per source
+    how many documents carried chrome, how many tags were removed, the
+    characters dropped, and the retained fraction (exact integer ratio
+    of totals). Regexes stay in the Java-regex ∩ RE2 dialect subset,
+    same policy as the PII scrub.
+
+    Scale shape: pure narrow map (regexp_count / regexp_replace are
+    JVM codegen expressions — no UDF, no shuffle) + one tiny per-source
+    agg. The cleaned text would be written back through a partitioned
+    sink at 100 TB; this frame is the run report."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", "source", _boiler_augmented_text().alias("t")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), r"<nav>[^<]*</nav>", ""),
+            r"<footer>[^<]*</footer>",
+            "",
+        ),
+        _TAG_RE,
+        "",
+    )
+    per_doc = aug.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(_TAG_RE)).cast("long").alias(
+            "n_tags"
+        ),
+        F.length("t").cast("long").alias("len_aug"),
+        F.length(clean).cast("long").alias("len_clean"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_tags") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_chrome"),
+        F.sum("n_tags").cast("long").alias("n_tags_removed"),
+        F.sum(F.col("len_aug") - F.col("len_clean"))
+        .cast("long")
+        .alias("chars_removed"),
+        F.expr(
+            "sum(len_clean) * 1000000 div sum(len_aug)"
+        ).alias("kept_frac_e6"),
+    )
+
+
+ORACLE_BOILERPLATE_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             '{BOILER_NAV}' || text || '{BOILER_FOOT}'
+           WHEN doc_id % 4 = 1 THEN '<div>' || text || '</div>'
+           ELSE text
+         END AS t
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(t, '{_TAG_RE}')) AS BIGINT) AS n_tags,
+         CAST(length(t) AS BIGINT) AS len_aug,
+         CAST(length(
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '<nav>[^<]*</nav>', '', 'g'),
+             '<footer>[^<]*</footer>', '', 'g'),
+             '{_TAG_RE}', '', 'g')) AS BIGINT) AS len_clean
+  FROM aug
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tags > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_chrome,
+       CAST(SUM(n_tags) AS BIGINT) AS n_tags_removed,
+       CAST(SUM(len_aug - len_clean) AS BIGINT) AS chars_removed,
+       CAST(SUM(len_clean) * 1000000 // SUM(len_aug) AS BIGINT)
+         AS kept_frac_e6
+FROM per_doc GROUP BY source
+"""
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: hash the near-dup COMPONENT
     representative instead of the raw doc_id, so every member of a
@@ -1074,6 +1180,7 @@ GROUP BY 1
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "pii_scrub_stats": q_pii_scrub_stats,
+    "boilerplate_scrub_stats": q_boilerplate_scrub_stats,
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
@@ -1093,6 +1200,7 @@ ORACLES = {
     "leakage_safe_split": _oracle_leakage_safe_split(),
     "doc_chunk_windows": ORACLE_DOC_CHUNKS,
     "pii_scrub_stats": ORACLE_PII_SCRUB,
+    "boilerplate_scrub_stats": ORACLE_BOILERPLATE_SCRUB,
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
