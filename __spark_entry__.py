@@ -55,6 +55,14 @@ def _registries():
         mods.append((getattr(sw, "QUERIES", {}), getattr(sw, "ORACLES", {})))
     except ImportError:
         pass
+    try:
+        from parallelutilities_jl_spark.streaming import stateful as sst
+
+        mods.append(
+            (getattr(sst, "QUERIES", {}), getattr(sst, "ORACLES", {}))
+        )
+    except ImportError:
+        pass
     return mods
 
 
@@ -136,7 +144,9 @@ _CHEAP_FIRST = [
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
     "leakage_safe_split", "dedup_rate_by_source",
     "diversified_topk", "training_order_packing", "ann_pq_topk",
-    "ann_pq_rerank_topk", "semantic_dedup",
+    "ann_pq_rerank_topk", "semantic_dedup", "boilerplate_scrub_stats",
+    "stateful_topk", "stateful_ewma", "stateful_running_count",
+    "stateful_running_sum",
 ]
 
 

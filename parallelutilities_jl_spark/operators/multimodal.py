@@ -432,10 +432,12 @@ def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the global running byte offset is a TWO-TIER
     distributed prefix sum — tier 1 is a windowed cumulative sum WITHIN
     each asset_id//{PREFIX_BUCKET} bucket (hash-partitioned, parallel),
-    tier 2 is a running total over the per-bucket byte sums (a frame
-    |ids|/{PREFIX_BUCKET} the size of the data, broadcast back) — so no
-    data-sized single-partition window anywhere. The manifest agg
-    reuses the shard_id key. Offsets are exact int64, so shard cuts are
+    tier 2 is a running total over the per-bucket byte sums. Tier 2 is
+    still a single-partition window, but over |ids|/{PREFIX_BUCKET}
+    rows — a {PREFIX_BUCKET}× constant-factor reduction, not an
+    asymptotic one; at cluster scale, size PREFIX_BUCKET ≈ √n (or add
+    a third tier) so every window stays O(√n). The manifest agg reuses
+    the shard_id key. Offsets are exact int64, so shard cuts are
     engine-identical."""
     from pyspark.sql.window import Window as W
 

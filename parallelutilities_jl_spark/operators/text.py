@@ -679,7 +679,12 @@ def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     same normalization the packing ops use) + one map-side-combinable
     groupBy over ≤{PAD_BUCKET_MAX_EXP}+1 buckets. Bucket ceiling is
     2^ceil(log2 n) computed with integer comparisons (no float log —
-    engine-exact everywhere)."""
+    engine-exact everywhere). Docs longer than the 2^{PAD_BUCKET_MAX_EXP}
+    top bucket count their tokens CLAMPED to the bucket ceiling (the
+    chunking a packing pipeline applies), so waste_e6 is provably
+    non-negative — this keeps Spark `div` (truncate) and DuckDB `//`
+    (floor) identical on every reachable input, not just current
+    fixtures (round-6 advice)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     n_tok = F.size(TH.words(F.col("text"))).cast("long")
     # smallest power of two >= n (n >= 1 always: words('') == [''])
@@ -694,7 +699,10 @@ def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = per.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n").alias("real_tokens"),
+        # clamp to the top-bucket ceiling: padded >= real by construction
+        F.sum(
+            F.least(F.col("n"), F.lit(2**PAD_BUCKET_MAX_EXP).cast("long"))
+        ).alias("real_tokens"),
     )
     padded = F.col("n_docs") * F.col("bucket")
     return agg.select(
@@ -720,7 +728,8 @@ WITH t AS (SELECT CAST(len({ws}) AS BIGINT) AS n FROM documents),
 b AS (SELECT n, CAST(CASE {cases} ELSE {2**PAD_BUCKET_MAX_EXP} END
                 AS BIGINT) AS bucket FROM t),
 agg AS (SELECT bucket, COUNT(*) AS n_docs,
-               CAST(SUM(n) AS BIGINT) AS real_tokens
+               CAST(SUM(LEAST(n, {2**PAD_BUCKET_MAX_EXP})) AS BIGINT)
+                   AS real_tokens
         FROM b GROUP BY bucket)
 SELECT bucket, n_docs, real_tokens,
        n_docs * bucket AS padded_tokens,

@@ -15,7 +15,10 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
 
 
 def running_count_per_key(grouped_stream, key_col: str = "user_id") -> DataFrame:
@@ -137,6 +140,14 @@ def running_ewma_per_key(
     arithmetic: the result is a pure function of the per-key event
     sequence, independent of where trigger boundaries fall.
 
+    Division semantics: the fold uses FLOOR division (Python ``//``,
+    rounding toward −inf), matching DuckDB's ``//``; SQL ``div``
+    truncates toward zero instead, which diverges for negative
+    accumulators. The operator therefore requires a NON-NEGATIVE value
+    domain (where floor == truncate — every engine agrees); the batch
+    parity query ``stateful_ewma`` (below) and its oracle both rely on
+    this and document it.
+
     State per key is O(1) forever: the current accumulator + count.
     Rows are folded in (ts, event_id) order WITHIN each trigger;
     cross-trigger order is arrival order, so the operator assumes an
@@ -179,3 +190,162 @@ def running_ewma_per_key(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked batch-parity queries for the stateful tier
+#
+# Each applyInPandasWithState operator above has a deterministic batch
+# equivalent (reference analog: the ordered per-rank fold semantics,
+# src/mapreduce.jl:138-146, extended to unbounded per-key streams).
+# Registering those batch sides as qnames gives the driver CORRECTNESS
+# visibility into the stateful tier; the streaming⇄batch equivalence is
+# pinned by tests/test_streaming_incremental.py (same in-order stream fed
+# in 1 vs N micro-batches ≡ these batch plans).
+# ---------------------------------------------------------------------------
+
+
+def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity of `running_count_per_key` in per-event form: the
+    cumulative count each event would see if it arrived in its own
+    trigger. Per-key ordered window — partitioned by key, never a global
+    sort, so it scales with the key cardinality × per-key history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+
+def q_stateful_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity of `running_sum_per_key`, e2-fixed-point so the
+    cumulative sum is exact integer arithmetic (no float accumulation
+    order sensitivity between engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v_e2 = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(v_e2).over(w).alias("total_e2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+
+STATEFUL_TOPK_K = 3
+
+
+def q_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity of `running_topk_per_key`: the final per-key
+    leaderboard (value desc, event_id asc tiebreak — the same
+    deterministic order the stateful operator maintains in its O(k)
+    state). row_number cast to BIGINT for engine type parity."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= STATEFUL_TOPK_K)
+        .select("user_id", "rnk", "event_id", "value")
+    )
+
+
+def q_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity of `running_ewma_per_key`: the final per-key
+    accumulator of the integer fixed-point fold
+    a' = (x + (den−1)·a) div den over events in (ts, event_id) order.
+
+    Expressed JVM-side as collect_list → array_sort → `aggregate` HOF
+    (no Python in the plan). The per-key array is bounded by per-key
+    history; at stream scale the applyInPandasWithState operator above
+    is the O(1)-state path and this query is its verification plan.
+    Division: Spark `DIV` truncates, DuckDB `//` floors — equal on the
+    non-negative domain this operator requires (see module docstring)."""
+    den = EWMA_ALPHA_DEN
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(FLOOR(value * 1000000.0) AS BIGINT)").alias("x_e6"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, "
+                "x_e6))), s -> s.x_e6)"
+            ).alias("xs")
+        )
+        .select(
+            "user_id",
+            F.size("xs").cast("long").alias("n"),
+            F.expr(
+                "aggregate(xs, CAST(NULL AS BIGINT), (acc, x) -> "
+                "CASE WHEN acc IS NULL THEN x "
+                f"ELSE (x + {den - 1}L * acc) DIV {den} END)"
+            ).alias("ewma_e6"),
+        )
+    )
+
+
+QUERIES = {
+    "stateful_running_count": q_stateful_running_count,
+    "stateful_running_sum": q_stateful_running_sum,
+    "stateful_topk": q_stateful_topk,
+    "stateful_ewma": q_stateful_ewma,
+}
+
+ORACLES = {
+    "stateful_running_count": """
+SELECT user_id, event_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+FROM events
+""",
+    "stateful_running_sum": """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS total_e2,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+FROM events
+""",
+    "stateful_topk": f"""
+SELECT user_id, rnk, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+)
+WHERE rnk <= {STATEFUL_TOPK_K}
+""",
+    # floor-division fold on a non-negative domain: DuckDB // floors,
+    # matching the operator's Python //; see running_ewma_per_key.
+    "stateful_ewma": f"""
+WITH s AS (
+  SELECT user_id,
+         list(CAST(FLOOR(value * 1000000.0) AS BIGINT)
+              ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(xs) AS n,
+       list_reduce(xs, (acc, x) -> (x + {EWMA_ALPHA_DEN - 1}*acc)
+                                    // {EWMA_ALPHA_DEN}) AS ewma_e6
+FROM s
+""",
+}
