@@ -654,55 +654,56 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_df(
     spark: SparkSession, sf_dir: str, with_n_tokens: bool = False
 ) -> DataFrame:
-    """Zero-shuffle SimHash: hash the distinct tokens once into a
-    per-row array, then fold the 32 per-bit vote sums with `aggregate`
-    higher-order functions — the whole fingerprint is a narrow map over
-    the corpus scan, no exchange at any scale. (The previous
-    explode + groupBy(doc_id) shape carried a doc-count exchange and a
-    token-row hash-agg; the HOF fold measured ~15% faster at sf0.1 with
-    tighter spread — tools/exp_simhash_zeroshuffle.py.)
+    """SimHash fingerprints via explode(distinct tokens) →
+    groupBy(doc_id) bit-vote aggregation.
 
-    `with_n_tokens=True` adds the raw token count to the same narrow
-    pass — composite pipelines (training_order_packing) that need both
-    the fingerprint and the length then tokenize the corpus ONCE
-    instead of running a second scan + a doc-keyed join."""
+    Plan-shape note (round-7 measurement, tools/stress_fingerprints.py):
+    a zero-shuffle variant that folds the 32 bit votes with per-row
+    `aggregate` higher-order functions was tried in round 6 and
+    REVERTED — at 10× rows the HOF fold measured 3.65 s vs 1.50 s for
+    this plan (2.4× slower; also slower at sf0.1). The exchange here is
+    NOT corpus-sized: hash aggregation runs a map-side partial pass
+    that collapses each document's token rows to one row per doc per
+    partition BEFORE the shuffle, so the wire carries O(docs) rows
+    while the 32 vote sums stay inside whole-stage codegen (where the
+    HOF fold's 32 interpreted array traversals per row cannot).
+
+    `with_n_tokens=True` carries the raw (pre-distinct) token count
+    through the same scan — composite pipelines
+    (training_order_packing) that need both the fingerprint and the
+    length then tokenize the corpus ONCE instead of running a second
+    scan + a doc-keyed join. NULL text drops implicitly (explode of a
+    NULL array emits nothing, matching the oracle's UNNEST)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    # tokenize once; both the hash array and the length read `ws`
+    # tokenize once; the token stream and the length both read `ws`
     wdf = docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
-    extra = (
+    carry = (
         [F.size("ws").cast("long").alias("n_tokens")]
         if with_n_tokens
         else []
     )
-    hs = F.transform(
-        F.array_distinct(F.col("ws")), lambda w: TH.md5_int48(w)
+    tok = wdf.select(
+        "doc_id",
+        *carry,
+        F.explode(F.array_distinct(F.col("ws"))).alias("w"),
     )
-    # bind the hashed array in its own projection so the 32 folds read
-    # the materialized array instead of re-hashing tokens per bit.
-    # NULL text must DROP the row (the explode this replaced did so
-    # implicitly; the oracle's UNNEST still does) — without the filter
-    # the folds would emit a spurious all-zero fingerprint for it
-    hdf = wdf.select("doc_id", hs.alias("hs"), *extra).filter(
-        F.col("hs").isNotNull()
-    )
-
-    def vote(b: int) -> Column:
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+    h = tok.withColumn("h", TH.md5_int48(F.col("w")))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"s{b}")
-
-    carry = ["n_tokens"] if with_n_tokens else []
-    vdf = hdf.select("doc_id", *carry, *[vote(b) for b in range(32)])
+        for b in range(32)
+    ]
+    keys = ["doc_id"] + (["n_tokens"] if with_n_tokens else [])
+    vdf = h.groupBy(*keys).agg(*votes)
     fp = None
     for b in range(32):
         term = F.when(
             F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return vdf.select("doc_id", fp.alias("simhash"), *carry)
+    out_carry = ["n_tokens"] if with_n_tokens else []
+    return vdf.select("doc_id", fp.alias("simhash"), *out_carry)
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,13 @@
-"""Measure: current explode+groupBy simhash vs zero-shuffle per-row
-higher-order-function variant, at sf0.1. Scratch experiment — if the
-HOF variant matches bit-for-bit and is faster, adopt it in dedup.py."""
+"""SUPERSEDED by tools/stress_fingerprints.py — this round-6 scratch
+experiment measured only sf0.1, where the two variants are within
+noise, and led to adopting the HOF fold; the round-7 duel added a 10×
+tier and showed the HOF fold 2.4× SLOWER there (the explode+groupBy
+exchange is O(docs) thanks to map-side partial aggregation, while the
+HOF fold pays 32 interpreted array traversals per row), so dedup.py
+was reverted to the exploded shape. Kept for provenance.
+
+Original: measure current explode+groupBy simhash vs zero-shuffle
+per-row higher-order-function variant, at sf0.1."""
 import sys
 import time
 
