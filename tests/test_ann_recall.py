@@ -41,6 +41,41 @@ def exact_l2_topk(sf_dir):
     return truth
 
 
+def test_recall_report_floors(spark, sf_dir):
+    """The committed RECALL artifact's floors, asserted in-process: the
+    quantized and trained tiers must keep serving-grade recall, and the
+    brute-force baseline must be exact (measured r7 at sf0.01:
+    cosine 1.0, int8 0.96, ivf_trained 0.889, pq_rerank 0.867 —
+    floors leave headroom for fixture regens)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "recall_report", os.path.join(repo, "tools", "recall_report.py")
+    )
+    rr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rr)
+
+    from parallelutilities_jl_spark.operators import clustering as C
+    from parallelutilities_jl_spark.operators import similarity as S
+
+    ids, vecs, _ = rr.load_vectors(sf_dir)
+    q5 = ids[ids < S.N_QUERIES]
+    cos5 = rr.exact_cosine_topk(ids, vecs, q5, S.TOP_K)
+    assert rr.recall_of(
+        S.q_ann_cosine_topk(spark, sf_dir).collect(), cos5, S.TOP_K
+    ) == 1.0
+    assert rr.recall_of(
+        S.q_ann_int8_topk(spark, sf_dir).collect(), cos5, S.TOP_K
+    ) >= 0.8
+    qivf = ids[ids < C.IVF_N_QUERIES]
+    cos_ivf = rr.exact_cosine_topk(ids, vecs, qivf, 3)
+    assert rr.recall_of(
+        C.q_ann_ivf_trained(spark, sf_dir).collect(), cos_ivf, 3
+    ) >= 0.6
+
+
 def test_pq_rerank_recall(spark, sf_dir, exact_l2_topk):
     rows = q_ann_pq_rerank_topk(spark, sf_dir).collect()
     got: dict[int, set] = {}
