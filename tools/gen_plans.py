@@ -78,6 +78,12 @@ SHOWCASE = {
         "ingest screen: batch keys broadcast-probe the store, hits "
         "broadcast back — the corpus-sized store side never shuffles"
     ),
+    "stateful_ewma": (
+        "batch-parity plan of the recursive per-key EWMA fold: one "
+        "keyed shuffle builds the ordered per-key array, the integer "
+        "fold runs as an aggregate HOF — verification plan for the "
+        "O(1)-state applyInPandasWithState operator"
+    ),
     "sequence_packing": (
         "global cumsum without a global sort: checkpointed token counts, "
         "shard-partitioned windows, S-row offsets funnel"
