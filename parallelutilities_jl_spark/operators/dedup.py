@@ -551,23 +551,35 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation drops shingles with document frequency above
     NGRAM_MAX_DF before the self-join (a hot shingle is a quadratic
     bucket; fixture max df is 7, so nothing is dropped at test scale).
-    The Jaccard itself is then EXACT over the full shingle sets via
-    `array_intersect` on the candidates — the df cap only bounds who
-    gets compared, never the similarity value."""
+    The Jaccard is EXACT: because each document's shingle set is
+    distinct, the candidate self-join's group count per (doc_a, doc_b)
+    IS |A∩B| over cold shingles — no per-pair array shuffle. The hot
+    remainder |A∩B over hot shingles| rides as an array_intersect of
+    the per-doc HOT-ONLY arrays (bounded: only shingles with
+    df > {NGRAM_MAX_DF} exist in them, and such stopword-like shingles
+    are few by construction), and |A∪B| = na + nb − |A∩B| from scalar
+    set sizes. This replaced a verify stage that equi-joined the FULL
+    shingle arrays onto every candidate pair: at the 10× stress tier
+    (~1000× qualifying pairs) the array-carrying joins dominated wall
+    (tools/stress_fingerprints.py; identical output asserted)."""
     per = shingle_arrays(spark, sf_dir).select(
         "doc_id", "shs", F.size("shs").cast("long").alias("n")
-    ).localCheckpoint()  # one narrow pass feeds dfreq, candidates, verify
+    ).localCheckpoint()  # one narrow pass feeds dfreq, candidates, hot sets
     sh = per.select("doc_id", F.explode("shs").alias("sh"))
-    dfreq = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= NGRAM_MAX_DF)
-        .select("sh")
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    cold_keys = dfreq.filter(F.col("df") <= NGRAM_MAX_DF).select("sh")
+    hot_keys = dfreq.filter(F.col("df") > NGRAM_MAX_DF).select("sh")
+    sh_cold = sh.join(cold_keys, "sh", "left_semi")
+    # per-doc hot-only shingle arrays (empty for docs with none) — the
+    # only arrays any pair ever carries, bounded by the hot-key count
+    hot_per_doc = (
+        sh.join(F.broadcast(hot_keys), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("hot_shs"))
     )
-    sh_cold = sh.join(dfreq, "sh", "left_semi")
     sa = sh_cold.alias("sa")
     sb = sh_cold.alias("sb")
-    cands = (
+    pairs = (
         sa.join(
             sb,
             (F.col("sa.sh") == F.col("sb.sh"))
@@ -577,9 +589,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sa.doc_id").alias("doc_a"),
             F.col("sb.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni_cold"))  # == |A∩B|_cold exactly
     )
-    return jaccard_verify(cands, per, JACCARD_THRESHOLD)
+    scal = per.select("doc_id", "n")
+    ha = hot_per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("hot_shs").alias("hot_a")
+    )
+    hb = hot_per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("hot_shs").alias("hot_b")
+    )
+    empty = F.array().cast("array<string>")
+    ni = F.col("ni_cold") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("hot_a"), empty),
+            F.coalesce(F.col("hot_b"), empty),
+        )
+    ).cast("long")
+    jac = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    )
+    return (
+        pairs.join(scal.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+        .join(scal.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n").alias("nb")), "doc_b")
+        .join(ha, "doc_a", "left")
+        .join(hb, "doc_b", "left")
+        .withColumn("ni", ni)
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
