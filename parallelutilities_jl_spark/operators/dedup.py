@@ -643,9 +643,20 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY on at least one 8-bit band whenever the differing bits
     cluster in ≤ 3 bands (and probabilistically otherwise; more/narrower
     bands trade recall for candidates, same AND-OR dial as MinHash).
-    Candidates are an equi-join on (band, band-byte) — linear shuffle —
-    and the exact hamming verify (`bit_count(xor)`, pure integer ops so
-    both engines agree bit-for-bit) runs on candidates only."""
+    The exact hamming verify (`bit_count(xor)`, pure integer ops so
+    both engines agree bit-for-bit) runs on candidates only.
+
+    Candidate geometry: a band key is only 8 bits, so band buckets hold
+    ~N/256 docs and the self-join is Θ(N²/(bands·2⁸)) unbounded —
+    fine at fixture scale, quadratic at corpus scale. Buckets above
+    MAX_LSH_BUCKET are therefore dropped before the join (mirrored in
+    the oracle, so both engines see identical candidates; no fixture
+    bucket comes near the cap). At production scale the standard fix is
+    a wider fingerprint (64-bit simhash, 4×16-bit bands → 2¹⁶ keys)
+    plus this same cap; the 32-bit width here keeps the per-bit vote
+    oracle exactly cross-engine-checkable."""
+    from pyspark.sql.window import Window as W
+
     fp = _simhash_df(spark, sf_dir)
     bands = fp.select(
         "doc_id",
@@ -665,6 +676,14 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "simhash", "e.band", "e.key")
+    # bucket cap rides the same (band, key) shuffle the self-join needs
+    bands = (
+        bands.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+        )
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .drop("bsz")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -882,9 +901,14 @@ fp AS (SELECT doc_id,
               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
                    AS BIGINT) AS simhash
        FROM bits GROUP BY doc_id),
-bands AS (SELECT doc_id, simhash, t.band AS band,
-                 (simhash >> (8 * t.band)) & 255 AS key
-          FROM fp, range(0, {SIMHASH_BANDS}) t(band)),
+bands0 AS (SELECT doc_id, simhash, t.band AS band,
+                  (simhash >> (8 * t.band)) & 255 AS key
+           FROM fp, range(0, {SIMHASH_BANDS}) t(band)),
+bands AS (SELECT * FROM (
+            SELECT doc_id, simhash, band, key,
+                   COUNT(*) OVER (PARTITION BY band, key) AS bsz
+            FROM bands0)
+          WHERE bsz <= {MAX_LSH_BUCKET}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 a.simhash AS sha, b.simhash AS shb
          FROM bands a JOIN bands b
