@@ -108,6 +108,7 @@ HEADLINE = [
 R7_ADDITIONS = [
     "boilerplate_scrub_stats",
     "stateful_ewma",
+    "ngram_jaccard_pairs",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

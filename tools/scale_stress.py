@@ -34,6 +34,11 @@ QUERIES = (
     "dedup_exact",
     "minhash_near_dup",
     "simhash_fingerprint",
+    # round-7 additions: the rewritten count-based exact-Jaccard tier,
+    # the capped simhash band join, and the store-probe ingest screen
+    "ngram_jaccard_pairs",
+    "simhash_near_dup",
+    "incremental_dedup",
     "embedding_cosine_dups",
     "sequence_packing",
     "corpus_shuffle",
