@@ -241,6 +241,10 @@ COSINE_DUP_THRESHOLD = 0.4  # fixture embeddings are random: max pair ≈ 0.51
 # learned (data-dependent) hyperplanes per band raise recall further.
 COS_BANDS = 8
 COS_BITS_PER_BAND = 8
+# an 8-bit band key means buckets average N/256 — the self-join is
+# quadratic unbounded without a cap (same guard as the MinHash/SimHash
+# tiers, mirrored in the oracle; no fixture bucket comes near it)
+COS_MAX_BUCKET = 2_000
 
 
 def _cos_band_entries(emb: Column) -> Column:
@@ -267,15 +271,28 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     then EXACT cosine ≥ τ verified on candidates only.
 
     This is the 100 TB shape: candidate generation is an equi-join on
-    (band, key) — shuffle linear in bucket sizes — and the O(N²) dot
-    products never happen (an earlier all-pairs broadcast nested-loop
-    form was the slowest bench query and would be 10,000× the compute at
-    100× the data). `embedding_cosine_exact` below keeps the exact
-    all-pairs semantics on a bounded sample as the recall verifier."""
+    (band, key) — shuffle linear in bucket sizes, with buckets above
+    COS_MAX_BUCKET dropped before the join (8-bit keys average N/256
+    docs per bucket, so the join is quadratic unbounded without the
+    cap; mirrored in the oracle) — and the O(N²) dot products never
+    happen (an earlier all-pairs broadcast nested-loop form was the
+    slowest bench query and would be 10,000× the compute at 100× the
+    data). `embedding_cosine_exact` below keeps the exact all-pairs
+    semantics on a bounded sample as the recall verifier."""
+    from pyspark.sql.window import Window as W
+
     emb = _emb_double(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
     bands = emb.select(
         "vec_id", F.explode(_cos_band_entries(F.col("emb"))).alias("e")
     ).select("vec_id", "e.band", "e.key")
+    # bucket cap rides the same (band, key) shuffle the self-join needs
+    bands = (
+        bands.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+        )
+        .filter(F.col("bsz") <= COS_MAX_BUCKET)
+        .drop("bsz")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -502,12 +519,20 @@ def _dd_cos_bands() -> str:
     return "cbands AS (" + " UNION ALL ".join(keys) + ")"
 
 
-ORACLES = {
-    "embedding_cosine_dups": f"""
+def _oracle_cosine_dups(cap: int | None = None) -> str:
+    """Built per-call so tests can rebuild with a lowered bucket cap
+    (the module ORACLES entry uses the production COS_MAX_BUCKET)."""
+    cap = COS_MAX_BUCKET if cap is None else cap
+    return f"""
 WITH {_DD_LF},
 {_dd_cos_bands()},
+cb AS (SELECT vec_id, band, key FROM (
+         SELECT vec_id, band, key,
+                COUNT(*) OVER (PARTITION BY band, key) AS bsz
+         FROM cbands)
+       WHERE bsz <= {cap}),
 cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-         FROM cbands a JOIN cbands b
+         FROM cb a JOIN cb b
            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
 dots AS (SELECT ia, ib, {_DD_DOT} AS dot
          FROM cand JOIN lf a ON a.vec_id = ia
@@ -518,7 +543,11 @@ SELECT ia, ib, CAST(FLOOR(cos * 1e6) AS BIGINT) AS cos_e6 FROM (
   FROM dots JOIN norms na ON na.vec_id = ia
   JOIN norms nb ON nb.vec_id = ib)
 WHERE cos >= {COSINE_DUP_THRESHOLD}
-""",
+"""
+
+
+ORACLES = {
+    "embedding_cosine_dups": _oracle_cosine_dups(),
     "embedding_cosine_exact": f"""
 WITH {_DD_LF},
 dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, {_DD_DOT} AS dot
