@@ -16,7 +16,11 @@ import time
 
 import pytest
 
-from parallelutilities_jl_spark.operators.dedup import q_minhash_near_dup
+from parallelutilities_jl_spark.operators.dedup import (
+    q_minhash_near_dup,
+    q_ngram_jaccard_pairs,
+    q_simhash_near_dup,
+)
 from parallelutilities_jl_spark.operators.similarity import (
     q_embedding_cosine_dups,
 )
@@ -39,8 +43,14 @@ def _timed(fn, spark, sf_dir) -> float:
         (q_minhash_near_dup, 10, 35.0),
         # embeddings 4x -> quadratic would be ~16x; allow up to 12x
         (q_embedding_cosine_dups, 4, 12.0),
+        # round-7 count-based exact tier and capped simhash band join:
+        # both output-heavy at sf0.1, so the loose 35x bound only trips
+        # a genuine quadratic (measured ~3-5x)
+        (q_ngram_jaccard_pairs, 10, 35.0),
+        (q_simhash_near_dup, 10, 35.0),
     ],
-    ids=["minhash_near_dup", "embedding_cosine_dups"],
+    ids=["minhash_near_dup", "embedding_cosine_dups",
+         "ngram_jaccard_pairs", "simhash_near_dup"],
 )
 def test_dedup_scales_linearly(spark, fn, data_ratio, max_ratio):
     _timed(fn, spark, SF_SMALL)  # warm: plan compilation, executor spin-up
