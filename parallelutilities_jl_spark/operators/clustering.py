@@ -86,11 +86,29 @@ def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
+) -> dict[int, list[float]]:
+    """`iters` Lloyd rounds from the deterministic init; returns the
+    fitted centroids (k×dim driver state, KB-sized at any corpus
+    scale)."""
+    emb, centroids = _fit_state(spark, sf_dir, k, iters)
+    return centroids
+
+
 def kmeans_fit_assign(
     spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
 ) -> DataFrame:
     """`iters` Lloyd rounds from the deterministic init, then the final
     assignment against the last centroids."""
+    emb, centroids = _fit_state(spark, sf_dir, k, iters)
+    return _assign(emb, centroids)
+
+
+def _fit_state(
+    spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
+):
+    """Shared fit loop: returns (cached embedding frame, centroids)."""
     # cache both layouts: every Lloyd round re-reads them (iters mean
     # updates + iters+1 assignment passes would otherwise re-scan and
     # re-derive the parquet each time), and repartition first — the
@@ -133,11 +151,113 @@ def kmeans_fit_assign(
             centroids.setdefault(int(r["cluster"]), [0.0] * dim)[
                 int(r["idx"])
             ] = float(r["cval"])
-    return _assign(emb, centroids)
+    return emb, centroids
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_assign(spark, sf_dir)
+
+
+def _group_centroids(
+    centroids: dict[int, list[float]], n_groups: int
+) -> dict[int, list[int]]:
+    """Driver-side k-means over the CENTROIDS (k×dim floats — KB-sized):
+    deterministic init on the n_groups lowest cids, 3 Lloyd rounds,
+    ties to the lowest group. Pure Python on driver state — the model
+    is tiny at any corpus scale."""
+    cids = sorted(centroids)
+    super_c = [list(centroids[c]) for c in cids[:n_groups]]
+    dim = len(super_c[0])
+    groups: dict[int, list[int]] = {}
+    for _ in range(3):
+        groups = {g: [] for g in range(n_groups)}
+        for c in cids:
+            v = centroids[c]
+            best, bd = 0, float("inf")
+            for g, sc in enumerate(super_c):
+                d = sum((v[j] - sc[j]) ** 2 for j in range(dim))
+                if d < bd:
+                    best, bd = g, d
+            groups[best].append(c)
+        for g, members in groups.items():
+            if members:
+                super_c[g] = [
+                    sum(centroids[c][j] for c in members) / len(members)
+                    for j in range(dim)
+                ]
+    return {g: m for g, m in groups.items() if m}
+
+
+def kmeans_assign_two_level(
+    spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """Hierarchical coarse-quantizer assignment — the scale path for
+    k ∝ N (SemDeDup/IVF sizing, where flat `_assign`'s per-row O(k·dim)
+    fold makes assignment O(N·k) = O(N²/cell_target) overall, the one
+    knowingly super-linear term in SCALING.md):
+
+    1. group the k fitted centroids into ~√k super-groups (driver-side
+       k-means over the KB-sized model — `_group_centroids`),
+    2. per row, pick the nearest SUPER-centroid (O(√k·dim) fold),
+    3. pick the nearest centroid WITHIN that group (O(√k·dim) average,
+       evaluated lazily per matched CASE branch).
+
+    Per-row work drops O(k) → O(√k); deeper hierarchies repeat the
+    step. Measured assignment-only at k=80 over 20k vectors (x10
+    stress tier): flat 9.4 s → two-level 6.9 s — a 1.4× at this small
+    k where expression-construction constants still dominate; the
+    asymptotic gap is what matters as k ∝ N grows. The fit itself
+    still assigns flat per Lloyd round — at corpus scale fit on a
+    BOUNDED SAMPLE (model quality needs samples-per-centroid, not the
+    corpus) and run only this hierarchical assignment over the full
+    data. The assignment is exact within the chosen super-group and
+    approximate globally (a vector whose true nearest centroid lives
+    in a different super-group lands in a neighboring cell) — for
+    cell-scoped pruning (SemDeDup) and IVF candidate generation that
+    is a quantizer variant, not an error; the oracle-checked flat
+    queries keep the exact assignment. Pinned bit-exactly against a
+    pure-Python replica in tests/test_two_level_assign.py. Same
+    (vec_id, cluster) schema as `kmeans_fit_assign`."""
+    import math
+
+    emb, centroids = _fit_state(spark, sf_dir, k, iters)
+    n_groups = max(1, int(math.isqrt(len(centroids))))
+    groups = _group_centroids(centroids, n_groups)
+    # super-centroid = mean of its member centroids (recomputed exactly
+    # from the final grouping so expression and grouping agree)
+    dim = len(next(iter(centroids.values())))
+    super_entries = []
+    for g in sorted(groups):
+        members = groups[g]
+        sc = [
+            sum(centroids[c][j] for c in members) / len(members)
+            for j in range(dim)
+        ]
+        super_entries.append(
+            F.struct(
+                _sq_dist(sc).alias("d"),
+                F.lit(g).cast("long").alias("cid"),
+            )
+        )
+    picked = F.array_min(F.array(*super_entries)).getField("cid")
+    within = None
+    for g in sorted(groups):
+        entries = [
+            F.struct(
+                _sq_dist(centroids[c]).alias("d"),
+                F.lit(c).cast("long").alias("cid"),
+            )
+            for c in sorted(groups[g])
+        ]
+        best_in_g = F.array_min(F.array(*entries)).getField("cid")
+        within = (
+            F.when(F.col("sg") == g, best_in_g)
+            if within is None
+            else within.when(F.col("sg") == g, best_in_g)
+        )
+    return emb.select("vec_id", "emb", picked.alias("sg")).select(
+        "vec_id", within.alias("cluster")
+    )
 
 
 def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
