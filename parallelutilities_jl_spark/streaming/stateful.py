@@ -202,7 +202,21 @@ def running_ewma_per_key(
 # visibility into the stateful tier; the streaming⇄batch equivalence is
 # pinned by tests/test_streaming_incremental.py (same in-order stream fed
 # in 1 vs N micro-batches ≡ these batch plans).
+#
+# NULL `value` rows are EXCLUDED in every query and its oracle (the
+# streaming operators require non-null values — math.floor(None) raises
+# — and the engines' null behaviors otherwise diverge: Spark's
+# CASE-seeded aggregate fold RESETS its accumulator on the element
+# after a NULL while DuckDB's list_reduce stays NULL, and DESC NULL
+# placement differs in window ordering; excluding the rows removes the
+# whole class — pinned by tests/test_stateful_null_events.py).
 # ---------------------------------------------------------------------------
+
+
+def _events_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
 
 
 def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +224,7 @@ def q_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative count each event would see if it arrived in its own
     trigger. Per-key ordered window — partitioned by key, never a global
     sort, so it scales with the key cardinality × per-key history."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _events_nonnull(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -227,7 +241,7 @@ def q_stateful_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch parity of `running_sum_per_key`, e2-fixed-point so the
     cumulative sum is exact integer arithmetic (no float accumulation
     order sensitivity between engines)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _events_nonnull(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -250,7 +264,7 @@ def q_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaderboard (value desc, event_id asc tiebreak — the same
     deterministic order the stateful operator maintains in its O(k)
     state). row_number cast to BIGINT for engine type parity."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _events_nonnull(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(
         F.desc("value"), F.asc("event_id")
     )
@@ -273,7 +287,7 @@ def q_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Division: Spark `DIV` truncates, DuckDB `//` floors — equal on the
     non-negative domain this operator requires (see module docstring)."""
     den = EWMA_ALPHA_DEN
-    ev = load_table(spark, sf_dir, "events")
+    ev = _events_nonnull(spark, sf_dir)
     return (
         ev.select(
             "user_id",
@@ -312,7 +326,7 @@ ORACLES = {
 SELECT user_id, event_id,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
-FROM events
+FROM events WHERE value IS NOT NULL
 """,
     "stateful_running_sum": """
 SELECT user_id, event_id,
@@ -322,7 +336,7 @@ SELECT user_id, event_id,
             AS BIGINT) AS total_e2,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
-FROM events
+FROM events WHERE value IS NOT NULL
 """,
     "stateful_topk": f"""
 SELECT user_id, rnk, event_id, value
@@ -330,7 +344,7 @@ FROM (
   SELECT user_id, event_id, value,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY value DESC, event_id ASC) AS rnk
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 WHERE rnk <= {STATEFUL_TOPK_K}
 """,
@@ -341,7 +355,7 @@ WITH s AS (
   SELECT user_id,
          list(CAST(FLOOR(value * 1000000.0) AS BIGINT)
               ORDER BY ts, event_id) AS xs
-  FROM events GROUP BY user_id
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
 )
 SELECT user_id, len(xs) AS n,
        list_reduce(xs, (acc, x) -> (x + {EWMA_ALPHA_DEN - 1}*acc)
