@@ -761,7 +761,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from parallelutilities_jl_spark.operators.similarity import dot, norm
 
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )  # cell sizing counts only vectors that can be assigned
     k_eff = max(K, n // SEMDEDUP_CELL_TARGET)
     assign = kmeans_fit_assign(
         spark, sf_dir, k=k_eff, iters=IVF_FIT_ITERS
@@ -875,8 +879,14 @@ def q_ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 distance as `kmeans_assign` (argmin-safe under the decimal
     mean's last-ulp engine drift — see the PQ note for why floors of
     the distance VALUE would not be)."""
-    emb_long = _emb_double(spark, sf_dir).select(
-        "vec_id", "label", F.posexplode("emb").alias("idx", "val")
+    # NULL labels are excluded on both sides: a cell-less vector can
+    # neither contribute to a centroid nor be scored for ownership, and
+    # NULL ordering in the argmin tiebreak differs between engines
+    # (Spark struct-min sorts NULL first, DuckDB ORDER BY puts it last)
+    emb_long = (
+        _emb_double(spark, sf_dir)
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", F.posexplode("emb").alias("idx", "val"))
     )
     old = emb_long.filter(F.col("vec_id") >= DELTA_N)
     cent = (
@@ -932,7 +942,7 @@ WITH e AS (
   SELECT vec_id, label,
          UNNEST(generate_series(0, len(embedding) - 1)) AS idx,
          UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
-  FROM embeddings),
+  FROM embeddings WHERE label IS NOT NULL),
 cent AS (SELECT label AS cell, idx,
                 {_DSUM18_COL.format(e='val')} / COUNT(*) AS cval
          FROM e WHERE vec_id >= {DELTA_N} GROUP BY label, idx),

@@ -34,8 +34,16 @@ TOP_K = 5
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared embedding loader. NULL embedding rows are EXCLUDED — a
+    NULL vector carries no direction or distance (the embedding analog
+    of NULL-text docs dropping from the fingerprint tier). The DuckDB
+    oracles drop them implicitly wherever they UNNEST the vector; the
+    explicit filter keeps row-census queries (norm stats, cell
+    censuses, k-means assignments) in agreement too — pinned by
+    tests/test_null_embeddings_corpus.py on a NULL-bearing corpus the
+    fixtures can't reach."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    return emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
