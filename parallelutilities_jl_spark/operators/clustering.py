@@ -73,7 +73,13 @@ def _sq_dist(cent: list[float]) -> F.Column:
 
 
 def _assign(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
-    """(vec_id, cluster): nearest centroid, ties to the lowest cid."""
+    """(vec_id, cluster): nearest centroid, ties to the lowest cid.
+    An empty model (no vectors to init from) assigns nothing — the
+    empty-corpus contract, same schema."""
+    if not centroids:
+        return emb.select(
+            "vec_id", F.lit(0).cast("long").alias("cluster")
+        ).filter(F.lit(False))
     entries = [
         F.struct(
             _sq_dist(c).alias("d"), F.lit(cid).cast("long").alias("cid")
@@ -129,7 +135,9 @@ def _fit_state(
         int(r["vec_id"]): list(r["emb"])
         for r in sorted(init, key=lambda r: r["vec_id"])
     }
-    dim = len(centroids[0])
+    if not centroids:  # empty corpus: no model, no assignments
+        return emb, {}
+    dim = len(next(iter(centroids.values())))
     emb_long = emb.select(
         "vec_id", F.posexplode("emb").alias("idx", "val")
     ).localCheckpoint()
@@ -221,6 +229,8 @@ def kmeans_assign_two_level(
     import math
 
     emb, centroids = _fit_state(spark, sf_dir, k, iters)
+    if not centroids:  # empty corpus: same contract as _assign
+        return _assign(emb, centroids)
     n_groups = max(1, int(math.isqrt(len(centroids))))
     groups = _group_centroids(centroids, n_groups)
     # super-centroid = mean of its member centroids (recomputed exactly
@@ -517,6 +527,13 @@ def q_ann_pq_topk(
         for r in init
         for s in range(PQ_M)
     }
+    if not cb:  # empty corpus: no codebook, no results (same schema)
+        return emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec_id").alias("cid"),
+            F.lit(0).cast("long").alias("adist"),
+            F.lit(0).cast("long").alias("rnk"),
+        ).filter(F.lit(False))
     for _ in range(PQ_ITERS):
         # mean update WITHOUT a join: the assignment rides the explode
         # as an array column, element_at picks the row's subspace code

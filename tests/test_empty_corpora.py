@@ -1,0 +1,41 @@
+"""Empty-table contract for the events and embeddings surfaces (the
+documents analog lives in test_messy_corpus): every query must return
+an EMPTY result with its normal schema, never crash — the trained-model
+tier (k-means/IVF/PQ) used to KeyError/AnalysisException when there
+were no vectors to initialize a model from."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_null_embeddings_corpus import EMB_QUERIES, EMB_SCHEMA
+from tests.test_null_events_corpus import EV_SCHEMA, EVENTS_QUERIES
+
+# queries whose output is a census/aggregate frame that legitimately
+# emits summary rows even over zero input (e.g. a 3-step funnel of
+# zeros, a 1-row skew profile, a 1-row diversity panel)
+NONEMPTY_ON_EMPTY = {"funnel_conversion", "skew_profile_events",
+                     "embedding_diversity"}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_corpora")
+    spark.createDataFrame([], EV_SCHEMA).write.mode("overwrite").parquet(
+        str(d / "events.parquet")
+    )
+    spark.createDataFrame([], EMB_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", EVENTS_QUERIES + EMB_QUERIES)
+def test_empty_input_returns_empty_result(spark, empty_dir, qname):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[qname](spark, empty_dir)
+    rows = df.collect()
+    assert df.columns  # schema intact
+    if qname not in NONEMPTY_ON_EMPTY:
+        assert rows == []
