@@ -18,8 +18,26 @@ NONEMPTY_ON_EMPTY = {"funnel_conversion", "skew_profile_events",
                      "embedding_diversity"}
 
 
+def _doc_tier_queries():
+    from parallelutilities_jl_spark.operators import (
+        dedup,
+        multimodal,
+        retrieval,
+    )
+
+    return sorted(
+        set(dedup.QUERIES) | set(retrieval.QUERIES) | set(multimodal.QUERIES)
+    )
+
+
+# census frames over zero docs also legitimately emit summary rows
+NONEMPTY_ON_EMPTY |= {"dedup_eval_confusion", "triangle_count"}
+
+
 @pytest.fixture(scope="module")
 def empty_dir(spark, tmp_path_factory):
+    from tests.test_messy_corpus import DOC_SCHEMA
+
     d = tmp_path_factory.mktemp("empty_corpora")
     spark.createDataFrame([], EV_SCHEMA).write.mode("overwrite").parquet(
         str(d / "events.parquet")
@@ -27,10 +45,15 @@ def empty_dir(spark, tmp_path_factory):
     spark.createDataFrame([], EMB_SCHEMA).write.mode(
         "overwrite"
     ).parquet(str(d / "embeddings.parquet"))
+    spark.createDataFrame([], DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
     return str(d)
 
 
-@pytest.mark.parametrize("qname", EVENTS_QUERIES + EMB_QUERIES)
+@pytest.mark.parametrize(
+    "qname", EVENTS_QUERIES + EMB_QUERIES + _doc_tier_queries()
+)
 def test_empty_input_returns_empty_result(spark, empty_dir, qname):
     import __spark_entry__ as entrymod
 
