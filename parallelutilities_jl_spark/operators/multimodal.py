@@ -87,9 +87,13 @@ def _modality_col() -> F.Column:
 
 def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a multimodal asset table from the documents fixture: text
-    bytes stand in for encoded media (binary column + modality tag)."""
+    bytes stand in for encoded media (binary column + modality tag).
+    NULL-text docs are EXCLUDED — a NULL payload cannot be decoded
+    (the codec UDFs would crash on None content), mirroring how NULL
+    text drops from the fingerprint tier; every multimodal oracle
+    carries the same `WHERE text IS NOT NULL`."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("asset_id"),
         _modality_col().alias("modality"),
         F.col("text").cast("binary").alias("content"),
@@ -296,7 +300,7 @@ decoded AS (
          CAST(16 + {_byte(1)} % 64 AS INT) AS height,
          CAST(8000 + ({_byte(2)} % 4) * 8000 AS INT) AS sample_rate,
          CAST(1 + {_byte(3)} % 32 AS INT) AS n_frames
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 """
 
 ORACLES = {
@@ -308,7 +312,7 @@ SELECT * FROM decoded
 SELECT doc_id AS asset_id,
        [{", ".join(f"ROUND({_byte(i)} / 255.0, 6)" for i in range(FEATURE_DIM))}]
            AS features
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
     "multimodal_frame_sample": f"""
 WITH {_DD_DECODED}
@@ -330,7 +334,7 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
        CAST(octet_length(encode(text)) AS BIGINT) // 256 AS bucket,
        COUNT(*) AS n,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
-FROM documents GROUP BY 1, 2
+FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
 """,
     "multimodal_binary_stats": """
 SELECT doc_id AS asset_id,
@@ -340,7 +344,7 @@ SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256_hex,
        lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
 }
 
@@ -365,7 +369,11 @@ def q_multimodal_dedup_census(
     distinct-expand, no window; the payload bytes themselves never
     shuffle (only 32-byte hashes and lengths do) — at 100 TB of blobs
     that is the only workable dedup-accounting shape."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    # NULL-text docs are excluded from both roles (asset and payload
+    # base): a NULL payload has no hash — mirrored in the oracle
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     a = docs.select(
         F.col("doc_id").alias("asset_id"),
         _modality_col().alias("modality"),
@@ -401,10 +409,11 @@ WITH a AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS modality,
          doc_id - (doc_id % {DEDUP_BLOCK}) AS base_id
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 c AS (SELECT a.modality, sha256(d.text) AS sha,
              CAST(length(d.text) AS BIGINT) AS nb
-      FROM a JOIN documents d ON d.doc_id = a.base_id),
+      FROM a JOIN documents d
+        ON d.doc_id = a.base_id AND d.text IS NOT NULL),
 g AS (SELECT modality, sha, COUNT(*) AS n_copies, MAX(nb) AS nb
       FROM c GROUP BY 1, 2)
 SELECT modality,
@@ -491,7 +500,7 @@ WITH a AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS modality,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 placed AS (
   SELECT asset_id, modality, n_bytes,
          COALESCE(SUM(n_bytes) OVER (ORDER BY asset_id
