@@ -137,7 +137,8 @@ _CHEAP_FIRST = [
     "approx_distinct_check", "minhash_near_dup", "containment_dups",
     "simhash_near_dup",
     "incremental_dedup", "link_graph_pagerank",
-    "kmeans_assign", "multimodal_binary_stats", "ngram_jaccard_pairs",
+    "kmeans_assign", "kmeans_assign_two_level",
+    "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
     "ann_ivf_trained_topk", "embedding_cosine_dups", "bpe_merges",
     "bpe_apply_fertility",
@@ -158,15 +159,19 @@ _CHEAP_FIRST = [
 # each round the ~50-slot budget is spent entirely on whatever the
 # scoreboard still lacks, and once everything has a green row the order
 # degrades gracefully to cheapest-first re-attestation.
-def _driver_passed() -> set[str]:
-    """Names with >=1 fully-passing row in any CORRECTNESS_r*.json."""
+def _driver_green_rounds() -> dict[str, int]:
+    """Name → NEWEST round number with a fully-passing row in any
+    CORRECTNESS_r*.json (absent = never attested green)."""
     import glob
     import json
     import os
+    import re
 
     base = os.path.dirname(os.path.abspath(__file__))
-    passed: set[str] = set()
+    newest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rounds = json.load(f)
@@ -181,20 +186,29 @@ def _driver_passed() -> set[str]:
             # explicit False is a fail.
             if any(c is False for c in checks) or checks[0] is None:
                 continue
-            passed.add(name)
-    return passed
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def _driver_passed() -> set[str]:
+    """Names with >=1 fully-passing row in any CORRECTNESS_r*.json."""
+    return set(_driver_green_rounds())
 
 
 def _sweep_order(names: list[str] | None = None) -> list[str]:
     names = list(names) if names is not None else list(_CHEAP_FIRST)
-    passed = _driver_passed()
+    green = _driver_green_rounds()
     pos = {n: i for i, n in enumerate(_CHEAP_FIRST)}
-    # debt group first; within a group, measured-cheapest first; names
-    # not yet in _CHEAP_FIRST (new queries — always unattested) go to
-    # the end of the DEBT group, not after the green tail, so a freshly
-    # added query is attested in its first round
+    # debt group first; within the green tail, attestation AGE is the
+    # primary sort (oldest green row refreshes first — round-7 judge
+    # task 4) so no query's newest green row drifts more than a few
+    # rounds stale; cheapest-first breaks ties. Names not yet in
+    # _CHEAP_FIRST (new queries — always unattested) go to the end of
+    # the DEBT group, not after the green tail, so a freshly added
+    # query is attested in its first round.
     return sorted(
-        names, key=lambda n: (n in passed, pos.get(n, len(pos)))
+        names,
+        key=lambda n: (n in green, green.get(n, 0), pos.get(n, len(pos))),
     )
 
 

@@ -166,34 +166,91 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_assign(spark, sf_dir)
 
 
+GROUP_GRID = int(1e6)  # centroid-grid quantization for the grouping step
+GROUP_ROUNDS = 3
+
+
+def _grid(centroids: dict[int, list[float]]) -> dict[int, list[int]]:
+    """Floor-quantize each centroid coordinate onto an integer grid.
+    The grouping k-means below runs ENTIRELY on these ints (exact,
+    associative arithmetic), so a DuckDB oracle replays it bit-for-bit
+    — raw float sums are combine-order-dependent and can flip a
+    near-tied argmin between engines (float-parity policy, same reason
+    `_sq_dist` quantizes)."""
+    import math
+
+    return {
+        c: [math.floor(x * GROUP_GRID) for x in v]
+        for c, v in centroids.items()
+    }
+
+
 def _group_centroids(
     centroids: dict[int, list[float]], n_groups: int
 ) -> dict[int, list[int]]:
     """Driver-side k-means over the CENTROIDS (k×dim floats — KB-sized):
-    deterministic init on the n_groups lowest cids, 3 Lloyd rounds,
-    ties to the lowest group. Pure Python on driver state — the model
-    is tiny at any corpus scale."""
+    deterministic init on the n_groups lowest cids, GROUP_ROUNDS Lloyd
+    rounds, ties to the lowest group. Pure Python on driver state — the
+    model is tiny at any corpus scale.
+
+    All arithmetic is exact-integer on the GROUP_GRID quantized
+    coordinates: a super-group is carried as (component sums, member
+    count) and the squared distance to its mean is compared via the
+    integer numerator  num = Σ_j (q·cnt − isum_j)²  divided by cnt² in
+    ONE IEEE double division — both engine-order-independent and
+    replayable in SQL (`_oracle_two_level`). Empty groups keep their
+    previous state, exactly as the SQL replica carries them forward."""
     cids = sorted(centroids)
-    super_c = [list(centroids[c]) for c in cids[:n_groups]]
-    dim = len(super_c[0])
+    qv = _grid(centroids)
+    dim = len(qv[cids[0]])
+    # super-group state: (exact component sums, member count)
+    sup: list[tuple[list[int], int]] = [
+        (list(qv[c]), 1) for c in cids[:n_groups]
+    ]
     groups: dict[int, list[int]] = {}
-    for _ in range(3):
-        groups = {g: [] for g in range(n_groups)}
+    for _ in range(GROUP_ROUNDS):
+        groups = {g: [] for g in range(len(sup))}
         for c in cids:
-            v = centroids[c]
-            best, bd = 0, float("inf")
-            for g, sc in enumerate(super_c):
-                d = sum((v[j] - sc[j]) ** 2 for j in range(dim))
-                if d < bd:
+            q = qv[c]
+            best, bd = 0, None
+            for g, (isum, cnt) in enumerate(sup):
+                num = sum(
+                    (q[j] * cnt - isum[j]) ** 2 for j in range(dim)
+                )
+                # float()/float(): the same round-to-nearest conversion
+                # + single IEEE division the SQL replica performs
+                d = float(num) / float(cnt * cnt)
+                if bd is None or d < bd:
                     best, bd = g, d
             groups[best].append(c)
         for g, members in groups.items():
             if members:
-                super_c[g] = [
-                    sum(centroids[c][j] for c in members) / len(members)
-                    for j in range(dim)
-                ]
+                sup[g] = (
+                    [
+                        sum(qv[c][j] for c in members)
+                        for j in range(dim)
+                    ],
+                    len(members),
+                )
     return {g: m for g, m in groups.items() if m}
+
+
+def _super_centroids(
+    centroids: dict[int, list[float]], groups: dict[int, list[int]]
+) -> dict[int, list[float]]:
+    """Float super-centroid per group, derived from the integer grid
+    state with a FIXED op order — (double(Σq) / cnt) / GROUP_GRID — so
+    Spark's literal and the oracle's CTE hold bit-identical doubles."""
+    qv = _grid(centroids)
+    dim = len(next(iter(qv.values())))
+    return {
+        g: [
+            (float(sum(qv[c][j] for c in members)) / float(len(members)))
+            / float(GROUP_GRID)
+            for j in range(dim)
+        ]
+        for g, members in groups.items()
+    }
 
 
 def kmeans_assign_two_level(
@@ -234,15 +291,12 @@ def kmeans_assign_two_level(
     n_groups = max(1, int(math.isqrt(len(centroids))))
     groups = _group_centroids(centroids, n_groups)
     # super-centroid = mean of its member centroids (recomputed exactly
-    # from the final grouping so expression and grouping agree)
-    dim = len(next(iter(centroids.values())))
+    # from the final grouping, on the integer grid, so expression and
+    # grouping agree and the oracle replays the identical doubles)
+    supers = _super_centroids(centroids, groups)
     super_entries = []
     for g in sorted(groups):
-        members = groups[g]
-        sc = [
-            sum(centroids[c][j] for c in members) / len(members)
-            for j in range(dim)
-        ]
+        sc = supers[g]
         super_entries.append(
             F.struct(
                 _sq_dist(sc).alias("d"),
@@ -270,20 +324,24 @@ def kmeans_assign_two_level(
     )
 
 
-def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
-    """The identical iterations as chained CTEs (no RNG → replayable)."""
+# quantized distance, mirroring _sq_dist: exact BIGINT sum (a raw
+# double SUM is combine-order-dependent and can flip the argmin)
+_QD = (
+    "SUM(CAST(FLOOR(((e.val - {c}.{v}) * (e.val - {c}.{v})) * "
+    f"{float(DOT_SCALE)}) AS BIGINT))"
+)
+
+
+def _kmeans_ctes(k: int = K, iters: int = ITERS) -> tuple[list[str], str]:
+    """The fit loop as chained CTEs (no RNG → replayable): returns
+    (cte list, name of the final centroid CTE holding cid/idx/cval)."""
     ctes = [
         "e AS (SELECT vec_id, UNNEST(generate_series(0, len(embedding) - 1)) AS idx, "
         "UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val "
         "FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, idx, val AS cval FROM e WHERE vec_id < {k})",
     ]
-    # quantized distance, mirroring _sq_dist: exact BIGINT sum (a raw
-    # double SUM is combine-order-dependent and can flip the argmin)
-    qd = (
-        "SUM(CAST(FLOOR(((e.val - c.cval) * (e.val - c.cval)) * "
-        f"{float(DOT_SCALE)}) AS BIGINT))"
-    )
+    qd = _QD.format(c="c", v="cval")
     prev = "c0"
     for i in range(1, iters + 1):
         ctes.append(
@@ -299,6 +357,13 @@ def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
             f"FROM e JOIN a{i} USING (vec_id) GROUP BY cluster, idx)"
         )
         prev = f"c{i}"
+    return ctes, prev
+
+
+def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
+    """The identical iterations as chained CTEs (no RNG → replayable)."""
+    ctes, prev = _kmeans_ctes(k, iters)
+    qd = _QD.format(c="c", v="cval")
     final = (
         f"SELECT vec_id, cid AS cluster FROM ("
         f"SELECT e.vec_id, c.cid, "
@@ -306,6 +371,88 @@ def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
         f"FROM e JOIN {prev} c ON e.idx = c.idx "
         f"GROUP BY e.vec_id, c.cid) WHERE rn = 1"
     )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _oracle_two_level(k: int = K, iters: int = ITERS) -> str:
+    """Full SQL replay of `kmeans_assign_two_level`: fit CTEs, then the
+    GROUP_ROUNDS integer-grid k-means over the centroids (HUGEINT
+    numerators ÷ cnt² in one double division — bit-identical to the
+    Python in `_group_centroids`), then the two-level per-vector pick
+    (quantized super argmin, quantized within-group argmin)."""
+    ctes, cfin = _kmeans_ctes(k, iters)
+    ctes.append(
+        f"qv AS (SELECT cid, idx, CAST(CAST(FLOOR(cval * {float(GROUP_GRID)}) "
+        f"AS BIGINT) AS HUGEINT) AS q FROM {cfin})"
+    )
+    # n_groups = max(1, isqrt(#centroids)); sqrt of a perfect square is
+    # IEEE-exact, so FLOOR(SQRT()) == isqrt for any feasible k
+    ctes.append(
+        "ng AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(DISTINCT cid))) "
+        f"AS INT)) AS n FROM {cfin})"
+    )
+    # super state s0: the n_groups lowest cids, one member each
+    ctes.append(
+        "g0 AS (SELECT cid, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS g "
+        f"FROM (SELECT DISTINCT cid FROM qv)) "
+    )
+    ctes.append(
+        "s0 AS (SELECT g0.g, qv.idx, qv.q AS isum, 1 AS cnt "
+        "FROM g0 JOIN qv USING (cid) WHERE g0.g < (SELECT n FROM ng))"
+    )
+    prev = "s0"
+    for r in range(1, GROUP_ROUNDS + 1):
+        ctes.append(
+            f"d{r} AS (SELECT qv.cid, s.g, "
+            "SUM((qv.q * s.cnt - s.isum) * (qv.q * s.cnt - s.isum)) AS num, "
+            "MAX(s.cnt) AS cnt "
+            f"FROM qv JOIN {prev} s USING (idx) GROUP BY qv.cid, s.g)"
+        )
+        ctes.append(
+            f"ga{r} AS (SELECT cid, g FROM (SELECT cid, g, "
+            "ROW_NUMBER() OVER (PARTITION BY cid "
+            "ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), g) AS rn "
+            f"FROM d{r}) WHERE rn = 1)"
+        )
+        # recompute means for populated groups; carry empty groups'
+        # previous state forward (the Python `if members` guard)
+        ctes.append(
+            f"s{r} AS (SELECT a.g, qv.idx, SUM(qv.q) AS isum, "
+            "CAST(COUNT(*) AS INT) AS cnt "
+            f"FROM ga{r} a JOIN qv USING (cid) GROUP BY a.g, qv.idx "
+            f"UNION ALL SELECT s.g, s.idx, s.isum, s.cnt FROM {prev} s "
+            f"WHERE s.g NOT IN (SELECT g FROM ga{r}))"
+        )
+        prev = f"s{r}"
+    gfin, sfin = f"ga{GROUP_ROUNDS}", prev
+    # float super-centroids from the FINAL grouping, fixed op order:
+    # (double(isum) / cnt) / GROUP_GRID — mirrors _super_centroids
+    ctes.append(
+        "scs AS (SELECT g, idx, "
+        f"(CAST(isum AS DOUBLE) / cnt) / {float(GROUP_GRID)} AS sc "
+        f"FROM {sfin} WHERE g IN (SELECT g FROM {gfin}))"
+    )
+    qd_super = _QD.format(c="s", v="sc")
+    ctes.append(
+        "vsg AS (SELECT vec_id, g FROM (SELECT e.vec_id, s.g, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd_super}, s.g) AS rn "
+        "FROM e JOIN scs s ON e.idx = s.idx "
+        "GROUP BY e.vec_id, s.g) WHERE rn = 1)"
+    )
+    qd_within = _QD.format(c="c", v="cval")
+    final = (
+        "SELECT vec_id, cid AS cluster FROM (SELECT e.vec_id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd_within}, c.cid) AS rn "
+        f"FROM e JOIN {cfin} c ON e.idx = c.idx "
+        f"JOIN {gfin} m ON m.cid = c.cid "
+        "JOIN vsg v ON v.vec_id = e.vec_id AND v.g = m.g "
+        "GROUP BY e.vec_id, c.cid) WHERE rn = 1"
+    )
+    # most CTEs here are referenced 2+ times (the NOT IN carry-forward,
+    # the final three-way join); DuckDB's default inlining re-evaluates
+    # the whole upstream fit chain per reference — exponential in the
+    # round count (measured 18 s → sub-second with MATERIALIZED)
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
@@ -979,8 +1126,16 @@ WHERE rn = 1
 """
 
 
+def q_kmeans_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(√k)-per-row hierarchical assignment over the same fitted
+    model as `kmeans_assign` — oracle replays fit + grouping + both
+    argmin levels exactly (`_oracle_two_level`)."""
+    return kmeans_assign_two_level(spark, sf_dir)
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_assign_two_level": q_kmeans_assign_two_level,
     "ivf_trained_census": q_ivf_trained_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained,
     "ann_pq_topk": q_ann_pq_topk,
@@ -991,6 +1146,7 @@ QUERIES = {
 
 ORACLES = {
     "kmeans_assign": _oracle_kmeans(),
+    "kmeans_assign_two_level": _oracle_two_level(),
     "ivf_trained_census": _oracle_ivf_census(),
     "ann_ivf_trained_topk": _oracle_ivf_trained(),
     "ann_pq_topk": _oracle_pq(),

@@ -269,8 +269,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction: binary content → array<double> embedding."""
-    return extract_features(synthesize_assets(spark, sf_dir))
+    """Feature extraction: binary content → embedding, flattened to
+    scalar columns f0..f{FEATURE_DIM-1} (the `minhash_signature` h0..h3
+    pattern) so the driver's pandas canonicalizer can sort/hash the
+    result — raw array<double> columns are unhashable there. The
+    internal API (`extract_features`) still returns the array form."""
+    feats = extract_features(synthesize_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,8 +318,7 @@ SELECT * FROM decoded
 """,
     "multimodal_features": f"""
 SELECT doc_id AS asset_id,
-       [{", ".join(f"ROUND({_byte(i)} / 255.0, 6)" for i in range(FEATURE_DIM))}]
-           AS features
+       {", ".join(f"ROUND({_byte(i)} / 255.0, 6) AS f{i}" for i in range(FEATURE_DIM))}
 FROM documents WHERE text IS NOT NULL
 """,
     "multimodal_frame_sample": f"""

@@ -44,14 +44,7 @@ def test_two_level_matches_numpy_replica_and_flat_quality(spark, sf_dir):
     # distance, same lowest-id tie rule at both levels
     n_groups = max(1, int(math.isqrt(len(cents))))
     groups = C._group_centroids(cents, n_groups)
-    dim = len(next(iter(cents.values())))
-    super_c = {
-        g: [
-            sum(cents[c][j] for c in groups[g]) / len(groups[g])
-            for j in range(dim)
-        ]
-        for g in groups
-    }
+    super_c = C._super_centroids(cents, groups)
     scale = float(C.DOT_SCALE) if hasattr(C, "DOT_SCALE") else None
     if scale is None:
         from parallelutilities_jl_spark.operators.similarity import (

@@ -67,6 +67,17 @@ QUERIES = (
     "trimmed_robust_stats",
     "rolling_active_users",
     "interval_islands",
+    # round-8 additions: the r7 stateful batch-parity newcomers (10x
+    # users at constant per-user state => ~linear), the boilerplate
+    # scrub (narrow map), the O(sqrt k) two-level assignment, and the
+    # count-based confusion rewrite
+    "stateful_running_count",
+    "stateful_running_sum",
+    "stateful_topk",
+    "stateful_ewma",
+    "boilerplate_scrub_stats",
+    "kmeans_assign_two_level",
+    "dedup_eval_confusion",
 )
 
 
