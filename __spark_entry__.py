@@ -140,7 +140,8 @@ _CHEAP_FIRST = [
     "kmeans_assign", "kmeans_assign_two_level",
     "multimodal_binary_stats", "ngram_jaccard_pairs",
     "ivf_trained_census", "ann_int8_topk", "pmapreduce_dense_elsum",
-    "ann_ivf_trained_topk", "embedding_cosine_dups", "bpe_merges",
+    "ann_ivf_trained_topk", "ann_ivf_multiprobe_topk",
+    "embedding_cosine_dups", "bpe_merges",
     "bpe_apply_fertility",
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
     "leakage_safe_split", "dedup_rate_by_source",

@@ -42,8 +42,10 @@ EMB_QUERIES = [
     "embedding_norm_stats",
     "embedding_diversity",
     "kmeans_assign",
+    "kmeans_assign_two_level",
     "ivf_trained_census",
     "ann_ivf_trained_topk",
+    "ann_ivf_multiprobe_topk",
     "semantic_dedup",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

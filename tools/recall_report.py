@@ -118,6 +118,14 @@ def main() -> None:
         f"({C.IVF_FIT_ITERS} Lloyd iters)",
     ))
 
+    tiers.append((
+        "ann_ivf_multiprobe_topk",
+        C.q_ann_ivf_multiprobe(spark, SF_DIR).collect(),
+        cos_ivf, 3, len(qivf),
+        f"multi-probe trained IVF (nprobe={C.IVF_NPROBE}) — the "
+        "accuracy/cost knob over the single-probe tier",
+    ))
+
     qpq = ids[ids < C.PQ_N_QUERIES]
     l2 = exact_l2_topk(ids, vecs, qpq, C.PQ_TOP_K)
     tiers.append((
