@@ -109,6 +109,9 @@ R7_ADDITIONS = [
     "boilerplate_scrub_stats",
     "stateful_ewma",
     "ngram_jaccard_pairs",
+    # round-8 additions (same common-subset bookkeeping)
+    "ann_ivf_multiprobe_topk",
+    "kmeans_assign_two_level",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

@@ -104,6 +104,12 @@ INVARIANT_SAMPLE = [
     # partitioning (quantized sums are combine-order-free)
     "q15_top_supplier",
     "q22_idle_rich_customers",
+    # round-8: the two-level assignment's grouping is driver-side and
+    # its per-row argmins are exact-int — partitioning must not matter;
+    # multi-probe IVF's probe selection is a per-row expression against
+    # literal centroids, the only shuffle is the cell equi-join
+    "kmeans_assign_two_level",
+    "ann_ivf_multiprobe_topk",
 ]
 
 
