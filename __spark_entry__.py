@@ -146,7 +146,8 @@ _CHEAP_FIRST = [
     "multimodal_features", "dedup_components", "quality_canonical_dedup",
     "leakage_safe_split", "dedup_rate_by_source",
     "diversified_topk", "training_order_packing", "ann_pq_topk",
-    "ann_pq_rerank_topk", "semantic_dedup", "boilerplate_scrub_stats",
+    "ann_pq_rerank_topk", "semantic_dedup", "semantic_dedup_scaled",
+    "boilerplate_scrub_stats",
     "stateful_topk", "stateful_ewma", "stateful_running_count",
     "stateful_running_sum",
 ]

@@ -283,9 +283,18 @@ def kmeans_assign_two_level(
     queries keep the exact assignment. Pinned bit-exactly against a
     pure-Python replica in tests/test_two_level_assign.py. Same
     (vec_id, cluster) schema as `kmeans_fit_assign`."""
+    emb, centroids = _fit_state(spark, sf_dir, k, iters)
+    return _two_level_pick(emb, centroids)
+
+
+def _two_level_pick(
+    emb: DataFrame, centroids: dict[int, list[float]]
+) -> DataFrame:
+    """(vec_id, cluster): the hierarchical pick against a fitted model —
+    nearest super-group, then nearest centroid within it. Shared by
+    `kmeans_assign_two_level` and the scaled SemDeDup path."""
     import math
 
-    emb, centroids = _fit_state(spark, sf_dir, k, iters)
     if not centroids:  # empty corpus: same contract as _assign
         return _assign(emb, centroids)
     n_groups = max(1, int(math.isqrt(len(centroids))))
@@ -322,6 +331,48 @@ def kmeans_assign_two_level(
     return emb.select("vec_id", "emb", picked.alias("sg")).select(
         "vec_id", within.alias("cluster")
     )
+
+
+def _lloyd_sample(
+    sample: DataFrame, k: int, iters: int
+) -> dict[int, list[float]]:
+    """Lloyd fit over an already-bounded sample frame (vec_id, emb):
+    deterministic init on the k LOWEST vec_ids present in the sample,
+    then `iters` rounds of flat assignment + decimal(38,18) mean
+    update — the same arithmetic as `_fit_state`, so the SQL replay
+    (`_kmeans_ctes_sampled`) mirrors every round. Returns the centroid
+    dict (empty on an empty sample — the empty-corpus contract)."""
+    sample = sample.localCheckpoint(eager=False)
+    init = sample.orderBy("vec_id").limit(k).collect()
+    centroids = {
+        int(r["vec_id"]): list(r["emb"])
+        for r in sorted(init, key=lambda r: r["vec_id"])
+    }
+    if not centroids:
+        return {}
+    dim = len(next(iter(centroids.values())))
+    emb_long = sample.select(
+        "vec_id", F.posexplode("emb").alias("idx", "val")
+    ).localCheckpoint(eager=False)
+    for _ in range(iters):
+        assign = _assign(sample, centroids)
+        means = (
+            emb_long.join(assign, "vec_id")
+            .groupBy("cluster", "idx")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .collect()
+        )
+        centroids = {}
+        for r in means:
+            centroids.setdefault(int(r["cluster"]), [0.0] * dim)[
+                int(r["idx"])
+            ] = float(r["cval"])
+    return centroids
 
 
 # quantized distance, mirroring _sq_dist: exact BIGINT sum (a raw
@@ -374,13 +425,13 @@ def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
-def _oracle_two_level(k: int = K, iters: int = ITERS) -> str:
-    """Full SQL replay of `kmeans_assign_two_level`: fit CTEs, then the
-    GROUP_ROUNDS integer-grid k-means over the centroids (HUGEINT
-    numerators ÷ cnt² in one double division — bit-identical to the
-    Python in `_group_centroids`), then the two-level per-vector pick
-    (quantized super argmin, quantized within-group argmin)."""
-    ctes, cfin = _kmeans_ctes(k, iters)
+def _two_level_pick_ctes(ctes: list[str], cfin: str) -> str:
+    """Append the CTEs replaying `_two_level_pick` against the fitted
+    centroid CTE `cfin` (GROUP_ROUNDS integer-grid k-means over the
+    centroids — HUGEINT numerators ÷ cnt² in one double division,
+    bit-identical to the Python — then the per-vector quantized super
+    argmin + within-group argmin over the full `e`). Returns the name
+    of the final (vec_id, cluster) assignment CTE."""
     ctes.append(
         f"qv AS (SELECT cid, idx, CAST(CAST(FLOOR(cval * {float(GROUP_GRID)}) "
         f"AS BIGINT) AS HUGEINT) AS q FROM {cfin})"
@@ -440,20 +491,81 @@ def _oracle_two_level(k: int = K, iters: int = ITERS) -> str:
         "GROUP BY e.vec_id, s.g) WHERE rn = 1)"
     )
     qd_within = _QD.format(c="c", v="cval")
-    final = (
-        "SELECT vec_id, cid AS cluster FROM (SELECT e.vec_id, c.cid, "
+    ctes.append(
+        "asg2 AS (SELECT vec_id, cid AS cluster FROM (SELECT e.vec_id, c.cid, "
         f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd_within}, c.cid) AS rn "
         f"FROM e JOIN {cfin} c ON e.idx = c.idx "
         f"JOIN {gfin} m ON m.cid = c.cid "
         "JOIN vsg v ON v.vec_id = e.vec_id AND v.g = m.g "
-        "GROUP BY e.vec_id, c.cid) WHERE rn = 1"
+        "GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
     )
-    # most CTEs here are referenced 2+ times (the NOT IN carry-forward,
-    # the final three-way join); DuckDB's default inlining re-evaluates
-    # the whole upstream fit chain per reference — exponential in the
-    # round count (measured 18 s → sub-second with MATERIALIZED)
+    return "asg2"
+
+
+def _assemble(ctes: list[str], final: str) -> str:
+    """MATERIALIZE every CTE and assemble the query. Most CTEs in these
+    replays are referenced 2+ times (the NOT IN carry-forward, the
+    final multi-way joins); DuckDB's default inlining re-evaluates the
+    whole upstream fit chain per reference — exponential in the round
+    count (measured 18 s → sub-second with MATERIALIZED)."""
     ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _oracle_two_level(k: int = K, iters: int = ITERS) -> str:
+    """Full SQL replay of `kmeans_assign_two_level`: fit CTEs, then the
+    two-level pick CTEs (`_two_level_pick_ctes`)."""
+    ctes, cfin = _kmeans_ctes(k, iters)
+    asg = _two_level_pick_ctes(ctes, cfin)
+    return _assemble(ctes, f"SELECT vec_id, cluster FROM {asg}")
+
+
+SEMDEDUP_FIT_SPC = 32  # expected fit-sample vectors per centroid
+
+
+def _kmeans_ctes_sampled(
+    iters: int, spc: int, cell_target: int
+) -> tuple[list[str], str]:
+    """Sampled-fit replay: k_eff and the fit sample are computed IN SQL
+    (k_eff = max(K, n // cell_target); a vector is sampled iff
+    hash·n < 2³²·spc·k_eff with hash = (vec_id·KNUTH) mod 2³² — the
+    exact integer cross-multiply form of an expected spc·k_eff-row
+    sample, identical to the Python driver's ceil-threshold filter).
+    Lloyd rounds assign and re-mean over SAMPLE rows only; returns
+    (ctes, final centroid CTE)."""
+    from parallelutilities_jl_spark.operators.pipeline import _KNUTH
+
+    ctes = [
+        "e AS (SELECT vec_id, UNNEST(generate_series(0, len(embedding) - 1)) AS idx, "
+        "UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        "pars AS (SELECT COUNT(DISTINCT vec_id) AS n FROM e)",
+        f"keff AS (SELECT GREATEST({K}, n // {cell_target}) AS k FROM pars)",
+        f"samp AS (SELECT DISTINCT vec_id FROM e WHERE "
+        f"CAST((vec_id * {_KNUTH}) % 4294967296 AS HUGEINT) * (SELECT n FROM pars) "
+        f"< CAST(4294967296 AS HUGEINT) * ({spc} * (SELECT k FROM keff)))",
+        "sinit AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rnk FROM samp)",
+        "es AS (SELECT e.* FROM e JOIN samp USING (vec_id))",
+        "c0 AS (SELECT e.vec_id AS cid, e.idx, e.val AS cval FROM e "
+        "JOIN sinit USING (vec_id) WHERE sinit.rnk <= (SELECT k FROM keff))",
+    ]
+    qd = _QD.format(c="c", v="cval")
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cid AS cluster FROM ("
+            f"SELECT e.vec_id, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
+            f"FROM es e JOIN {prev} c ON e.idx = c.idx "
+            f"GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cluster AS cid, idx, "
+            f"{_DSUM18.format(e='val')} / COUNT(*) AS cval "
+            f"FROM es e JOIN a{i} USING (vec_id) GROUP BY cluster, idx)"
+        )
+        prev = f"c{i}"
+    return ctes, prev
 
 
 def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,8 +1182,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_double(spark, sf_dir)
         .select("vec_id", "emb")
         .join(assign, "vec_id")
-        .withColumn("nrm", norm(F.col("emb")))
     )
+    return _semdedup_prune_census(emb)
+
+
+def _semdedup_prune_census(emb: DataFrame) -> DataFrame:
+    """Within-cluster cosine prune + retention census over an assigned
+    frame (vec_id, emb, cluster) — shared by both SemDeDup variants."""
+    from parallelutilities_jl_spark.operators.similarity import dot, norm
+
+    emb = emb.withColumn("nrm", norm(F.col("emb")))
     a = emb.select(
         "cluster",
         F.col("vec_id").alias("ia"),
@@ -1117,6 +1237,95 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
+
+def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, production shape — the linear-quantizer variant of
+    `q_semantic_dedup` (which fits on the FULL corpus and assigns flat,
+    the knowingly super-linear term in SCALING.md when k ∝ N):
+
+    1. FIT ON A BOUNDED SAMPLE: an expected SEMDEDUP_FIT_SPC vectors
+       per centroid, drawn by an exact integer predicate
+       hash·n < 2³²·spc·k_eff (hash = (vec_id·KNUTH) mod 2³²) that
+       both engines evaluate identically — model quality needs
+       samples-per-centroid, not the corpus. Lloyd rounds then touch
+       only sample rows: O(spc·k²·iters) instead of O(N·k·iters).
+    2. ASSIGN THE FULL CORPUS HIERARCHICALLY via `_two_level_pick`:
+       O(√k) per row instead of O(k).
+    3. prune + census within cells exactly as the flat variant
+       (`_semdedup_prune_census` — that stage was always linear,
+       O(cell) per row).
+
+    The fit term is still O(k²) ∝ (N/cell)² with a 1/spc constant — a
+    fully linear fit would recurse the two-level hierarchy into the
+    Lloyd rounds as well; at the measured tiers the corpus-sized terms
+    dominate and this variant removes them. Cluster labels (= sampled
+    init ids) differ from the flat variant's by construction; the
+    oracle (`_oracle_semantic_scaled`) replays sample, fit, grouping,
+    both argmin levels, and the prune bit-for-bit."""
+    from parallelutilities_jl_spark.operators.pipeline import _KNUTH
+
+    emb_all = (
+        _emb_double(spark, sf_dir)
+        .select("vec_id", "emb")
+        .filter(F.size("emb") > 0)
+        .repartition(min(8, spark.sparkContext.defaultParallelism))
+        .localCheckpoint()
+    )
+    n = emb_all.count()
+    k_eff = max(K, n // SEMDEDUP_CELL_TARGET)
+    if n:
+        # ceil threshold: hash < ceil(2^32·spc·k/n) ⟺ hash·n < 2^32·spc·k
+        cap = 2**32 * SEMDEDUP_FIT_SPC * k_eff
+        thresh = -(-cap // n)
+        sample = emb_all.filter(
+            (F.col("vec_id") * _KNUTH) % F.lit(2**32) < F.lit(thresh)
+        )
+    else:
+        sample = emb_all
+    centroids = _lloyd_sample(sample, k_eff, IVF_FIT_ITERS)
+    assign = _two_level_pick(emb_all, centroids)
+    return _semdedup_prune_census(emb_all.join(assign, "vec_id"))
+
+
+def _oracle_semantic_scaled() -> str:
+    from parallelutilities_jl_spark.operators.similarity import (
+        _DD_DOT,
+        _DD_LF,
+    )
+
+    ctes, cfin = _kmeans_ctes_sampled(
+        IVF_FIT_ITERS, SEMDEDUP_FIT_SPC, SEMDEDUP_CELL_TARGET
+    )
+    asg = _two_level_pick_ctes(ctes, cfin)
+    ctes.append(_DD_LF)
+    ctes.append(
+        f"dots AS (SELECT sa.cluster, a.vec_id AS ia, b.vec_id AS ib, "
+        f"{_DD_DOT} AS dot "
+        "FROM lf a JOIN lf b ON a.k = b.k "
+        f"JOIN {asg} sa ON sa.vec_id = a.vec_id "
+        f"JOIN {asg} sb ON sb.vec_id = b.vec_id AND sb.cluster = sa.cluster "
+        "WHERE a.vec_id < b.vec_id GROUP BY 1, 2, 3)"
+    )
+    ctes.append(
+        "drp AS (SELECT DISTINCT cluster, ib AS vec_id FROM dots "
+        "JOIN norms na ON na.vec_id = ia "
+        "JOIN norms nb ON nb.vec_id = ib "
+        f"WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= {SEMDEDUP_T})"
+    )
+    ctes.append(
+        f"sz AS (SELECT cluster, COUNT(*) AS n_vecs FROM {asg} GROUP BY 1)"
+    )
+    ctes.append(
+        "dc AS (SELECT cluster, COUNT(*) AS n_dropped FROM drp GROUP BY 1)"
+    )
+    final = (
+        "SELECT sz.cluster, CAST(n_vecs AS BIGINT) AS n_vecs, "
+        "CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped, "
+        "CAST(n_vecs - COALESCE(n_dropped, 0) AS BIGINT) AS n_kept "
+        "FROM sz LEFT JOIN dc USING (cluster)"
+    )
+    return _assemble(ctes, final)
 
 
 def _oracle_semantic_dedup(k: int = K, iters: int = IVF_FIT_ITERS) -> str:
@@ -1274,6 +1483,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rerank_topk": q_ann_pq_rerank_topk,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_scaled": q_semantic_dedup_scaled,
     "ann_index_delta": q_ann_index_delta,
 }
 
@@ -1286,5 +1496,6 @@ ORACLES = {
     "ann_pq_topk": _oracle_pq(),
     "ann_pq_rerank_topk": _oracle_pq_rerank(),
     "semantic_dedup": _oracle_semantic_dedup(),
+    "semantic_dedup_scaled": _oracle_semantic_scaled(),
     "ann_index_delta": _oracle_ann_index_delta(),
 }

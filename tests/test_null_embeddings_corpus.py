@@ -47,6 +47,7 @@ EMB_QUERIES = [
     "ann_ivf_trained_topk",
     "ann_ivf_multiprobe_topk",
     "semantic_dedup",
+    "semantic_dedup_scaled",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
     "ann_index_delta",

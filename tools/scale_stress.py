@@ -78,6 +78,9 @@ QUERIES = (
     "boilerplate_scrub_stats",
     "kmeans_assign_two_level",
     "dedup_eval_confusion",
+    # the linear-quantizer SemDeDup (bounded-sample fit + two-level
+    # assignment) — compare its x10 row against plain semantic_dedup
+    "semantic_dedup_scaled",
 )
 
 
