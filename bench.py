@@ -112,6 +112,10 @@ R7_ADDITIONS = [
     # round-8 additions (same common-subset bookkeeping)
     "ann_ivf_multiprobe_topk",
     "kmeans_assign_two_level",
+    "semantic_dedup_scaled",
+    "dsir_importance_weights",
+    "reservoir_sample_per_key",
+    "knn_mutual_graph",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

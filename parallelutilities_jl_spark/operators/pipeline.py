@@ -1177,6 +1177,224 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (paper: 10k; vocab-scaled)
+DSIR_TARGET_LANG = "en"  # the "target domain" the importance weights aim at
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (arXiv:2302.03169):
+    score every raw document by how much more likely its hashed-n-gram
+    features are under the TARGET distribution (here: the corpus' own
+    `lang = 'en'` slice standing in for a curated target domain) than
+    under the RAW distribution, log w(doc) = Σ_f [log p_tgt(b_f) −
+    log p_raw(b_f)] with Laplace-smoothed bucket probabilities. Docs with
+    w ≥ 1 (q_logw ≥ 0) are the importance-resampling keep-set.
+
+    Features are unigrams + word bigrams hashed into {DSIR_BUCKETS}
+    buckets (md5-derived, engine-portable); both n-gram distributions
+    are B-row histograms. All logs are the transcendental-free 2^20
+    fixed-point `_qlog2`, so the per-doc weight is EXACT integer math —
+    order-free, bit-identical in DuckDB (float-parity policy).
+
+    At 100 TB: one tokenize pass → a per-(doc, bucket) tf agg (map-side
+    combinable, the only data-sized shuffle) → two ≤B-row histograms
+    broadcast back → per-doc agg. The fitted "model" (two histograms) is
+    KB-sized driver-free broadcast state; no data-sized sort, no UDF —
+    exactly the shape the paper's hashed-n-gram estimator was chosen
+    for. Reference analog: arbitrary per-element map under `pmapreduce`
+    (src/mapreduce.jl:95-96) — here the map is the feature scorer and
+    the reduction is the per-doc integer sum."""
+    from parallelutilities_jl_spark.operators.text import _qlog2
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    w = TH.words(F.col("text"))
+    toks = F.filter(w, lambda x: x != "")
+    feats = F.when(
+        F.size(toks) >= 2, F.concat(toks, TH.shingles(toks, 2))
+    ).otherwise(toks)
+    fb = docs.select(
+        "doc_id", "lang", F.explode(feats).alias("f")
+    ).select(
+        "doc_id",
+        "lang",
+        (TH.md5_int48(F.col("f")) % DSIR_BUCKETS).alias("b"),
+    )
+    hist = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_t"),
+    )
+    tot = hist.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    tf = fb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    terms = (
+        tf.join(F.broadcast(hist), "b")
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("c_t") + 1).alias("c_t1"),
+            (F.col("c_r") + 1).alias("c_r1"),
+        )
+        .select(
+            "doc_id",
+            "tf",
+            F.expr(_qlog2("c_t1", spark=True)).alias("q_t"),
+            F.expr(_qlog2("c_r1", spark=True)).alias("q_r"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_feats"),
+        F.sum(F.col("tf") * (F.col("q_t") - F.col("q_r"))).alias("q_sum"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_feats",
+            "q_sum",
+            (F.col("n_r") + DSIR_BUCKETS).alias("nr1"),
+            (F.col("n_t") + DSIR_BUCKETS).alias("nt1"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.col("q_sum")
+                + F.col("n_feats")
+                * (
+                    F.expr(_qlog2("nr1", spark=True))
+                    - F.expr(_qlog2("nt1", spark=True))
+                )
+            ).alias("q_logw"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "q_logw",
+            (F.col("q_logw") >= 0).alias("selected"),
+        )
+    )
+
+
+def _oracle_dsir() -> str:
+    from parallelutilities_jl_spark.operators.text import _qlog2
+
+    B, TL = DSIR_BUCKETS, DSIR_TARGET_LANG
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter({TH.dd_words('text')}, x -> x <> '') AS w
+  FROM documents),
+farr AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= 2 THEN w || {TH.dd_shingles('w', 2)}
+              ELSE w END AS fs
+  FROM toks),
+fb AS (
+  SELECT doc_id, lang, {TH.dd_md5_int48('f')} % {B} AS b
+  FROM (SELECT doc_id, lang, UNNEST(fs) AS f FROM farr)),
+hist AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(COUNT(*) FILTER (WHERE lang = '{TL}') AS BIGINT) AS c_t
+  FROM fb GROUP BY b),
+tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+               CAST(SUM(c_t) AS BIGINT) AS n_t FROM hist),
+tf AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM fb GROUP BY 1, 2),
+terms AS (
+  SELECT doc_id, tf, c_t + 1 AS c_t1, c_r + 1 AS c_r1
+  FROM tf JOIN hist USING (b)),
+qterms AS (
+  SELECT doc_id, tf,
+         {_qlog2('c_t1', spark=False)} AS q_t,
+         {_qlog2('c_r1', spark=False)} AS q_r
+  FROM terms),
+agg AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feats,
+         CAST(SUM(tf * (q_t - q_r)) AS BIGINT) AS q_sum
+  FROM qterms GROUP BY doc_id),
+fin AS (
+  SELECT doc_id, n_feats,
+         q_sum + n_feats * ({_qlog2(f'n_r + {B}', spark=False)}
+                            - {_qlog2(f'n_t + {B}', spark=False)}) AS q_logw
+  FROM agg CROSS JOIN tot)
+SELECT doc_id, n_feats, CAST(q_logw AS BIGINT) AS q_logw,
+       q_logw >= 0 AS selected
+FROM fin
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-key bounded sampling (bottom-k sketch)
+# ---------------------------------------------------------------------------
+
+_RS_K = 20  # sample size per key
+_RS_SHARDS = 8  # stage-1 fan-out bound
+
+
+def q_reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source uniform sample without replacement — the
+    bottom-k sketch: each source keeps its {_RS_K} docs with the
+    smallest salted md5 rank (a fixed hash, so re-runs, engines, and
+    cluster sizes all draw the IDENTICAL sample; a bottom-k over a
+    uniform hash IS a uniform k-sample).
+
+    Scale shape — no data-sized per-key window: keys here are few
+    (sources), so a single `row_number() over (partition by source)`
+    would funnel whole sources through single tasks. Instead the
+    classic two-stage top-k: stage 1 ranks within (source, hash-shard)
+    — {_RS_SHARDS}× smaller partitions, each emitting ≤ k rows — and
+    stage 2 ranks the surviving ≤ k·{_RS_SHARDS} rows per source.
+    Stage-1 winners are a superset of the true per-source bottom-k, so
+    the composition is EXACT, and the final window runs on a bounded
+    frame at any corpus size."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    h = TH.md5_int48(
+        F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        h.alias("h"),
+        (h % _RS_SHARDS).alias("shard"),
+    )
+    w1 = W.partitionBy("source", "shard").orderBy("h", "doc_id")
+    stage1 = (
+        keyed.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _RS_K)
+        .drop("r1", "shard")
+    )
+    w2 = W.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        stage1.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= _RS_K)
+        .select("source", "doc_id", "h", "rnk")
+    )
+
+
+ORACLE_RESERVOIR_SAMPLE = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS h
+  FROM documents)
+SELECT source, doc_id, h, rnk FROM (
+  SELECT source, doc_id, h,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY h, doc_id) AS BIGINT) AS rnk
+  FROM h)
+WHERE rnk <= {_RS_K}
+"""
+
+
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "pii_scrub_stats": q_pii_scrub_stats,
@@ -1193,6 +1411,8 @@ QUERIES = {
     "training_order_packing": q_training_order_packing,
     "quality_curriculum": q_quality_curriculum,
     "leakage_safe_split": q_leakage_safe_split,
+    "dsir_importance_weights": q_dsir_importance_weights,
+    "reservoir_sample_per_key": q_reservoir_sample_per_key,
 }
 
 ORACLES = {
@@ -1211,4 +1431,6 @@ ORACLES = {
     "contamination_check": ORACLE_CONTAMINATION,
     "corpus_filter_pipeline": ORACLE_FILTER_PIPELINE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "dsir_importance_weights": _oracle_dsir(),
+    "reservoir_sample_per_key": ORACLE_RESERVOIR_SAMPLE,
 }

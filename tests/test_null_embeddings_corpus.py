@@ -37,6 +37,7 @@ EMB_QUERIES = [
     "ann_int8_topk",
     "ann_ivf_topk",
     "ann_lsh_bucket",
+    "knn_mutual_graph",
     "embedding_cosine_dups",
     "embedding_cosine_exact",
     "embedding_norm_stats",

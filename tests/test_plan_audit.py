@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "embedding_cosine_exact",
     "bm25_topk",
     "unigram_logppl",
+    "dsir_importance_weights",  # 1-row (n_r, n_t) totals crossed per doc
+
     "mixture_weighted_sample",
     "quality_curriculum",
     "sequence_packing",

@@ -81,6 +81,15 @@ QUERIES = (
     # the linear-quantizer SemDeDup (bounded-sample fit + two-level
     # assignment) — compare its x10 row against plain semantic_dedup
     "semantic_dedup_scaled",
+    # round-8 second wave: DSIR is two token-stream passes + B-row
+    # broadcast histograms (=> ~linear); the reservoir sample's staged
+    # windows are bounded per (source, shard); the mutual kNN graph is
+    # the corpus×corpus celled case — cells grow with shards here
+    # (labels are reused across shards), so its bound is the per-cell
+    # quadratic, expected ~x10 per tier at constant cell count
+    "dsir_importance_weights",
+    "reservoir_sample_per_key",
+    "knn_mutual_graph",
 )
 
 
