@@ -786,12 +786,18 @@ def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x·y·S) = floor(y·x·S) exactly, so the symmetric pair carries
     one well-defined score in both engines."""
     emb = _emb_double(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
+    # hash-partition the query side by qid up front: pair expansion is
+    # compute-bound, not byte-bound, so a single-split scan (or an AQE
+    # size-coalesced stream) would otherwise grind the whole per-cell
+    # quadratic through one task when the candidate side broadcasts —
+    # and HashPartitioning(qid) is exactly what the top-k window needs,
+    # so the expanded pair stream is never re-shuffled
     a = emb.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("cell"),
         F.col("emb").alias("qe"),
         F.col("nrm").alias("qn"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "qid")
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("cell"),
