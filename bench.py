@@ -116,6 +116,9 @@ R7_ADDITIONS = [
     "dsir_importance_weights",
     "reservoir_sample_per_key",
     "knn_mutual_graph",
+    "bigram_pmi_top",
+    "embedding_power_iteration",
+    "split_drift_psi",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

@@ -1474,6 +1474,115 @@ def q_kmeans_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_two_level(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# distributed power iteration: top principal direction of the embedding
+# second-moment matrix (the PCA direction embedding-whitening / ABTT
+# "all-but-the-top" post-processing removes, Mu & Viswanath 2018,
+# arXiv:1702.01417)
+# ---------------------------------------------------------------------------
+
+PI_ITERS = 2  # fixed rounds, oracle replays them as chained CTEs
+PI_SHIFT = 20  # downshift of the int64 projection before the next matvec
+
+
+def q_embedding_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding
+    second-moment matrix by distributed power iteration: v ← normalize
+    (Σ_i (x_i·v) x_i), {PI_ITERS} rounds from the deterministic e_0
+    init. The direction is what embedding post-processing (whitening,
+    all-but-the-top) subtracts, and the iteration is the textbook
+    "matrix too big for one node" shape: each round is one broadcast
+    join (the 64-row v) + two map-side-combinable aggs — the corpus is
+    scanned, never materialized, and no driver state beyond the KB
+    model frame (the whole chain stays LAZY — v never collects).
+
+    Cross-engine exactness at every step (float-parity policy):
+    projections are the quantized int64 dot (DOT_SCALE), downshifted
+    by an ARITHMETIC shift (floor semantics — Spark `shiftright` and
+    DuckDB `>>` agree on negatives, unlike int division); component
+    sums are exact DECIMAL(38,0) over floor-quantized terms; the only
+    float ops are the final cast→divide→sqrt on identical operands.
+    Output: (j, v) — the 64 components of the final unit vector."""
+    emb_long = (
+        _emb_double(spark, sf_dir)
+        .select("vec_id", F.posexplode("emb").alias("j", "x"))
+    )
+    v = (
+        emb_long.select("j")
+        .distinct()
+        .select(
+            "j",
+            F.when(F.col("j") == 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+    )
+    for _ in range(PI_ITERS):
+        d = (
+            emb_long.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("x") * F.col("v") * F.lit(float(DOT_SCALE))
+                    )
+                ).alias("d")
+            )
+        )
+        w = d.select(
+            "vec_id", F.shiftright(F.col("d"), PI_SHIFT).alias("w")
+        )
+        s = (
+            emb_long.join(w, "vec_id")
+            .groupBy("j")
+            .agg(
+                F.sum(
+                    F.floor(F.col("w") * F.col("x")).cast("decimal(38,0)")
+                ).alias("s")
+            )
+        )
+        nrm = s.agg(
+            F.sqrt(
+                F.sum(F.col("s") * F.col("s")).cast("double")
+            ).alias("nrm")
+        )
+        v = s.crossJoin(F.broadcast(nrm)).select(
+            "j", (F.col("s").cast("double") / F.col("nrm")).alias("v")
+        )
+    return v
+
+
+def _oracle_power_iteration() -> str:
+    S = float(DOT_SCALE)
+    sql = """
+WITH lf AS (SELECT vec_id,
+                   UNNEST(generate_series(1, len(embedding))) AS k,
+                   UNNEST(list_transform(embedding, e -> CAST(e AS DOUBLE)))
+                     AS x
+            FROM embeddings),
+dims AS (SELECT DISTINCT k FROM lf),
+v0 AS (SELECT k, CASE WHEN k = 1 THEN 1.0 ELSE 0.0 END AS v FROM dims)"""
+    prev = "v0"
+    for i in range(1, PI_ITERS + 1):
+        sql += f""",
+d{i} AS (SELECT vec_id,
+               CAST(SUM(CAST(FLOOR(x * v * {S}) AS BIGINT)) AS BIGINT) AS d
+        FROM lf JOIN {prev} ON {prev}.k = lf.k GROUP BY vec_id),
+w{i} AS (SELECT vec_id, d >> {PI_SHIFT} AS w FROM d{i}),
+s{i} AS (SELECT k, SUM(CAST(FLOOR(w * x) AS BIGINT)) AS s
+        FROM lf JOIN w{i} USING (vec_id) GROUP BY k),
+n{i} AS (SELECT SQRT(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM s{i}),
+v{i} AS (SELECT k, CAST(s AS DOUBLE) / nrm AS v
+        FROM s{i} CROSS JOIN n{i})"""
+        prev = f"v{i}"
+    sql += f"""
+SELECT CAST(k - 1 AS INT) AS j, v FROM {prev}
+"""
+    return sql
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_assign_two_level": q_kmeans_assign_two_level,
@@ -1485,6 +1594,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_scaled": q_semantic_dedup_scaled,
     "ann_index_delta": q_ann_index_delta,
+    "embedding_power_iteration": q_embedding_power_iteration,
 }
 
 ORACLES = {
@@ -1498,4 +1608,5 @@ ORACLES = {
     "semantic_dedup": _oracle_semantic_dedup(),
     "semantic_dedup_scaled": _oracle_semantic_scaled(),
     "ann_index_delta": _oracle_ann_index_delta(),
+    "embedding_power_iteration": _oracle_power_iteration(),
 }

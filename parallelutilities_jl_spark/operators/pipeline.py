@@ -1395,6 +1395,160 @@ WHERE rnk <= {_RS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# split drift monitor (population stability index)
+# ---------------------------------------------------------------------------
+
+_PSI_ALERT = 0.2  # the standard PSI "significant shift" threshold
+# Under the no-drift null, E[PSI] ≈ (B−1)·(1/n_tr + 1/n_te)/ln2 from
+# sampling noise alone — at small per-source samples that dwarfs the 0.2
+# alert line, so the flag adds a noise allowance of K·B·(1/n_tr + 1/n_te)
+# (K covers the 1/ln2 and variance slack); an alert then means the shift
+# exceeds what sampling noise explains, at any sample size.
+_PSI_NOISE_K = 2.0
+
+
+def q_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-test drift monitor: per-source Population Stability
+    Index over doc-length buckets — the standard pipeline-monitoring
+    check that a (re)generated split still draws both halves from the
+    same distribution (PSI < 0.1 stable, > 0.2 action). Buckets are
+    power-of-two `n_chars` bins (the bin()-length trick — integer,
+    engine-identical); PSI = Σ_b (p_b − q_b)·log2(p_b/q_b) with
+    Laplace-smoothed bucket counts.
+
+    Exact cross-engine arithmetic: the log2 ratio is a difference of
+    fixed-point `_qlog2` integers, the (p−q) factor is cleared to the
+    integer numerator c_tr·N_te − c_te·N_tr, and the per-source sum
+    runs in DECIMAL(38,0) — one double division at the end on
+    identical operands (float-parity policy). Scale shape: one scan →
+    a (source × ~30 buckets)-bounded agg → per-source rollup; the
+    histogram, not the data, is what aggregates."""
+    from parallelutilities_jl_spark.operators.text import _qlog2
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    b = _bucket_col()
+    lb = F.expr("length(bin(n_chars + 1))")
+    hist = (
+        docs.filter((b < _TRAIN_LT) | (b >= _VAL_LT))
+        .select(
+            "source",
+            lb.alias("lb"),
+            (b < _TRAIN_LT).cast("long").alias("is_train"),
+        )
+        .groupBy("source", "lb")
+        .agg(
+            (F.sum("is_train") + 1).alias("c_tr"),
+            (F.sum(1 - F.col("is_train")) + 1).alias("c_te"),
+        )
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("c_tr").alias("n_tr"),
+        F.sum("c_te").alias("n_te"),
+        F.count(F.lit(1)).alias("b_cnt"),
+    )
+    terms = (
+        hist.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "n_tr",
+            "n_te",
+            "b_cnt",
+            (
+                (
+                    F.col("c_tr").cast("decimal(38,0)")
+                    * F.col("n_te").cast("decimal(38,0)")
+                    - F.col("c_te").cast("decimal(38,0)")
+                    * F.col("n_tr").cast("decimal(38,0)")
+                )
+                * (
+                    (
+                        F.expr(_qlog2("c_tr", spark=True))
+                        - F.expr(_qlog2("n_tr", spark=True))
+                    )
+                    - (
+                        F.expr(_qlog2("c_te", spark=True))
+                        - F.expr(_qlog2("n_te", spark=True))
+                    )
+                ).cast("decimal(38,0)")
+            ).alias("num"),
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_tr").alias("n_tr"),
+            F.first("n_te").alias("n_te"),
+            F.first("b_cnt").alias("b_cnt"),
+            F.sum("num").alias("psi_num"),
+        )
+    )
+    from parallelutilities_jl_spark.operators.text import LOGPPL_Q
+
+    psi = F.col("psi_num").cast("double") / (
+        F.col("n_tr").cast("double")
+        * F.col("n_te").cast("double")
+        * F.lit(float(LOGPPL_Q))
+    )
+    allowance = (
+        F.lit(_PSI_NOISE_K)
+        * F.col("b_cnt").cast("double")
+        * (F.col("n_tr").cast("double") + F.col("n_te").cast("double"))
+        / (F.col("n_tr").cast("double") * F.col("n_te").cast("double"))
+    )
+    return terms.select(
+        "source",
+        "n_tr",
+        "n_te",
+        "b_cnt",
+        psi.alias("psi"),
+        (psi > F.lit(_PSI_ALERT) + allowance).alias("drifted"),
+    )
+
+
+def _oracle_split_drift_psi() -> str:
+    from parallelutilities_jl_spark.operators.text import LOGPPL_Q, _qlog2
+
+    return f"""
+WITH marked AS (
+  SELECT source, length(bin(n_chars + 1)) AS lb,
+         CASE WHEN {_DD_BUCKET} < {_TRAIN_LT} THEN 1 ELSE 0 END AS is_train
+  FROM documents
+  WHERE {_DD_BUCKET} < {_TRAIN_LT} OR {_DD_BUCKET} >= {_VAL_LT}),
+hist AS (
+  SELECT source, lb,
+         CAST(SUM(is_train) + 1 AS BIGINT) AS c_tr,
+         CAST(SUM(1 - is_train) + 1 AS BIGINT) AS c_te
+  FROM marked GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(SUM(c_tr) AS BIGINT) AS n_tr,
+         CAST(SUM(c_te) AS BIGINT) AS n_te,
+         CAST(COUNT(*) AS BIGINT) AS b_cnt
+  FROM hist GROUP BY source),
+terms AS (
+  SELECT h.source, n_tr, n_te, b_cnt,
+         (CAST(c_tr AS HUGEINT) * n_te - CAST(c_te AS HUGEINT) * n_tr)
+         * (({_qlog2('c_tr', spark=False)} - {_qlog2('n_tr', spark=False)})
+            - ({_qlog2('c_te', spark=False)} - {_qlog2('n_te', spark=False)}))
+           AS num
+  FROM hist h JOIN tot USING (source)),
+agg AS (
+  SELECT source, ANY_VALUE(n_tr) AS n_tr, ANY_VALUE(n_te) AS n_te,
+         ANY_VALUE(b_cnt) AS b_cnt, SUM(num) AS psi_num
+  FROM terms GROUP BY source),
+fin AS (
+  SELECT source, n_tr, n_te, b_cnt,
+         CAST(psi_num AS DOUBLE)
+           / (CAST(n_tr AS DOUBLE) * CAST(n_te AS DOUBLE)
+              * {float(LOGPPL_Q)}) AS psi,
+         {_PSI_NOISE_K} * CAST(b_cnt AS DOUBLE)
+           * (CAST(n_tr AS DOUBLE) + CAST(n_te AS DOUBLE))
+           / (CAST(n_tr AS DOUBLE) * CAST(n_te AS DOUBLE)) AS allowance
+  FROM agg)
+SELECT source, n_tr, n_te, b_cnt, psi,
+       psi > {_PSI_ALERT} + allowance AS drifted
+FROM fin
+"""
+
+
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "pii_scrub_stats": q_pii_scrub_stats,
@@ -1413,6 +1567,7 @@ QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "dsir_importance_weights": q_dsir_importance_weights,
     "reservoir_sample_per_key": q_reservoir_sample_per_key,
+    "split_drift_psi": q_split_drift_psi,
 }
 
 ORACLES = {
@@ -1433,4 +1588,5 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dsir_importance_weights": _oracle_dsir(),
     "reservoir_sample_per_key": ORACLE_RESERVOIR_SAMPLE,
+    "split_drift_psi": _oracle_split_drift_psi(),
 }

@@ -1060,6 +1060,112 @@ ORDER BY n DESC, bigram LIMIT {VOCAB_TOP_N}
     }
 
 
+PMI_MIN_COUNT = 5  # collocation support floor (noise gate)
+PMI_TOP_K = 50
+
+
+def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the
+    association-strength ranking behind phrase detection / multi-word
+    tokenizer entries (Mikolov et al. 2013 use exactly this corpus
+    statistic to decide which bigrams become single tokens). Differs
+    from `vocab_top_bigrams` (raw frequency): PMI divides out the
+    unigram marginals, so "of the" sinks and genuinely-associated pairs
+    surface. PMI = log2(p(x,y) / (p(x)·p(y))) with p from corpus
+    counts; every log is the transcendental-free fixed-point `_qlog2`,
+    so the score q_pmi = qlog2(c_xy) + 2·qlog2(N_uni) − qlog2(N_bi) −
+    qlog2(c_x) − qlog2(c_y) is exact integer math — identical ranking
+    in both engines (float-parity policy).
+
+    Scale shape: one tokenize pass feeding two hash-aggs (bigram and
+    unigram counts, both map-side combinable); the marginals join is
+    vocab-sized and broadcasts; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, no global sort). The
+    support floor keeps the ranked set sparse at any corpus size."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    w = TH.words(F.col("text"))
+    toks = F.filter(w, lambda x: x != "")
+    base = docs.select(toks.alias("ws"))
+    uni = base.select(F.explode("ws").alias("t"))
+    cx = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    nu = cx.agg(F.sum("c").alias("n_uni"))
+    pairs = base.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ws"), j).alias("x"),
+                    F.element_at(F.col("ws"), j + 1).alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    nb = bc.agg(F.sum("c_xy").alias("n_bi"))
+    scored = (
+        bc.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(
+            F.broadcast(cx.select(F.col("t").alias("x"), F.col("c").alias("c_x"))),
+            "x",
+        )
+        .join(
+            F.broadcast(cx.select(F.col("t").alias("y"), F.col("c").alias("c_y"))),
+            "y",
+        )
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                F.expr(_qlog2("c_xy", spark=True))
+                + 2 * F.expr(_qlog2("n_uni", spark=True))
+                - F.expr(_qlog2("n_bi", spark=True))
+                - F.expr(_qlog2("c_x", spark=True))
+                - F.expr(_qlog2("c_y", spark=True))
+            ).alias("q_pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("q_pmi").desc(), F.col("x"), F.col("y")
+    ).limit(PMI_TOP_K)
+
+
+def _oracle_bigram_pmi() -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter({TH.dd_words('text')}, t -> t <> '') AS ws
+  FROM documents),
+uni AS (SELECT UNNEST(ws) AS t FROM toks),
+cx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY t),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM cx),
+bi AS (SELECT ws[j] AS x, ws[j + 1] AS y
+       FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS u(j)
+       WHERE len(ws) >= 2),
+bc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bi GROUP BY 1, 2),
+nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bc),
+scored AS (
+  SELECT x, y, c_xy, cx1.c AS c_x, cx2.c AS c_y,
+         {_qlog2('c_xy', spark=False)}
+         + 2 * {_qlog2('n_uni', spark=False)}
+         - {_qlog2('n_bi', spark=False)}
+         - {_qlog2('cx1.c', spark=False)}
+         - {_qlog2('cx2.c', spark=False)} AS q_pmi
+  FROM bc
+  JOIN cx cx1 ON cx1.t = bc.x
+  JOIN cx cx2 ON cx2.t = bc.y
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE c_xy >= {PMI_MIN_COUNT})
+SELECT x, y, c_xy, c_x, c_y, CAST(q_pmi AS BIGINT) AS q_pmi
+FROM scored
+ORDER BY q_pmi DESC, x, y
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "text_quality_score": q_text_quality,
@@ -1076,6 +1182,7 @@ QUERIES = {
     "skipgram_pairs": q_skipgram_pairs,
     "padding_waste_buckets": q_padding_waste_buckets,
     "oov_rate_by_source": q_oov_rate_by_source,
+    "bigram_pmi_top": q_bigram_pmi_top,
 }
 
 ORACLES = _oracles()
@@ -1086,3 +1193,4 @@ ORACLES["vocab_fuzzy_pairs"] = _oracle_vocab_fuzzy()
 ORACLES["skipgram_pairs"] = _oracle_skipgrams()
 ORACLES["padding_waste_buckets"] = _oracle_padding_waste()
 ORACLES["oov_rate_by_source"] = _oracle_oov_rate()
+ORACLES["bigram_pmi_top"] = _oracle_bigram_pmi()

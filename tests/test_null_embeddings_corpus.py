@@ -52,6 +52,7 @@ EMB_QUERIES = [
     "ann_pq_topk",
     "ann_pq_rerank_topk",
     "ann_index_delta",
+    "embedding_power_iteration",
 ]
 
 

@@ -81,6 +81,96 @@ def test_reservoir_sample_is_exact_bottom_k(spark, sf_dir):
     assert truth.exceptAll(sample).count() == 0
 
 
+def test_bigram_pmi_ranks_association_not_frequency(spark, sf_dir):
+    """PMI output respects the support floor, the ranking is
+    non-constant, and the score actually reorders relative to raw
+    frequency (otherwise it degenerated into vocab_top_bigrams)."""
+    from parallelutilities_jl_spark.operators.text import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        q_bigram_pmi_top,
+    )
+
+    rows = q_bigram_pmi_top(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    assert all(r["c_xy"] >= PMI_MIN_COUNT for r in rows)
+    assert len({r["q_pmi"] for r in rows}) > 1
+    by_pmi = [
+        (r["x"], r["y"])
+        for r in sorted(rows, key=lambda r: (-r["q_pmi"], r["x"], r["y"]))
+    ]
+    by_freq = [
+        (r["x"], r["y"])
+        for r in sorted(rows, key=lambda r: (-r["c_xy"], r["x"], r["y"]))
+    ]
+    assert by_pmi != by_freq
+
+
+def test_power_iteration_improves_rayleigh_quotient(spark, sf_dir):
+    """The returned direction is unit-norm and captures at least as
+    much second-moment energy as the e_0 init (power iteration is
+    monotone in the Rayleigh quotient)."""
+    import numpy as np
+
+    from parallelutilities_jl_spark.operators.clustering import (
+        q_embedding_power_iteration,
+    )
+
+    v_rows = q_embedding_power_iteration(spark, sf_dir).collect()
+    assert len(v_rows) == 64
+    v = np.zeros(64)
+    for r in v_rows:
+        v[r["j"]] = r["v"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    X = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+            if r["embedding"] is not None
+        ],
+        dtype=np.float64,
+    )
+    e0 = np.zeros(64)
+    e0[0] = 1.0
+    rq = lambda u: float((X @ u) @ (X @ u))  # noqa: E731
+    assert rq(v) >= rq(e0)
+
+
+def test_split_drift_psi_flags_real_drift_only(spark, sf_dir, tmp_path):
+    """The fixture's hash split draws train/test from one distribution,
+    so PSI must stay under the alert threshold; an injected
+    split-correlated length shift must flag."""
+    from parallelutilities_jl_spark.operators.pipeline import (
+        _KNUTH,
+        _TRAIN_LT,
+        q_split_drift_psi,
+    )
+
+    clean = q_split_drift_psi(spark, sf_dir).collect()
+    # tiny per-source samples make the RAW psi noisy by construction —
+    # the flag's noise allowance is what must absorb that
+    assert clean and all(not r["drifted"] for r in clean)
+    # inject drift: train-bucket docs get 10x the length of test docs
+    rows = []
+    for i in range(400):
+        b = (i * _KNUTH) % (2**32) % 100
+        n = 2000 if b < _TRAIN_LT else 100
+        rows.append((i, "x " * 5, "en", "srcA", n))
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    drifted = q_split_drift_psi(spark, str(tmp_path)).collect()
+    assert len(drifted) == 1 and drifted[0]["drifted"]
+
+
 def test_knn_mutual_graph_properties(spark, sf_dir):
     """Edges exist (each cell's closest pair is always mutual), are
     canonically oriented src < dst, stay within a cell, and per-node

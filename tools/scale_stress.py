@@ -90,6 +90,13 @@ QUERIES = (
     "dsir_importance_weights",
     "reservoir_sample_per_key",
     "knn_mutual_graph",
+    # PMI is two token-stream aggs + vocab-sized broadcast joins
+    # (=> ~linear); power iteration is 2 fixed rounds of broadcast-join
+    # matvecs (=> ~linear in rows)
+    "bigram_pmi_top",
+    "embedding_power_iteration",
+    # PSI runs on a (source x ~30 length-buckets)-bounded histogram
+    "split_drift_psi",
 )
 
 
