@@ -119,6 +119,7 @@ R7_ADDITIONS = [
     "bigram_pmi_top",
     "embedding_power_iteration",
     "split_drift_psi",
+    "stateful_sessions",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

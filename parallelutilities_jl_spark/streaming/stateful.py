@@ -192,6 +192,68 @@ def running_ewma_per_key(
     )
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # 30-min inactivity gap, exact micros
+
+
+def running_sessions_per_key(
+    grouped_stream,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key streaming sessionizer with O(1) state — the stateful
+    twin of the batch `sessionize_events` (and of Structured
+    Streaming's built-in session_window, but with custom per-session
+    logic the built-in can't carry): state is (last event's epoch-µs,
+    session count, current-session event count); an incoming event
+    whose gap from the previous exceeds {SESSION_GAP_US} µs opens a new
+    session. Gap arithmetic is exact integer MICROS on every engine
+    (pandas .value//1000, Spark unix_micros, DuckDB epoch_us), so the
+    session boundaries are a pure function of the per-key event
+    sequence — independent of trigger placement, pinned like the other
+    four operators by the 1-vs-N micro-batch test.
+
+    Emits per trigger: (key, n_sessions so far, size of the currently
+    open session). State never grows with history — safe at any stream
+    length; idle keys would pair with an EventTimeTimeout in
+    production."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        if state.exists:
+            last_us, n_sess, cur_n = state.get
+            last_us, n_sess, cur_n = int(last_us), int(n_sess), int(cur_n)
+        else:
+            last_us, n_sess, cur_n = None, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for t in pdf[ts_col]:
+                t_us = int(pd.Timestamp(t).value // 1000)
+                if last_us is None or t_us - last_us > SESSION_GAP_US:
+                    n_sess += 1
+                    cur_n = 1
+                else:
+                    cur_n += 1
+                last_us = t_us
+        if last_us is not None:
+            state.update((last_us, n_sess, cur_n))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_sessions": [n_sess],
+                    "last_n": [cur_n],
+                }
+            )
+
+    return grouped_stream.applyInPandasWithState(
+        fn,
+        f"{key_col} long, n_sessions long, last_n long",
+        "last_us long, n_sess long, cur_n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked batch-parity queries for the stateful tier
 #
@@ -314,11 +376,40 @@ def q_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity of `running_sessions_per_key`: final per-key session
+    count and open-session size under the same exact-micros gap rule.
+    lag-gap flags → cumulative session ids (per-key windows, never a
+    global sort) → one agg; NULL-ts rows are excluded (no position in
+    time ⇒ no session, mirrored in the oracle)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fixture ts arrives as TIMESTAMP_NTZ; with the session tz pinned
+    # UTC the cast is wall-clock identity, so these micros equal
+    # DuckDB's naive epoch_us(ts)
+    t_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    gap = t_us - F.lag(t_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn(
+        "sid", F.sum(is_new).over(wcum).cast("long")
+    ).withColumn(
+        "mx", F.max("sid").over(Window.partitionBy("user_id"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sid").alias("n_sessions"),
+        F.sum((F.col("sid") == F.col("mx")).cast("long")).alias("last_n"),
+    )
+
+
 QUERIES = {
     "stateful_running_count": q_stateful_running_count,
     "stateful_running_sum": q_stateful_running_sum,
     "stateful_topk": q_stateful_topk,
     "stateful_ewma": q_stateful_ewma,
+    "stateful_sessions": q_stateful_sessions,
 }
 
 ORACLES = {
@@ -350,6 +441,30 @@ WHERE rnk <= {STATEFUL_TOPK_K}
 """,
     # floor-division fold on a non-negative domain: DuckDB // floors,
     # matching the operator's Python //; see running_ewma_per_key.
+    "stateful_sessions": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us
+  FROM events WHERE ts IS NOT NULL),
+g AS (
+  SELECT user_id, t_us, event_id,
+         CASE WHEN LAG(t_us) OVER w IS NULL
+                OR t_us - LAG(t_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+s AS (
+  SELECT user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY t_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sid
+  FROM g)
+SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN sid = mx THEN 1 ELSE 0 END) AS BIGINT) AS last_n
+FROM (SELECT user_id, sid,
+             MAX(sid) OVER (PARTITION BY user_id) AS mx FROM s)
+GROUP BY user_id
+""",
     "stateful_ewma": f"""
 WITH s AS (
   SELECT user_id,

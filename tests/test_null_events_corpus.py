@@ -55,6 +55,7 @@ EVENTS_QUERIES = [
     "stateful_running_sum",
     "stateful_topk",
     "stateful_ewma",
+    "stateful_sessions",
 ]
 
 

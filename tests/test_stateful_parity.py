@@ -119,6 +119,18 @@ def test_topk_matches_registered_query(spark, sf_dir, ts_sorted_table):
     assert got == want and got
 
 
+def test_sessions_match_registered_query(spark, sf_dir, ts_sorted_table):
+    rows = _run_stream(
+        spark, ts_sorted_table, ST.running_sessions_per_key, "sp_sess"
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["last_n"]) for r in rows}
+    want = {
+        r["user_id"]: (r["n_sessions"], r["last_n"])
+        for r in ST.q_stateful_sessions(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
 def test_ewma_matches_registered_query(spark, sf_dir, ts_sorted_table):
     rows = _run_stream(
         spark, ts_sorted_table, ST.running_ewma_per_key, "sp_ewma"

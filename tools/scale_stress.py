@@ -97,6 +97,8 @@ QUERIES = (
     "embedding_power_iteration",
     # PSI runs on a (source x ~30 length-buckets)-bounded histogram
     "split_drift_psi",
+    # per-key lag/cumsum windows, 10x users at constant history
+    "stateful_sessions",
 )
 
 
