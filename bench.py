@@ -120,6 +120,7 @@ R7_ADDITIONS = [
     "embedding_power_iteration",
     "split_drift_psi",
     "stateful_sessions",
+    "knn_components",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

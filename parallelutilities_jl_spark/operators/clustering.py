@@ -1583,6 +1583,53 @@ SELECT CAST(k - 1 AS INT) AS j, v FROM {prev}
     return sql
 
 
+def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clusters as graph components: connected components over
+    the MUTUAL k-NN edge list (`similarity.q_knn_mutual_graph`) — the
+    graph-clustering step that turns pairwise neighbor evidence into
+    deduplicatable groups, the same shape text dedup uses over MinHash
+    pairs (`dedup.connected_components`, min-label propagation to the
+    unique fixpoint; recursive-CTE oracle). Output: (vec_id,
+    component_id = min member id) for every vector that has at least
+    one mutual neighbor.
+
+    At 100 TB: edges are N·k-bounded (mutual top-k within cells, never
+    all-pairs), components are shallow (semantic clusters, not chains),
+    and each propagation round is one node-keyed shuffle over the edge
+    list."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        connected_components,
+    )
+    from parallelutilities_jl_spark.operators.similarity import (
+        q_knn_mutual_graph,
+    )
+
+    edges = q_knn_mutual_graph(spark, sf_dir).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    return connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+
+
+def _oracle_knn_components() -> str:
+    from parallelutilities_jl_spark.operators import similarity
+
+    edge_sql = similarity.ORACLES["knn_mutual_graph"]
+    return f"""
+WITH RECURSIVE
+e2 AS (SELECT src AS doc_a, dst AS doc_b FROM ({edge_sql})),
+und AS (SELECT doc_a AS u, doc_b AS v FROM e2
+        UNION ALL SELECT doc_b, doc_a FROM e2),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.n, und.v FROM reach r JOIN und ON r.m = und.u
+)
+SELECT n AS vec_id, MIN(m) AS component_id FROM reach GROUP BY n
+"""
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_assign_two_level": q_kmeans_assign_two_level,
@@ -1595,6 +1642,7 @@ QUERIES = {
     "semantic_dedup_scaled": q_semantic_dedup_scaled,
     "ann_index_delta": q_ann_index_delta,
     "embedding_power_iteration": q_embedding_power_iteration,
+    "knn_components": q_knn_components,
 }
 
 ORACLES = {
@@ -1609,4 +1657,5 @@ ORACLES = {
     "semantic_dedup_scaled": _oracle_semantic_scaled(),
     "ann_index_delta": _oracle_ann_index_delta(),
     "embedding_power_iteration": _oracle_power_iteration(),
+    "knn_components": _oracle_knn_components(),
 }

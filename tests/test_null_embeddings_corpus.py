@@ -53,6 +53,7 @@ EMB_QUERIES = [
     "ann_pq_rerank_topk",
     "ann_index_delta",
     "embedding_power_iteration",
+    "knn_components",
 ]
 
 

@@ -171,6 +171,35 @@ def test_split_drift_psi_flags_real_drift_only(spark, sf_dir, tmp_path):
     assert len(drifted) == 1 and drifted[0]["drifted"]
 
 
+def test_knn_components_are_consistent_with_edges(spark, sf_dir):
+    """Both endpoints of every mutual edge share a component, the
+    component id is the minimum member, and only edge-connected vectors
+    are labeled."""
+    from parallelutilities_jl_spark.operators.clustering import (
+        q_knn_components,
+    )
+    from parallelutilities_jl_spark.operators.similarity import (
+        q_knn_mutual_graph,
+    )
+
+    comp = {
+        r["vec_id"]: r["component_id"]
+        for r in q_knn_components(spark, sf_dir).collect()
+    }
+    edges = [
+        (r["src"], r["dst"])
+        for r in q_knn_mutual_graph(spark, sf_dir).collect()
+    ]
+    assert comp and edges
+    assert set(comp) == {v for e in edges for v in e}
+    for s, d in edges:
+        assert comp[s] == comp[d]
+    members: dict[int, list[int]] = {}
+    for v, c in comp.items():
+        members.setdefault(c, []).append(v)
+    assert all(min(vs) == c for c, vs in members.items())
+
+
 def test_knn_mutual_graph_properties(spark, sf_dir):
     """Edges exist (each cell's closest pair is always mutual), are
     canonically oriented src < dst, stay within a cell, and per-node
