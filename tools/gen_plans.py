@@ -128,6 +128,23 @@ SHOWCASE = {
         "exploded batch, per-(vec, cell) integer distance agg, "
         "struct-min argmin — one lazy plan, no refit, no collect"
     ),
+    "dsir_importance_weights": (
+        "DSIR data selection: one token-stream tf shuffle; both n-gram "
+        "histograms are <=256-row broadcasts; the importance weight is "
+        "an exact fixed-point integer sum per doc"
+    ),
+    "embedding_power_iteration": (
+        "distributed matvec rounds: the 64-row direction broadcasts "
+        "onto the long-format corpus, projections and component sums "
+        "are exact int64/decimal aggs — the whole 2-round chain is one "
+        "lazy plan, model never collects"
+    ),
+    "knn_mutual_graph": (
+        "corpus-as-queries ANN: cell equi-join candidates, per-node "
+        "top-k windows pre-partitioned by qid (the expansion never "
+        "re-shuffles), mutuality via a transpose equi-join of the "
+        "N*k-row edge list"
+    ),
     "multimodal_dedup_census": (
         "binary dedup accounting: payloads hash in place; only 32-byte "
         "hashes + lengths enter the two-level (modality, sha) agg"
