@@ -1223,16 +1223,28 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (TH.md5_int48(F.col("f")) % DSIR_BUCKETS).alias("b"),
     )
-    hist = fb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_r"),
+    # ONE tokenize pass: the per-(doc, bucket) tf agg is the only
+    # data-sized shuffle, checkpointed because both the histograms and
+    # the scorer consume it (without this, each consumer re-tokenizes
+    # the corpus); both n-gram histograms then derive FROM tf — lang
+    # rides the grouping key (it is functionally dependent on doc_id)
+    # instead of forcing a second corpus scan
+    tf = (
+        fb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    hist = tf.groupBy("b").agg(
+        F.sum("tf").alias("c_r"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(
+                0
+            )
         ).alias("c_t"),
     )
     tot = hist.agg(
         F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
     )
-    tf = fb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
     terms = (
         tf.join(F.broadcast(hist), "b")
         .select(
