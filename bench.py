@@ -121,6 +121,7 @@ R7_ADDITIONS = [
     "split_drift_psi",
     "stateful_sessions",
     "knn_components",
+    "embedding_abtt_census",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

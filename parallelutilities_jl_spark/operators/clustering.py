@@ -1583,6 +1583,98 @@ SELECT CAST(k - 1 AS INT) AS j, v FROM {prev}
     return sql
 
 
+def q_embedding_abtt_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-but-the-top diagnostics (Mu & Viswanath 2018,
+    arXiv:1702.01417): per coarse cell, what fraction of embedding
+    second-moment energy the corpus' top principal direction carries —
+    the number that says whether ABTT post-processing (subtracting the
+    common direction) is worth applying, and per-cell because a cell
+    whose energy is dominated by the common direction clusters by
+    artifact, not meaning. Composes LAZILY on the power-iteration
+    direction: f_top(cell) = Σ(x·v)² / Σ|x|², resid = 1 − f_top.
+
+    Exactness: projections are the quantized int64 dot against the
+    (bit-identical) direction v; squares and self-dots sum in
+    DECIMAL(38,0); the only float ops are the final cast → multiply →
+    divide on identical operands. Int64/decimal bounds: |d| ≤ 6e15 so
+    d² ≤ 3.6e31, × cell size ≤ 1e6 stays < 1e38.
+
+    Scale shape: one broadcast of the 64-row direction, one projection
+    pass, one per-cell agg — all map-side combinable."""
+    v = q_embedding_power_iteration(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    emb_long = emb.select(
+        "vec_id", F.posexplode("emb").alias("j", "x")
+    )
+    d = (
+        emb_long.join(F.broadcast(v), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x") * F.col("v") * F.lit(float(DOT_SCALE))
+                )
+            ).alias("d")
+        )
+    )
+    from parallelutilities_jl_spark.operators.similarity import dot
+
+    q = emb.select(
+        "vec_id", "label", dot(F.col("emb"), F.col("emb")).alias("qq")
+    )
+    agg = (
+        q.join(d, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.col("d").cast("decimal(38,0)")
+                * F.col("d").cast("decimal(38,0)")
+            ).alias("sd2"),
+            F.sum(F.col("qq").cast("decimal(38,0)")).alias("sq"),
+        )
+    )
+    f_top = F.col("sd2").cast("double") / (
+        F.col("sq").cast("double") * F.lit(float(DOT_SCALE))
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        f_top.alias("f_top"),
+        (F.lit(1.0) - f_top).alias("resid_frac"),
+    )
+
+
+def _oracle_abtt_census() -> str:
+    S = float(DOT_SCALE)
+    pi_sql = _oracle_power_iteration()
+    return f"""
+WITH vfin AS (SELECT j, v FROM ({pi_sql})),
+lfl AS (SELECT vec_id, label,
+               UNNEST(generate_series(1, len(embedding))) AS k,
+               UNNEST(list_transform(embedding, e -> CAST(e AS DOUBLE)))
+                 AS x
+        FROM embeddings),
+d AS (SELECT vec_id,
+             CAST(SUM(CAST(FLOOR(x * v * {S}) AS BIGINT)) AS BIGINT) AS d
+      FROM lfl JOIN vfin ON vfin.j = lfl.k - 1 GROUP BY vec_id),
+q AS (SELECT vec_id, ANY_VALUE(label) AS label,
+             CAST(SUM(CAST(FLOOR(x * x * {S}) AS BIGINT)) AS BIGINT) AS qq
+      FROM lfl GROUP BY vec_id),
+agg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               SUM(CAST(d AS HUGEINT) * d) AS sd2,
+               SUM(CAST(qq AS HUGEINT)) AS sq
+        FROM q JOIN d USING (vec_id) GROUP BY label)
+SELECT label, n_vecs,
+       CAST(sd2 AS DOUBLE) / (CAST(sq AS DOUBLE) * {S}) AS f_top,
+       1.0 - CAST(sd2 AS DOUBLE) / (CAST(sq AS DOUBLE) * {S})
+         AS resid_frac
+FROM agg
+"""
+
+
 def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clusters as graph components: connected components over
     the MUTUAL k-NN edge list (`similarity.q_knn_mutual_graph`) — the
@@ -1643,6 +1735,7 @@ QUERIES = {
     "ann_index_delta": q_ann_index_delta,
     "embedding_power_iteration": q_embedding_power_iteration,
     "knn_components": q_knn_components,
+    "embedding_abtt_census": q_embedding_abtt_census,
 }
 
 ORACLES = {
@@ -1658,4 +1751,5 @@ ORACLES = {
     "ann_index_delta": _oracle_ann_index_delta(),
     "embedding_power_iteration": _oracle_power_iteration(),
     "knn_components": _oracle_knn_components(),
+    "embedding_abtt_census": _oracle_abtt_census(),
 }

@@ -54,6 +54,7 @@ EMB_QUERIES = [
     "ann_index_delta",
     "embedding_power_iteration",
     "knn_components",
+    "embedding_abtt_census",
 ]
 
 

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",  # 1-row (n_r, n_t) totals crossed per doc
     "bigram_pmi_top",  # 1-row N_uni / N_bi totals crossed onto the vocab
     "embedding_power_iteration",  # 1-row norm frame crossed per round
+    "embedding_abtt_census",  # inherits the power-iteration norm crosses
 
     "mixture_weighted_sample",
     "quality_curriculum",

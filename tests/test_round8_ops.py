@@ -171,6 +171,26 @@ def test_split_drift_psi_flags_real_drift_only(spark, sf_dir, tmp_path):
     assert len(drifted) == 1 and drifted[0]["drifted"]
 
 
+def test_abtt_census_energy_fractions_are_sane(spark, sf_dir):
+    """Per-cell top-direction energy fraction lies in (0, 1), the
+    residual complements it, and every embedding is counted."""
+    from parallelutilities_jl_spark.operators.clustering import (
+        q_embedding_abtt_census,
+    )
+
+    rows = q_embedding_abtt_census(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["f_top"] < 1.0
+        assert abs(r["f_top"] + r["resid_frac"] - 1.0) < 1e-12
+    n = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("embedding IS NOT NULL")
+        .count()
+    )
+    assert sum(r["n_vecs"] for r in rows) == n
+
+
 def test_knn_components_are_consistent_with_edges(spark, sf_dir):
     """Both endpoints of every mutual edge share a component, the
     component id is the minimum member, and only edge-connected vectors

@@ -99,6 +99,8 @@ QUERIES = (
     "split_drift_psi",
     # per-key lag/cumsum windows, 10x users at constant history
     "stateful_sessions",
+    # one projection pass + per-cell agg over the power-iteration chain
+    "embedding_abtt_census",
 )
 
 
