@@ -122,6 +122,7 @@ R7_ADDITIONS = [
     "stateful_sessions",
     "knn_components",
     "embedding_abtt_census",
+    "fuzzy_contamination",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

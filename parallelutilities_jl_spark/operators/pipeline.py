@@ -1408,6 +1408,125 @@ WHERE rnk <= {_RS_K}
 
 
 # ---------------------------------------------------------------------------
+# fuzzy (near-duplicate) benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark-contamination screen — the industry-standard
+    complement to the exact-shingle `contamination_check`: a corpus doc
+    is contaminated if it is a NEAR-duplicate of an eval doc (verbatim
+    screens miss light paraphrase/formatting edits; cf. the n-gram +
+    fuzzy decontamination in GPT-3 appx C / Llama 2). Candidates come
+    from the SAME MinHash-LSH machinery as the dedup tier (zero-shuffle
+    per-doc signatures, banded buckets, corpus-side bucket cap); the
+    eval side's band keys BROADCAST (a benchmark suite is tiny vs the
+    corpus, exactly like the exact screen), and candidates verify with
+    exact Jaccard ≥ {JACCARD_THRESHOLD} on the in-row shingle arrays.
+    The confirm predicate and the reported score are exact integers
+    (13·ni ≥ 3·(na+nb) ⟺ jac ≥ 3/10; jac_e6 = (10⁶·ni) div union), so
+    no float threshold can flip cross-engine. Output: per contaminated
+    corpus doc, how many eval docs it near-matches and its worst
+    (highest) Jaccard."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        MAX_LSH_BUCKET,
+        lsh_bands,
+        minhash_per_doc,
+    )
+    from pyspark.sql.window import Window as W
+
+    src = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    per_doc = (
+        minhash_per_doc(spark, sf_dir).join(src, "doc_id").localCheckpoint()
+    )
+    bands = lsh_bands(per_doc)
+    bands = bands.join(
+        per_doc.select("doc_id", "source"), "doc_id"
+    )
+    eb = (
+        bands.filter(F.col("source") == EVAL_SOURCE)
+        .select("band", "key", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    cb = bands.filter(F.col("source") != EVAL_SOURCE).withColumn(
+        "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+    ).filter(F.col("bsz") <= MAX_LSH_BUCKET)
+    cand = (
+        cb.join(F.broadcast(eb), ["band", "key"])
+        .select("doc_id", "eval_doc")
+        .distinct()
+    )
+    corpus_arr = per_doc.select(
+        "doc_id", "source", F.col("shs").alias("shs_c"), F.col("n").alias("nc")
+    )
+    eval_arr = per_doc.filter(F.col("source") == EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.col("shs").alias("shs_e"),
+        F.col("n").alias("ne"),
+    )
+    ni = F.size(F.array_intersect("shs_c", "shs_e")).cast("long")
+    verified = (
+        cand.join(corpus_arr, "doc_id")
+        .join(F.broadcast(eval_arr), "eval_doc")
+        .withColumn("ni", ni)
+        .filter(13 * F.col("ni") >= 3 * (F.col("nc") + F.col("ne")))
+        .select(
+            "doc_id",
+            "source",
+            "eval_doc",
+            F.expr("(1000000 * ni) div (nc + ne - ni)").alias("jac_e6"),
+        )
+    )
+    return verified.groupBy("doc_id", "source").agg(
+        F.countDistinct("eval_doc").alias("n_eval_hits"),
+        F.max("jac_e6").alias("max_jac_e6"),
+    )
+
+
+def _oracle_fuzzy_contamination() -> str:
+    from parallelutilities_jl_spark.operators.dedup import (
+        MAX_LSH_BUCKET,
+        _dd_bands_cte,
+        _dd_shingle_cte,
+        _dd_sig_cte,
+    )
+
+    return f"""
+WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()},
+srcs AS (SELECT doc_id, source FROM documents),
+bs AS (SELECT bands.doc_id, band, key, source
+       FROM bands JOIN srcs USING (doc_id)),
+eb AS (SELECT DISTINCT band, key, doc_id AS eval_doc FROM bs
+       WHERE source = '{EVAL_SOURCE}'),
+cb AS (SELECT * FROM (
+         SELECT doc_id, band, key,
+                COUNT(*) OVER (PARTITION BY band, key) AS bsz
+         FROM bs WHERE source <> '{EVAL_SOURCE}')
+       WHERE bsz <= {MAX_LSH_BUCKET}),
+cand AS (SELECT DISTINCT cb.doc_id, eval_doc
+         FROM cb JOIN eb USING (band, key)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT cand.doc_id, eval_doc, COUNT(*) AS ni
+          FROM cand JOIN sh sc ON sc.doc_id = cand.doc_id
+          JOIN sh se ON se.doc_id = cand.eval_doc AND se.sh = sc.sh
+          GROUP BY 1, 2),
+ver AS (SELECT i.doc_id, s.source, eval_doc,
+               (1000000 * ni) // (x.n + y.n - ni) AS jac_e6
+        FROM inter i
+        JOIN sizes x ON x.doc_id = i.doc_id
+        JOIN sizes y ON y.doc_id = i.eval_doc
+        JOIN srcs s ON s.doc_id = i.doc_id
+        WHERE 13 * ni >= 3 * (x.n + y.n))
+SELECT doc_id, source,
+       CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_eval_hits,
+       CAST(MAX(jac_e6) AS BIGINT) AS max_jac_e6
+FROM ver GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # split drift monitor (population stability index)
 # ---------------------------------------------------------------------------
 
@@ -1580,6 +1699,7 @@ QUERIES = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "reservoir_sample_per_key": q_reservoir_sample_per_key,
     "split_drift_psi": q_split_drift_psi,
+    "fuzzy_contamination": q_fuzzy_contamination,
 }
 
 ORACLES = {
@@ -1601,4 +1721,5 @@ ORACLES = {
     "dsir_importance_weights": _oracle_dsir(),
     "reservoir_sample_per_key": ORACLE_RESERVOIR_SAMPLE,
     "split_drift_psi": _oracle_split_drift_psi(),
+    "fuzzy_contamination": _oracle_fuzzy_contamination(),
 }

@@ -171,6 +171,39 @@ def test_split_drift_psi_flags_real_drift_only(spark, sf_dir, tmp_path):
     assert len(drifted) == 1 and drifted[0]["drifted"]
 
 
+def test_fuzzy_contamination_catches_paraphrased_eval_doc(
+    spark, sf_dir, tmp_path
+):
+    """A corpus doc that is a lightly-edited copy of an eval doc (one
+    word appended — beyond the exact screen's full-shingle match on
+    short docs, squarely in near-dup territory) must flag; an unrelated
+    doc must not."""
+    import pandas as pd
+
+    from parallelutilities_jl_spark.operators.pipeline import (
+        EVAL_SOURCE,
+        q_fuzzy_contamination,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_copy = eval_text + " lambda"
+    unrelated = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, eval_text, "en", EVAL_SOURCE, len(eval_text)),
+        (1, near_copy, "en", "srcX", len(near_copy)),
+        (2, unrelated, "en", "srcX", len(unrelated)),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = q_fuzzy_contamination(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["n_eval_hits"] == 1
+    assert got[0]["max_jac_e6"] > 300_000  # well past the 0.3 threshold
+
+
 def test_abtt_census_energy_fractions_are_sane(spark, sf_dir):
     """Per-cell top-direction energy fraction lies in (0, 1), the
     residual complements it, and every embedding is counted."""

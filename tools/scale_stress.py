@@ -101,6 +101,9 @@ QUERIES = (
     "stateful_sessions",
     # one projection pass + per-cell agg over the power-iteration chain
     "embedding_abtt_census",
+    # eval bands broadcast; corpus-side bucket cap bounds the join —
+    # the x10 corpus multiplies true eval near-copies ~10x
+    "fuzzy_contamination",
 )
 
 
