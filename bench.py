@@ -123,6 +123,7 @@ R7_ADDITIONS = [
     "knn_components",
     "embedding_abtt_census",
     "fuzzy_contamination",
+    "lang_id_confusion",
 ]
 HEADLINE = HEADLINE + R7_ADDITIONS
 

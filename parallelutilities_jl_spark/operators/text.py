@@ -1060,6 +1060,24 @@ ORDER BY n DESC, bigram LIMIT {VOCAB_TOP_N}
     }
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA census: the confusion matrix of the marker-word
+    language ID against the corpus labels — the artifact that says
+    whether the cheap heuristic is good enough to drive the language
+    filter (per-pair counts expose exactly WHICH languages it confuses,
+    not just an accuracy scalar). One groupBy over the per-doc
+    prediction frame; the matrix is |langs|² rows at any corpus
+    size."""
+    per_doc = q_lang_id(spark, sf_dir)
+    return (
+        per_doc.groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "correct", F.col("labeled_lang") == F.col("pred_lang")
+        )
+    )
+
+
 PMI_MIN_COUNT = 5  # collocation support floor (noise gate)
 PMI_TOP_K = 50
 
@@ -1183,6 +1201,7 @@ QUERIES = {
     "padding_waste_buckets": q_padding_waste_buckets,
     "oov_rate_by_source": q_oov_rate_by_source,
     "bigram_pmi_top": q_bigram_pmi_top,
+    "lang_id_confusion": q_lang_id_confusion,
 }
 
 ORACLES = _oracles()
@@ -1194,3 +1213,9 @@ ORACLES["skipgram_pairs"] = _oracle_skipgrams()
 ORACLES["padding_waste_buckets"] = _oracle_padding_waste()
 ORACLES["oov_rate_by_source"] = _oracle_oov_rate()
 ORACLES["bigram_pmi_top"] = _oracle_bigram_pmi()
+ORACLES["lang_id_confusion"] = f"""
+WITH per AS ({ORACLES["lang_id_ngram"]})
+SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       labeled_lang = pred_lang AS correct
+FROM per GROUP BY 1, 2
+"""
