@@ -333,6 +333,60 @@ def _two_level_pick(
     )
 
 
+def _two_level_probes(
+    emb: DataFrame, centroids: dict[int, list[float]], nprobe: int = 2
+) -> DataFrame:
+    """(vec_id, cluster) PROBE rows — the top-`nprobe` centroids within
+    the vector's chosen super-group (same hierarchy and quantized
+    argmin as `_two_level_pick`; nprobe=1 reproduces its single row).
+    Multi-probing is the graph/recall analog of
+    `q_ann_ivf_multiprobe`: a vector near a cell boundary carries its
+    runner-up cell too, so near-neighbor pairs split by the quantizer
+    still meet in a shared probe cell. Still O(√k) per row — the
+    runner-up comes from the already-matched super-group's CASE
+    branch, never a flat scan over k."""
+    import math
+
+    if not centroids:  # empty corpus: same contract as _assign
+        return _assign(emb, centroids)
+    n_groups = max(1, int(math.isqrt(len(centroids))))
+    groups = _group_centroids(centroids, n_groups)
+    supers = _super_centroids(centroids, groups)
+    super_entries = []
+    for g in sorted(groups):
+        sc = supers[g]
+        super_entries.append(
+            F.struct(
+                _sq_dist(sc).alias("d"),
+                F.lit(g).cast("long").alias("cid"),
+            )
+        )
+    picked = F.array_min(F.array(*super_entries)).getField("cid")
+    within = None
+    for g in sorted(groups):
+        entries = [
+            F.struct(
+                _sq_dist(centroids[c]).alias("d"),
+                F.lit(c).cast("long").alias("cid"),
+            )
+            for c in sorted(groups[g])
+        ]
+        # array_sort on struct(d, cid) = ascending (d, cid) — the same
+        # (distance, id) tiebreak ROW_NUMBER uses in the SQL replay
+        top_in_g = F.transform(
+            F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
+            lambda s: s.getField("cid"),
+        )
+        within = (
+            F.when(F.col("sg") == g, top_in_g)
+            if within is None
+            else within.when(F.col("sg") == g, top_in_g)
+        )
+    return emb.select("vec_id", "emb", picked.alias("sg")).select(
+        "vec_id", F.explode(within).alias("cluster")
+    )
+
+
 def _lloyd_sample(
     sample: DataFrame, k: int, iters: int
 ) -> dict[int, list[float]]:
@@ -425,13 +479,17 @@ def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
-def _two_level_pick_ctes(ctes: list[str], cfin: str) -> str:
+def _two_level_pick_ctes(
+    ctes: list[str], cfin: str, nprobe: int = 1
+) -> str:
     """Append the CTEs replaying `_two_level_pick` against the fitted
     centroid CTE `cfin` (GROUP_ROUNDS integer-grid k-means over the
     centroids — HUGEINT numerators ÷ cnt² in one double division,
     bit-identical to the Python — then the per-vector quantized super
     argmin + within-group argmin over the full `e`). Returns the name
-    of the final (vec_id, cluster) assignment CTE."""
+    of the final (vec_id, cluster) assignment CTE; nprobe > 1 keeps
+    the top-nprobe within-group centroids per vector (the
+    `_two_level_probes` replay — one row per probe)."""
     ctes.append(
         f"qv AS (SELECT cid, idx, CAST(CAST(FLOOR(cval * {float(GROUP_GRID)}) "
         f"AS BIGINT) AS HUGEINT) AS q FROM {cfin})"
@@ -497,7 +555,7 @@ def _two_level_pick_ctes(ctes: list[str], cfin: str) -> str:
         f"FROM e JOIN {cfin} c ON e.idx = c.idx "
         f"JOIN {gfin} m ON m.cid = c.cid "
         "JOIN vsg v ON v.vec_id = e.vec_id AND v.g = m.g "
-        "GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
+        f"GROUP BY e.vec_id, c.cid) WHERE rn <= {nprobe})"
     )
     return "asg2"
 
@@ -1239,22 +1297,99 @@ def _semdedup_prune_census(emb: DataFrame) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir, cell_target, spc, iters) → (emb_all, centroids).
+# The sampled fit is pure data-derived driver state (no RNG), so within
+# one Spark application every query family sharing the same quantizer
+# parameters — scaled SemDeDup, the mutual-kNN graph, and its component
+# clustering — reuses ONE fit instead of re-running the Lloyd job chain
+# per query (the round-8 bench re-fit 3×). Keyed by applicationId so a
+# restarted session never sees another session's checkpointed frames;
+# entries are a checkpointed frame handle + a KB-sized centroid dict.
+_FIT_CACHE: dict[tuple, tuple[DataFrame, dict[int, list[float]]]] = {}
+
+
+def _sampled_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_target: int = SEMDEDUP_CELL_TARGET,
+    spc: int = SEMDEDUP_FIT_SPC,
+    iters: int = IVF_FIT_ITERS,
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """The production coarse-quantizer FIT shared by the scaled
+    SemDeDup and trained-cell kNN-graph paths; returns
+    (checkpointed (vec_id, emb) corpus frame, fitted centroid dict):
+
+    1. FIT ON A BOUNDED SAMPLE: an expected `spc` vectors per centroid,
+       drawn by an exact integer predicate hash·n < 2³²·spc·k_eff
+       (hash = (vec_id·KNUTH) mod 2³²) that both engines evaluate
+       identically — model quality needs samples-per-centroid, not the
+       corpus. Lloyd rounds then touch only sample rows:
+       O(spc·k²·iters) instead of O(N·k·iters).
+    2. assignment/probing then runs HIERARCHICALLY over the full
+       corpus (`_two_level_pick` / `_two_level_probes`): O(√k) per
+       row instead of O(k).
+
+    k_eff = max(K, n // cell_target), so cells stay ~constant-size as
+    the corpus grows — the property every downstream per-cell
+    quadratic (SemDeDup prune, kNN candidate generation) needs to be
+    linear in N overall. The oracle replay is `_kmeans_ctes_sampled` +
+    `_two_level_pick_ctes`. Memoized per (application, sf_dir,
+    params): the fit is pure data-derived driver state, so every query
+    family sharing the quantizer reuses one fit per session."""
+    from parallelutilities_jl_spark.operators.pipeline import _KNUTH
+
+    key = (spark.sparkContext.applicationId, sf_dir, cell_target, spc,
+           iters)
+    if key not in _FIT_CACHE:
+        emb_all = (
+            _emb_double(spark, sf_dir)
+            .select("vec_id", "emb")
+            .filter(F.size("emb") > 0)
+            .repartition(min(8, spark.sparkContext.defaultParallelism))
+            .localCheckpoint()
+        )
+        n = emb_all.count()
+        k_eff = max(K, n // cell_target)
+        if n:
+            # ceil threshold: hash < ceil(2^32·spc·k/n) ⟺ hash·n < 2^32·spc·k
+            cap = 2**32 * spc * k_eff
+            thresh = -(-cap // n)
+            sample = emb_all.filter(
+                (F.col("vec_id") * _KNUTH) % F.lit(2**32) < F.lit(thresh)
+            )
+        else:
+            sample = emb_all
+        _FIT_CACHE[key] = (
+            emb_all,
+            _lloyd_sample(sample, k_eff, iters),
+        )
+    emb_all, centroids = _FIT_CACHE[key]
+    return emb_all, centroids
+
+
+def _sampled_fit_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_target: int = SEMDEDUP_CELL_TARGET,
+    spc: int = SEMDEDUP_FIT_SPC,
+    iters: int = IVF_FIT_ITERS,
+) -> tuple[DataFrame, DataFrame]:
+    """`_sampled_fit` + the single-cell two-level assignment: returns
+    (checkpointed (vec_id, emb) corpus frame, lazy (vec_id, cluster))."""
+    emb_all, centroids = _sampled_fit(
+        spark, sf_dir, cell_target, spc, iters
+    )
+    return emb_all, _two_level_pick(emb_all, centroids)
+
+
 def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup, production shape — the linear-quantizer variant of
     `q_semantic_dedup` (which fits on the FULL corpus and assigns flat,
     the knowingly super-linear term in SCALING.md when k ∝ N):
-
-    1. FIT ON A BOUNDED SAMPLE: an expected SEMDEDUP_FIT_SPC vectors
-       per centroid, drawn by an exact integer predicate
-       hash·n < 2³²·spc·k_eff (hash = (vec_id·KNUTH) mod 2³²) that
-       both engines evaluate identically — model quality needs
-       samples-per-centroid, not the corpus. Lloyd rounds then touch
-       only sample rows: O(spc·k²·iters) instead of O(N·k·iters).
-    2. ASSIGN THE FULL CORPUS HIERARCHICALLY via `_two_level_pick`:
-       O(√k) per row instead of O(k).
-    3. prune + census within cells exactly as the flat variant
-       (`_semdedup_prune_census` — that stage was always linear,
-       O(cell) per row).
+    bounded-sample fit + hierarchical assignment
+    (`_sampled_fit_assign`), then prune + census within cells exactly
+    as the flat variant (`_semdedup_prune_census` — that stage was
+    always linear, O(cell) per row).
 
     The fit term is still O(k²) ∝ (N/cell)² with a 1/spc constant — a
     fully linear fit would recurse the two-level hierarchy into the
@@ -1263,28 +1398,7 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     init ids) differ from the flat variant's by construction; the
     oracle (`_oracle_semantic_scaled`) replays sample, fit, grouping,
     both argmin levels, and the prune bit-for-bit."""
-    from parallelutilities_jl_spark.operators.pipeline import _KNUTH
-
-    emb_all = (
-        _emb_double(spark, sf_dir)
-        .select("vec_id", "emb")
-        .filter(F.size("emb") > 0)
-        .repartition(min(8, spark.sparkContext.defaultParallelism))
-        .localCheckpoint()
-    )
-    n = emb_all.count()
-    k_eff = max(K, n // SEMDEDUP_CELL_TARGET)
-    if n:
-        # ceil threshold: hash < ceil(2^32·spc·k/n) ⟺ hash·n < 2^32·spc·k
-        cap = 2**32 * SEMDEDUP_FIT_SPC * k_eff
-        thresh = -(-cap // n)
-        sample = emb_all.filter(
-            (F.col("vec_id") * _KNUTH) % F.lit(2**32) < F.lit(thresh)
-        )
-    else:
-        sample = emb_all
-    centroids = _lloyd_sample(sample, k_eff, IVF_FIT_ITERS)
-    assign = _two_level_pick(emb_all, centroids)
+    emb_all, assign = _sampled_fit_assign(spark, sf_dir)
     return _semdedup_prune_census(emb_all.join(assign, "vec_id"))
 
 
@@ -1504,7 +1618,16 @@ def q_embedding_power_iteration(
     DuckDB `>>` agree on negatives, unlike int division); component
     sums are exact DECIMAL(38,0) over floor-quantized terms; the only
     float ops are the final cast→divide→sqrt on identical operands.
-    Output: (j, v) — the 64 components of the final unit vector."""
+    Output: (j, v) — the 64 components of the final unit vector.
+
+    N-dependent bound: each component s is a corpus-sized sum of
+    floor(w·x) terms with |w| up to ~2^43·S/2^PI_SHIFT ≈ 1e10, so
+    |s| ≲ N·1e10 and the norm's Σs² ≲ 64·N²·1e20 — the Spark
+    decimal(38,0) square-sum caps at ~1e38, i.e. N ≲ ~1e8 rows per
+    fitted model at the current PI_SHIFT (raise PI_SHIFT to buy
+    headroom linearly in 4^shift). The oracle squares in HUGEINT
+    (int128) for the same reason — a BIGINT s² would overflow loudly
+    at large N."""
     emb_long = (
         _emb_double(spark, sf_dir)
         .select("vec_id", F.posexplode("emb").alias("j", "x"))
@@ -1573,7 +1696,7 @@ d{i} AS (SELECT vec_id,
 w{i} AS (SELECT vec_id, d >> {PI_SHIFT} AS w FROM d{i}),
 s{i} AS (SELECT k, SUM(CAST(FLOOR(w * x) AS BIGINT)) AS s
         FROM lf JOIN w{i} USING (vec_id) GROUP BY k),
-n{i} AS (SELECT SQRT(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM s{i}),
+n{i} AS (SELECT SQRT(CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)) AS nrm FROM s{i}),
 v{i} AS (SELECT k, CAST(s AS DOUBLE) / nrm AS v
         FROM s{i} CROSS JOIN n{i})"""
         prev = f"v{i}"
@@ -1675,9 +1798,152 @@ FROM agg
 """
 
 
+KNN_GRAPH_NPROBE = 2  # within-group probe cells carried per vector
+
+
+def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus — the backbone
+    artifact of graph-based semantic dedup / diversity clustering: an
+    undirected edge (src, dst) exists iff each endpoint appears in the
+    other's cosine top-k among its CELL-BOUNDED candidates (mutuality
+    is the standard denoiser: one-sided neighbors of a hub node are
+    dropped). Emits (src, dst, score_e6), src < dst.
+
+    Scale shape — this is the corpus×corpus case (EVERY vector is a
+    query, unlike `ann_ivf_topk`'s probe set), so candidate cells MUST
+    stay constant-size as the corpus grows: cells come from the shared
+    production quantizer (`_sampled_fit`: bounded-sample Lloyd fit,
+    k_eff ∝ N/cell_target, O(√k) hierarchical probing) — NOT from a
+    fixture attribute whose cells grow with N and make the per-cell
+    pair work quadratic (the round-8 shape, measured 29.8× wall at 10×
+    rows; SCALING.md). Each vector carries its top-{KNN_GRAPH_NPROBE}
+    within-group cells (`_two_level_probes`); two vectors are
+    candidates when their probe sets share a cell — the symmetric
+    multi-probe that recovers near-neighbor pairs the single-cell
+    partition splits (measured edge recall 0.349 → 0.66 at sf0.01,
+    RECALL.md) at ≤ nprobe²× pair work, still O(N·cell) — linear in N.
+    Per-node top-k is a window over cell-bounded candidate lists; the
+    mutuality check is an equi-join of the (N·k)-row directed edge
+    list with its own transpose. Cosine is the quantized int64 dot
+    (DOT_SCALE) shared with every ANN tier, and floor(x·y·S) =
+    floor(y·x·S) exactly, so the symmetric pair carries one
+    well-defined score in both engines; a pair meeting in both probe
+    cells computes the identical double, so the max-dedup is exact.
+    The oracle replays sample, fit, grouping, and both argmin levels
+    bit-for-bit (`_oracle_knn_mutual`)."""
+    from parallelutilities_jl_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        _topk,
+        dot,
+        norm,
+    )
+
+    emb_all, centroids = _sampled_fit(spark, sf_dir)
+    probes = _two_level_probes(emb_all, centroids, KNN_GRAPH_NPROBE)
+    emb = emb_all.withColumn("nrm", norm(F.col("emb"))).join(
+        probes, "vec_id"
+    )
+    # hash-partition the query side by qid up front: pair expansion is
+    # compute-bound, not byte-bound, so a single-split scan (or an AQE
+    # size-coalesced stream) would otherwise grind the per-cell work
+    # through one task
+    a = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("cluster").alias("cell"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    ).repartition(spark.sparkContext.defaultParallelism, "qid")
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("cluster").alias("cell"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        a.join(c, "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
+    )
+    # a pair sharing BOTH probe cells appears twice with the identical
+    # bit-exact cosine — max() is pure dedup, and the (qid, cid) agg
+    # is map-side combinable before the window's qid shuffle
+    pair = scored.groupBy("qid", "cid").agg(F.max("cos").alias("cos"))
+    topk = _topk(pair, KNN_GRAPH_K).select("qid", "cid", "score_e6")
+    rev = topk.select(
+        F.col("cid").alias("qid"), F.col("qid").alias("cid")
+    )
+    return (
+        topk.join(rev, ["qid", "cid"])
+        .filter(F.col("qid") < F.col("cid"))
+        .select(
+            F.col("qid").alias("src"),
+            F.col("cid").alias("dst"),
+            "score_e6",
+        )
+    )
+
+
+def _oracle_knn_mutual() -> str:
+    """SQL replay of `q_knn_mutual_graph`: the sampled-fit CTEs
+    (identical to `_oracle_semantic_scaled`'s quantizer replay), the
+    top-{KNN_GRAPH_NPROBE} within-group probe rows (rn <= nprobe), the
+    DISTINCT probe-overlap candidate pairs (the Spark side's
+    max-dedup), then quantized cosine, per-query top-k, and the
+    transpose self-join mutuality filter."""
+    from parallelutilities_jl_spark.operators.similarity import (
+        _DD_DOT,
+        _DD_LF,
+        KNN_GRAPH_K,
+    )
+
+    ctes, cfin = _kmeans_ctes_sampled(
+        IVF_FIT_ITERS, SEMDEDUP_FIT_SPC, SEMDEDUP_CELL_TARGET
+    )
+    prb = _two_level_pick_ctes(ctes, cfin, nprobe=KNN_GRAPH_NPROBE)
+    ctes.append(_DD_LF)
+    ctes.append(
+        "cand AS (SELECT DISTINCT pa.vec_id AS qid, pb.vec_id AS cid "
+        f"FROM {prb} pa JOIN {prb} pb ON pb.cluster = pa.cluster "
+        "AND pb.vec_id <> pa.vec_id)"
+    )
+    ctes.append(
+        f"dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
+        f"{_DD_DOT} AS dot "
+        "FROM lf a JOIN lf b ON a.k = b.k "
+        "JOIN cand ON cand.qid = a.vec_id AND cand.cid = b.vec_id "
+        "GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "scored AS (SELECT qid, cid, "
+        "CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos "
+        "FROM dots JOIN norms nq ON nq.vec_id = qid "
+        "JOIN norms nc ON nc.vec_id = cid)"
+    )
+    ctes.append(
+        "tk AS (SELECT qid, cid, cos FROM ("
+        "SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY cos DESC, cid) AS rnk FROM scored) "
+        f"WHERE rnk <= {KNN_GRAPH_K})"
+    )
+    final = (
+        "SELECT x.qid AS src, x.cid AS dst, "
+        "CAST(FLOOR(x.cos * 1e6) AS BIGINT) AS score_e6 "
+        "FROM tk x JOIN tk y ON x.qid = y.cid AND x.cid = y.qid "
+        "WHERE x.qid < x.cid"
+    )
+    return _assemble(ctes, final)
+
+
 def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clusters as graph components: connected components over
-    the MUTUAL k-NN edge list (`similarity.q_knn_mutual_graph`) — the
+    the MUTUAL k-NN edge list (`q_knn_mutual_graph`, trained cells) — the
     graph-clustering step that turns pairwise neighbor evidence into
     deduplicatable groups, the same shape text dedup uses over MinHash
     pairs (`dedup.connected_components`, min-label propagation to the
@@ -1692,9 +1958,6 @@ def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelutilities_jl_spark.operators.dedup import (
         connected_components,
     )
-    from parallelutilities_jl_spark.operators.similarity import (
-        q_knn_mutual_graph,
-    )
 
     edges = q_knn_mutual_graph(spark, sf_dir).select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
@@ -1705,13 +1968,15 @@ def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_knn_components() -> str:
-    from parallelutilities_jl_spark.operators import similarity
-
-    edge_sql = similarity.ORACLES["knn_mutual_graph"]
+    # e2/und MATERIALIZED: the edge subquery is now the full trained-
+    # quantizer replay; without the hint DuckDB's default inlining
+    # re-evaluates it per recursion round of `reach` (measured 120 s →
+    # seconds, same pathology `_assemble` documents for the fit chain)
+    edge_sql = _oracle_knn_mutual()
     return f"""
 WITH RECURSIVE
-e2 AS (SELECT src AS doc_a, dst AS doc_b FROM ({edge_sql})),
-und AS (SELECT doc_a AS u, doc_b AS v FROM e2
+e2 AS MATERIALIZED (SELECT src AS doc_a, dst AS doc_b FROM ({edge_sql})),
+und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM e2
         UNION ALL SELECT doc_b, doc_a FROM e2),
 reach(n, m) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM und)
@@ -1734,6 +1999,7 @@ QUERIES = {
     "semantic_dedup_scaled": q_semantic_dedup_scaled,
     "ann_index_delta": q_ann_index_delta,
     "embedding_power_iteration": q_embedding_power_iteration,
+    "knn_mutual_graph": q_knn_mutual_graph,
     "knn_components": q_knn_components,
     "embedding_abtt_census": q_embedding_abtt_census,
 }
@@ -1750,6 +2016,7 @@ ORACLES = {
     "semantic_dedup_scaled": _oracle_semantic_scaled(),
     "ann_index_delta": _oracle_ann_index_delta(),
     "embedding_power_iteration": _oracle_power_iteration(),
+    "knn_mutual_graph": _oracle_knn_mutual(),
     "knn_components": _oracle_knn_components(),
     "embedding_abtt_census": _oracle_abtt_census(),
 }

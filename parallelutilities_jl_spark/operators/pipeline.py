@@ -1264,7 +1264,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("n_feats"),
         F.sum(F.col("tf") * (F.col("q_t") - F.col("q_r"))).alias("q_sum"),
     )
-    return (
+    scored = (
         agg.crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -1290,6 +1290,23 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_feats",
             "q_logw",
             (F.col("q_logw") >= 0).alias("selected"),
+        )
+    )
+    # left-join back to the corpus: a doc whose normalized text yields
+    # ZERO features (explode emits no rows) would otherwise vanish from
+    # the selection output with no signal — it gets the defined row
+    # (n_feats=0, q_logw=0, selected=true): no evidence ⟺ importance
+    # weight exactly 1, DSIR keeps it. NULL-text docs stay excluded
+    # (corpus-wide NULL-doc policy: no text at all ≠ empty evidence).
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+            F.coalesce("q_logw", F.lit(0).cast("long")).alias("q_logw"),
+            F.coalesce("selected", F.lit(True)).alias("selected"),
         )
     )
 
@@ -1336,9 +1353,12 @@ fin AS (
          q_sum + n_feats * ({_qlog2(f'n_r + {B}', spark=False)}
                             - {_qlog2(f'n_t + {B}', spark=False)}) AS q_logw
   FROM agg CROSS JOIN tot)
-SELECT doc_id, n_feats, CAST(q_logw AS BIGINT) AS q_logw,
-       q_logw >= 0 AS selected
-FROM fin
+SELECT b.doc_id,
+       CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(q_logw, 0) AS BIGINT) AS q_logw,
+       COALESCE(q_logw >= 0, TRUE) AS selected
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
+LEFT JOIN fin USING (doc_id)
 """
 
 

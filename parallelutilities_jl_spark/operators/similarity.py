@@ -768,67 +768,21 @@ KNN_GRAPH_K = 4  # per-node out-degree before the mutuality filter
 
 
 def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual k-NN graph over the embedding corpus — the backbone
-    artifact of graph-based semantic dedup / diversity clustering: an
-    undirected edge (src, dst) exists iff each endpoint appears in the
-    other's cosine top-{KNN_GRAPH_K} WITHIN its coarse cell (mutuality
-    is the standard denoiser: one-sided neighbors of a hub node are
-    dropped). Emits (src, dst, score_e6), src < dst.
+    """Mutual k-NN graph over the embedding corpus — re-exported for
+    back-compat; the implementation (and its `knn_mutual_graph`
+    registration) lives in `clustering.q_knn_mutual_graph`, which
+    generates candidates within TRAINED constant-size cells
+    (bounded-sample Lloyd fit + two-level assignment) rather than the
+    fixture's label cells: label cells grow with the corpus, making the
+    per-cell pair work quadratic at scale (measured 29.8× wall at 10×
+    rows, SCALING.md), while trained cells hold ~cell_target vectors at
+    any N, keeping the graph linear. Runtime import: `clustering`
+    imports this module at module level."""
+    from parallelutilities_jl_spark.operators.clustering import (
+        q_knn_mutual_graph as impl,
+    )
 
-    Scale shape: candidate generation is the IVF equi-join on the cell
-    id (EVERY vector is a query here, unlike `ann_ivf_topk`'s probe
-    set, so this is the corpus×corpus case where celling is mandatory
-    — per-cell linear scan, never all-pairs); per-node top-k is a
-    window over cell-bounded candidate lists; the mutuality check is an
-    equi-join of the (N·k)-row directed edge list with its own
-    transpose. Norms are computed once per side. Cosine is the
-    quantized int64 dot (DOT_SCALE) shared with every ANN tier, and
-    floor(x·y·S) = floor(y·x·S) exactly, so the symmetric pair carries
-    one well-defined score in both engines."""
-    emb = _emb_double(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
-    # hash-partition the query side by qid up front: pair expansion is
-    # compute-bound, not byte-bound, so a single-split scan (or an AQE
-    # size-coalesced stream) would otherwise grind the whole per-cell
-    # quadratic through one task when the candidate side broadcasts —
-    # and HashPartitioning(qid) is exactly what the top-k window needs,
-    # so the expanded pair stream is never re-shuffled
-    a = emb.select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("cell"),
-        F.col("emb").alias("qe"),
-        F.col("nrm").alias("qn"),
-    ).repartition(spark.sparkContext.defaultParallelism, "qid")
-    c = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("cell"),
-        F.col("emb").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = (
-        a.join(c, "cell")
-        .filter(F.col("cid") != F.col("qid"))
-        .select(
-            "qid",
-            "cid",
-            (
-                dot(F.col("qe"), F.col("ce"))
-                / (F.col("qn") * F.col("cn"))
-            ).alias("cos"),
-        )
-    )
-    topk = _topk(scored, KNN_GRAPH_K).select("qid", "cid", "score_e6")
-    rev = topk.select(
-        F.col("cid").alias("qid"), F.col("qid").alias("cid")
-    )
-    return (
-        topk.join(rev, ["qid", "cid"])
-        .filter(F.col("qid") < F.col("cid"))
-        .select(
-            F.col("qid").alias("src"),
-            F.col("cid").alias("dst"),
-            "score_e6",
-        )
-    )
+    return impl(spark, sf_dir)
 
 
 QUERIES = {
@@ -841,28 +795,7 @@ QUERIES = {
     "ann_int8_topk": q_ann_int8_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
-    "knn_mutual_graph": q_knn_mutual_graph,
 }
 
 ORACLES["embedding_norm_stats"] = ORACLE_EMBEDDING_NORM_STATS
 ORACLES["embedding_diversity"] = ORACLE_EMBEDDING_DIVERSITY
-ORACLES["knn_mutual_graph"] = f"""
-WITH {_DD_LF},
-dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, {_DD_DOT} AS dot
-         FROM lf a JOIN lf b ON a.k = b.k AND a.label = b.label
-         WHERE b.vec_id <> a.vec_id
-         GROUP BY 1, 2),
-scored AS (SELECT qid, cid, CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
-           FROM dots JOIN norms nq ON nq.vec_id = qid
-           JOIN norms nc ON nc.vec_id = cid),
-topk AS (SELECT qid, cid, cos FROM (
-           SELECT qid, cid, cos,
-                  ROW_NUMBER() OVER (PARTITION BY qid
-                       ORDER BY cos DESC, cid) AS rnk
-           FROM scored)
-         WHERE rnk <= {KNN_GRAPH_K})
-SELECT x.qid AS src, x.cid AS dst,
-       CAST(FLOOR(x.cos * 1e6) AS BIGINT) AS score_e6
-FROM topk x JOIN topk y ON x.qid = y.cid AND x.cid = y.qid
-WHERE x.qid < x.cid
-"""

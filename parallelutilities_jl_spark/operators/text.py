@@ -1120,14 +1120,21 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.x", "p.y")
     bc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
     nb = bc.agg(F.sum("c_xy").alias("n_bi"))
+    # no broadcast hint on the unigram-count joins: unlike the bounded
+    # broadcasts elsewhere (64-row direction, 256-row histograms),
+    # vocabulary cardinality grows with the corpus — forcing a
+    # broadcast would be a driver/executor OOM hazard at 100 TB. AQE
+    # decides: small vocab → runtime broadcast; large vocab → shuffled
+    # hash/sort-merge join on the (already support-filtered) bigram
+    # side, which is the scale-safe shape.
     scored = (
         bc.filter(F.col("c_xy") >= PMI_MIN_COUNT)
         .join(
-            F.broadcast(cx.select(F.col("t").alias("x"), F.col("c").alias("c_x"))),
+            cx.select(F.col("t").alias("x"), F.col("c").alias("c_x")),
             "x",
         )
         .join(
-            F.broadcast(cx.select(F.col("t").alias("y"), F.col("c").alias("c_y"))),
+            cx.select(F.col("t").alias("y"), F.col("c").alias("c_y")),
             "y",
         )
         .crossJoin(F.broadcast(nu))

@@ -228,6 +228,14 @@ def running_sessions_per_key(
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col])
             for t in pdf[ts_col]:
+                # skip NULL timestamps: pd.Timestamp(NaT).value is the
+                # int64-min sentinel, which would corrupt last_us and
+                # every subsequent gap — mirrors the batch twin's
+                # `ts IS NOT NULL` filter (batch ≡ stream parity on the
+                # NULL-divergence class; pinned by the null-events
+                # corpus test)
+                if pd.isna(t):
+                    continue
                 t_us = int(pd.Timestamp(t).value // 1000)
                 if last_us is None or t_us - last_us > SESSION_GAP_US:
                     n_sess += 1

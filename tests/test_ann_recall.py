@@ -197,3 +197,36 @@ def test_leakage_safe_split_never_splits_a_dup_pair(spark, sf_dir):
         .count()
     )
     assert straddling == 0
+
+
+def test_knn_mutual_graph_edge_recall_floor(spark, sf_dir):
+    """Edge recall of the trained-cell mutual kNN graph vs the exact
+    corpus-wide mutual top-k edge set (numpy ground truth): the
+    symmetric 2-probe candidate generation must keep recovering most
+    true edges. Measured at sf0.01: label cells 0.111 (the round-8
+    shape), trained single-probe 0.349, trained 2-probe 0.66 — the
+    0.55 floor leaves fixture-regen headroom; if it flaps, the knob is
+    KNN_GRAPH_NPROBE, not the floor."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "recall_report2", os.path.join(repo, "tools", "recall_report.py")
+    )
+    rr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rr)
+
+    from parallelutilities_jl_spark.operators import clustering as C
+    from parallelutilities_jl_spark.operators.similarity import (
+        KNN_GRAPH_K,
+    )
+
+    ids, vecs, _ = rr.load_vectors(sf_dir)
+    exact_edges = rr.exact_mutual_edges(ids, vecs, KNN_GRAPH_K)
+    rows = C.q_knn_mutual_graph(spark, sf_dir).collect()
+    recall = rr.knn_edge_recall(rows, exact_edges)
+    assert recall >= 0.55, (
+        f"mutual-kNN edge recall degraded: {recall:.3f} "
+        f"({len(exact_edges)} true edges)"
+    )

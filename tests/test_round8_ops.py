@@ -255,17 +255,28 @@ def test_knn_components_are_consistent_with_edges(spark, sf_dir):
 
 def test_knn_mutual_graph_properties(spark, sf_dir):
     """Edges exist (each cell's closest pair is always mutual), are
-    canonically oriented src < dst, stay within a cell, and per-node
-    degree is bounded by k."""
+    canonically oriented src < dst, connect only vectors whose TRAINED
+    probe-cell sets intersect (the constant-size cells of
+    `_sampled_fit` + `_two_level_probes` — not the fixture's
+    corpus-growing label cells), and per-node degree is bounded by
+    k."""
+    from parallelutilities_jl_spark.operators.clustering import (
+        KNN_GRAPH_NPROBE,
+        _sampled_fit,
+        _two_level_probes,
+    )
+
     edges = q_knn_mutual_graph(spark, sf_dir)
     rows = edges.collect()
     assert rows, "mutual kNN graph should never be empty on the fixture"
     assert all(r["src"] < r["dst"] for r in rows)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label"
-    )
-    cells = {r["vec_id"]: r["label"] for r in emb.collect()}
-    assert all(cells[r["src"]] == cells[r["dst"]] for r in rows)
+    emb_all, centroids = _sampled_fit(spark, sf_dir)
+    probes: dict[int, set] = {}
+    for r in _two_level_probes(
+        emb_all, centroids, KNN_GRAPH_NPROBE
+    ).collect():
+        probes.setdefault(r["vec_id"], set()).add(r["cluster"])
+    assert all(probes[r["src"]] & probes[r["dst"]] for r in rows)
     deg: dict[int, int] = {}
     for r in rows:
         deg[r["src"]] = deg.get(r["src"], 0) + 1

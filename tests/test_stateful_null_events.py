@@ -43,6 +43,14 @@ def null_events(spark, tmp_path_factory):
         rows.append(
             (i, t0 + dt.timedelta(minutes=i), i % 2, "click", val, "{}")
         )
+    # NULL-ts rows (value also NULL so the four value-keyed queries'
+    # row censuses are unchanged): the sessionizer class — a NULL ts
+    # has no position in time, so batch (`ts IS NOT NULL`), oracle,
+    # AND the streaming state fold (pd.isna skip — without it
+    # pd.Timestamp(NaT).value is the int64-min sentinel and corrupts
+    # every subsequent gap) must all drop it identically.
+    for i in range(20, 24):
+        rows.append((i, None, i % 2, "click", None, "{}"))
     spark.createDataFrame(rows, EV_SCHEMA).write.mode(
         "overwrite"
     ).parquet(str(d / "events.parquet"))
@@ -56,6 +64,7 @@ def null_events(spark, tmp_path_factory):
         "stateful_running_sum",
         "stateful_topk",
         "stateful_ewma",
+        "stateful_sessions",
     ],
 )
 def test_null_values_keep_engine_parity(spark, null_events, qname):
@@ -83,3 +92,35 @@ def test_null_values_keep_engine_parity(spark, null_events, qname):
     if qname == "stateful_running_count":
         # 20 events, 7 NULL -> 13 per-event rows
         assert len(s_rows) == 13
+
+
+def test_sessions_streaming_skips_null_ts(spark, null_events):
+    """The STREAMING sessionizer must drop NULL-ts events exactly as
+    its batch twin's `ts IS NOT NULL` filter does — final streamed
+    state ≡ registered batch query on a corpus where the class is
+    reachable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parallelutilities_jl_spark.streaming import stateful as ST
+    from test_stateful_parity import _run_stream
+
+    t = pq.read_table(f"{null_events}/events.parquet")
+    # Spark wrote ts as INT96 → arrow ns; the stream reader wants the
+    # driver fixture's timestamp[us] physical type
+    t = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        t["ts"].cast(pa.timestamp("us")),
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    rows = _run_stream(
+        spark, t, ST.running_sessions_per_key, "sp_sess_nullts"
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["last_n"]) for r in rows}
+    want = {
+        r["user_id"]: (r["n_sessions"], r["last_n"])
+        for r in ST.q_stateful_sessions(spark, null_events).collect()
+    }
+    assert got == want and got

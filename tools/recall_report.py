@@ -63,6 +63,30 @@ def exact_l2_topk(ids, vecs, qids, k):
     return truth
 
 
+def exact_mutual_edges(ids, vecs, k):
+    """Ground-truth mutual top-k edge set over the FULL corpus (no
+    cells): (src, dst) with src < dst iff each is in the other's exact
+    cosine top-k — what the cell-bounded engine graph approximates."""
+    nrm = np.linalg.norm(vecs, axis=1)
+    topk: dict[int, set] = {}
+    for qi in range(len(ids)):
+        cos = (vecs @ vecs[qi]) / (nrm * nrm[qi])
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))
+        topk[int(ids[qi])] = set(ids[order[:k]].tolist())
+    return {
+        (q, int(c))
+        for q, nbrs in topk.items()
+        for c in nbrs
+        if q < c and q in topk[int(c)]
+    }
+
+
+def knn_edge_recall(rows, exact_edges):
+    got = {(int(r["src"]), int(r["dst"])) for r in rows}
+    return round(len(got & exact_edges) / max(1, len(exact_edges)), 3)
+
+
 def recall_of(rows, truth, k):
     got: dict[int, set] = {}
     for r in rows:
@@ -139,6 +163,12 @@ def main() -> None:
         l2, C.PQ_TOP_K, len(qpq),
         "PQ shortlist + exact int-e6 L2 re-rank — the serving path",
     ))
+    from parallelutilities_jl_spark.operators.similarity import (
+        KNN_GRAPH_K,
+    )
+
+    exact_edges = exact_mutual_edges(ids, vecs, KNN_GRAPH_K)
+    knn_rows = C.q_knn_mutual_graph(spark, SF_DIR).collect()
     spark.stop()
 
     out = {}
@@ -149,6 +179,16 @@ def main() -> None:
             "n_queries": nq,
             "note": note,
         }
+    out["knn_mutual_graph"] = {
+        "recall_at_k": knn_edge_recall(knn_rows, exact_edges),
+        "k": KNN_GRAPH_K,
+        "n_queries": len(exact_edges),
+        "note": "EDGE recall: fraction of true corpus-wide mutual "
+        "top-k edges recovered by the trained-cell graph (n_queries "
+        "column = true edge count); symmetric 2-probe candidates over "
+        "learned constant-size cells — label cells scored 0.111, "
+        "trained 1-probe 0.349; floor 0.55",
+    }
 
     sf = os.path.basename(SF_DIR.rstrip("/"))
     with open(os.path.join(REPO, "RECALL.json"), "w") as f:

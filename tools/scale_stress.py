@@ -84,9 +84,11 @@ QUERIES = (
     # round-8 second wave: DSIR is two token-stream passes + B-row
     # broadcast histograms (=> ~linear); the reservoir sample's staged
     # windows are bounded per (source, shard); the mutual kNN graph is
-    # the corpus×corpus celled case — cells grow with shards here
-    # (labels are reused across shards), so its bound is the per-cell
-    # quadratic, expected ~x10 per tier at constant cell count
+    # the corpus×corpus celled case — since round 9 its cells come from
+    # the TRAINED quantizer (k_eff ∝ N, constant ~cell_target size), so
+    # per-cell pair work stays bounded and the graph is expected
+    # ~linear in rows (label replication no longer grows its cells —
+    # that was the round-8 29.8x row)
     "dsir_importance_weights",
     "reservoir_sample_per_key",
     "knn_mutual_graph",
