@@ -1859,9 +1859,13 @@ def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("ce"),
         F.col("nrm").alias("cn"),
     )
+    # score each UNORDERED pair once (qid < cid) and mirror the row —
+    # cosine is symmetric bit-exactly (floor(x·y·S) = floor(y·x·S)), so
+    # this halves the dominant per-cell dot work vs scoring both
+    # directions of the expanded join
     scored = (
         a.join(c, "cell")
-        .filter(F.col("cid") != F.col("qid"))
+        .filter(F.col("qid") < F.col("cid"))
         .select(
             "qid",
             "cid",
@@ -1874,7 +1878,14 @@ def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a pair sharing BOTH probe cells appears twice with the identical
     # bit-exact cosine — max() is pure dedup, and the (qid, cid) agg
     # is map-side combinable before the window's qid shuffle
-    pair = scored.groupBy("qid", "cid").agg(F.max("cos").alias("cos"))
+    half = scored.groupBy("qid", "cid").agg(F.max("cos").alias("cos"))
+    pair = half.union(
+        half.select(
+            F.col("cid").alias("qid"),
+            F.col("qid").alias("cid"),
+            "cos",
+        )
+    )
     topk = _topk(pair, KNN_GRAPH_K).select("qid", "cid", "score_e6")
     rev = topk.select(
         F.col("cid").alias("qid"), F.col("qid").alias("cid")
@@ -1908,10 +1919,12 @@ def _oracle_knn_mutual() -> str:
     )
     prb = _two_level_pick_ctes(ctes, cfin, nprobe=KNN_GRAPH_NPROBE)
     ctes.append(_DD_LF)
+    # unordered pairs scored once, mirrored after (cosine is symmetric
+    # bit-exactly) — same halving the Spark side does
     ctes.append(
         "cand AS (SELECT DISTINCT pa.vec_id AS qid, pb.vec_id AS cid "
         f"FROM {prb} pa JOIN {prb} pb ON pb.cluster = pa.cluster "
-        "AND pb.vec_id <> pa.vec_id)"
+        "AND pb.vec_id > pa.vec_id)"
     )
     ctes.append(
         f"dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
@@ -1927,9 +1940,13 @@ def _oracle_knn_mutual() -> str:
         "JOIN norms nc ON nc.vec_id = cid)"
     )
     ctes.append(
+        "bidir AS (SELECT qid, cid, cos FROM scored "
+        "UNION ALL SELECT cid, qid, cos FROM scored)"
+    )
+    ctes.append(
         "tk AS (SELECT qid, cid, cos FROM ("
         "SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid "
-        "ORDER BY cos DESC, cid) AS rnk FROM scored) "
+        "ORDER BY cos DESC, cid) AS rnk FROM bidir) "
         f"WHERE rnk <= {KNN_GRAPH_K})"
     )
     final = (

@@ -140,10 +140,11 @@ SHOWCASE = {
         "lazy plan, model never collects"
     ),
     "knn_mutual_graph": (
-        "corpus-as-queries ANN: cell equi-join candidates, per-node "
-        "top-k windows pre-partitioned by qid (the expansion never "
-        "re-shuffles), mutuality via a transpose equi-join of the "
-        "N*k-row edge list"
+        "corpus-as-queries ANN over TRAINED constant-size cells: "
+        "symmetric 2-probe cell equi-join candidates (sampled Lloyd "
+        "fit + O(sqrt k) hierarchical probes), map-side-combinable "
+        "pair dedup, per-node top-k windows partitioned by qid, "
+        "mutuality via a transpose equi-join of the N*k-row edge list"
     ),
     "multimodal_dedup_census": (
         "binary dedup accounting: payloads hash in place; only 32-byte "
