@@ -1191,6 +1191,228 @@ LIMIT {PMI_TOP_K}
 """
 
 
+# --- character-class entropy filter --------------------------------------
+
+# Entropy band for the keep flag, in 2^20 fixed-point bits. 4 classes
+# => H in [0, 2] bits; near-zero entropy means the doc is almost a
+# single character class (digit dumps, dot leaders, base64-ish runs) —
+# the Gopher-style "symbol soup" screen at the character level.
+CHAR_ENTROPY_MIN_Q = int(0.60 * (1 << 20))
+
+
+def q_char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class entropy quality filter: distribution of the four
+    normalized-text character classes (a-z / 0-9 / space / other) per
+    document, plus its Shannon entropy and a keep flag. Complements
+    `text_quality_score` (word-level ratios) and `repetition_stats`
+    (n-gram duplication): this catches digit dumps, separator runs, and
+    encoded blobs that word-level screens miss.
+
+    Cross-engine determinism: class counts are length-difference
+    integers on the shared normalization; H_q = qlog2(n) − (Σ c·qlog2 c)
+    div n entirely in the transcendental-free 2^20 fixed point
+    (`_qlog2`), zero-count classes contributing exactly 0 — identical
+    integers on both engines (float-parity policy).
+
+    Scale shape: a pure narrow map — one scan, no shuffle at any corpus
+    size; the same embarrassingly-parallel projection as the module's
+    other per-doc filters."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    nt = TH.norm_text(F.col("text"))
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", nt.alias("nt"))
+        .select(
+            "doc_id",
+            F.length("nt").alias("n"),
+            (
+                F.length("nt")
+                - F.length(F.regexp_replace("nt", "[a-z]", ""))
+            ).cast("long").alias("c_alpha"),
+            (
+                F.length("nt")
+                - F.length(F.regexp_replace("nt", "[0-9]", ""))
+            ).cast("long").alias("c_digit"),
+            (
+                F.length("nt")
+                - F.length(F.regexp_replace("nt", " ", ""))
+            ).cast("long").alias("c_space"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "c_other",
+            (
+                F.col("n") - F.col("c_alpha") - F.col("c_digit")
+                - F.col("c_space")
+            ).cast("long"),
+        )
+    )
+    term = lambda c: F.expr(  # noqa: E731 — 0·log 0 ≡ 0 branch
+        f"CASE WHEN {c} > 0 THEN {c} * {_qlog2(c, spark=True)} "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    hq = (
+        F.expr(_qlog2("n", spark=True))
+        - F.expr(
+            "(h_alpha + h_digit + h_space + h_other) div CAST(n AS BIGINT)"
+        )
+    )
+    return (
+        base.withColumn("h_alpha", term("c_alpha"))
+        .withColumn("h_digit", term("c_digit"))
+        .withColumn("h_space", term("c_space"))
+        .withColumn("h_other", term("c_other"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars_norm"),
+            "c_alpha",
+            "c_digit",
+            "c_space",
+            "c_other",
+            hq.alias("entropy_q"),
+            (hq >= CHAR_ENTROPY_MIN_Q).alias("keep_char_entropy"),
+        )
+    )
+
+
+def _oracle_char_entropy() -> str:
+    nt = TH.dd_norm_text("text")
+
+    def term(c: str) -> str:
+        return (
+            f"CASE WHEN {c} > 0 THEN {c} * {_qlog2(c, spark=False)} "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, {nt} AS nt FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, length(nt) AS n,
+         CAST(length(nt) - length(regexp_replace(nt, '[a-z]', '', 'g'))
+              AS BIGINT) AS c_alpha,
+         CAST(length(nt) - length(regexp_replace(nt, '[0-9]', '', 'g'))
+              AS BIGINT) AS c_digit,
+         CAST(length(nt) - length(replace(nt, ' ', ''))
+              AS BIGINT) AS c_space
+  FROM s WHERE length(nt) > 0),
+c2 AS (
+  SELECT *, CAST(n - c_alpha - c_digit - c_space AS BIGINT) AS c_other
+  FROM c),
+h AS (
+  SELECT *, {_qlog2('n', spark=False)}
+            - ({term('c_alpha')} + {term('c_digit')} + {term('c_space')}
+               + {term('c_other')}) // CAST(n AS BIGINT) AS entropy_q
+  FROM c2)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_norm,
+       c_alpha, c_digit, c_space, c_other, entropy_q,
+       entropy_q >= {CHAR_ENTROPY_MIN_Q} AS keep_char_entropy
+FROM h
+"""
+
+
+# --- Zipf slope per source ------------------------------------------------
+
+ZIPF_TOP_K = 32
+ZIPF_MIN_TERMS = 8
+
+
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per source — the dataset-card statistic that a
+    natural-language subcorpus obeys c(r) ∝ r^s with s ≈ −1 over its
+    head vocabulary (machine-generated or templated sources flatten the
+    curve, |s| ≪ 1). Fits s by least squares on (qlog2 rank, qlog2
+    count) over each source's top-{ZIPF_TOP_K} unigrams:
+    slope_e6 = floor(1e6·(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)).
+
+    Cross-engine determinism: x and y are transcendental-free 2^20
+    fixed-point logs (`_qlog2`), every Σ is exact int64 (bounds: x ≤
+    5·2²⁰, y ≤ 63·2²⁰, n ≤ 32 ⇒ n·Σxy < 2³⁶·2⁴⁰ ≪ 2⁶³), and the single
+    final division is one IEEE op on identical integers.
+
+    Scale shape: one tokenize pass → (source, word) hash-agg (map-side
+    combinable, the module's standard vocab-sized exchange) → per-source
+    top-K window over vocab-sized rows (|sources| partitions of vocab
+    size — never corpus-sized) → one ≤K·|sources|-row agg. Output is
+    |sources| rows at any corpus size."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(TH.words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    win = W.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    top = (
+        cnt.withColumn("r", F.row_number().over(win).cast("long"))
+        .filter(F.col("r") <= ZIPF_TOP_K)
+        .select(
+            "source",
+            "c",
+            F.expr(_qlog2("r", spark=True)).alias("x"),
+            F.expr(_qlog2("c", spark=True)).alias("y"),
+        )
+    )
+    s = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("c").alias("top_count"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter(F.col("n_terms") >= ZIPF_MIN_TERMS)
+        .select(
+            "source",
+            "n_terms",
+            "top_count",
+            F.floor(
+                F.lit(1000000.0) * num.cast("double")
+                / den.cast("double")
+            ).cast("long").alias("slope_e6"),
+        )
+    )
+
+
+def _oracle_zipf_slope() -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, UNNEST(list_filter({TH.dd_words('text')}, t -> t <> ''))
+         AS w
+  FROM documents),
+cnt AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, w),
+rk AS (
+  SELECT source, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY c DESC, w ASC) AS BIGINT) AS r
+  FROM cnt),
+xy AS (
+  SELECT source, c, {_qlog2('r', spark=False)} AS x,
+         {_qlog2('c', spark=False)} AS y
+  FROM rk WHERE r <= {ZIPF_TOP_K}),
+s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         MAX(c) AS top_count,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY source)
+SELECT source, n_terms, top_count,
+       CAST(FLOOR(1000000.0
+            * CAST(n_terms * sxy - sx * sy AS DOUBLE)
+            / CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+         AS slope_e6
+FROM s WHERE n_terms >= {ZIPF_MIN_TERMS}
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
     "text_quality_score": q_text_quality,
@@ -1209,6 +1431,8 @@ QUERIES = {
     "oov_rate_by_source": q_oov_rate_by_source,
     "bigram_pmi_top": q_bigram_pmi_top,
     "lang_id_confusion": q_lang_id_confusion,
+    "char_class_entropy": q_char_class_entropy,
+    "zipf_slope_by_source": q_zipf_slope_by_source,
 }
 
 ORACLES = _oracles()
@@ -1220,6 +1444,8 @@ ORACLES["skipgram_pairs"] = _oracle_skipgrams()
 ORACLES["padding_waste_buckets"] = _oracle_padding_waste()
 ORACLES["oov_rate_by_source"] = _oracle_oov_rate()
 ORACLES["bigram_pmi_top"] = _oracle_bigram_pmi()
+ORACLES["char_class_entropy"] = _oracle_char_entropy()
+ORACLES["zipf_slope_by_source"] = _oracle_zipf_slope()
 ORACLES["lang_id_confusion"] = f"""
 WITH per AS ({ORACLES["lang_id_ngram"]})
 SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
