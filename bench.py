@@ -125,6 +125,10 @@ LATE_ADDITIONS = [
     "embedding_abtt_census",
     "fuzzy_contamination",
     "lang_id_confusion",
+    # round-9 additions (landed in text.py during r9; enrolled here in
+    # r10 so the committed bench artifact times every registered query)
+    "char_class_entropy",
+    "zipf_slope_by_source",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 
