@@ -703,6 +703,7 @@ def _oracle_ivf_trained(k: int = K, iters: int = IVF_FIT_ITERS) -> str:
     from parallelutilities_jl_spark.operators.similarity import (
         _DD_DOT,
         _DD_LF,
+        _DD_LF_CTES,
     )
 
     return f"""
@@ -811,6 +812,7 @@ def _oracle_ivf_multiprobe(
     from parallelutilities_jl_spark.operators.similarity import (
         _DD_DOT,
         _DD_LF,
+        _DD_LF_CTES,
     )
 
     ctes, cfin = _kmeans_ctes(k, iters)
@@ -1305,7 +1307,20 @@ def _semdedup_prune_census(emb: DataFrame) -> DataFrame:
 # per query (the round-8 bench re-fit 3×). Keyed by applicationId so a
 # restarted session never sees another session's checkpointed frames;
 # entries are a checkpointed frame handle + a KB-sized centroid dict.
+# ASSUMPTION: the fixture under sf_dir is immutable for the life of the
+# application — a rewritten fixture at the same path within one app
+# would be served stale (acceptable: test fixtures are read-only).
 _FIT_CACHE: dict[tuple, tuple[DataFrame, dict[int, list[float]]]] = {}
+
+
+def _evict_stale(cache: dict, spark: SparkSession) -> None:
+    """Drop cache entries from any OTHER application: their
+    localCheckpoint'ed blocks died with that SparkContext, and keeping
+    the handles pins dead references for the life of the process (the
+    dict otherwise only ever grows across session restarts)."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        del cache[k]
 
 
 def _sampled_fit(
@@ -1338,6 +1353,7 @@ def _sampled_fit(
     family sharing the quantizer reuses one fit per session."""
     from parallelutilities_jl_spark.operators.pipeline import _KNUTH
 
+    _evict_stale(_FIT_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir, cell_target, spc,
            iters)
     if key not in _FIT_CACHE:
@@ -1406,13 +1422,14 @@ def _oracle_semantic_scaled() -> str:
     from parallelutilities_jl_spark.operators.similarity import (
         _DD_DOT,
         _DD_LF,
+        _DD_LF_CTES,
     )
 
     ctes, cfin = _kmeans_ctes_sampled(
         IVF_FIT_ITERS, SEMDEDUP_FIT_SPC, SEMDEDUP_CELL_TARGET
     )
     asg = _two_level_pick_ctes(ctes, cfin)
-    ctes.append(_DD_LF)
+    ctes.extend(_DD_LF_CTES)
     ctes.append(
         f"dots AS (SELECT sa.cluster, a.vec_id AS ia, b.vec_id AS ib, "
         f"{_DD_DOT} AS dot "
@@ -1446,6 +1463,7 @@ def _oracle_semantic_dedup(k: int = K, iters: int = IVF_FIT_ITERS) -> str:
     from parallelutilities_jl_spark.operators.similarity import (
         _DD_DOT,
         _DD_LF,
+        _DD_LF_CTES,
     )
 
     return f"""
@@ -1911,6 +1929,7 @@ def _oracle_knn_mutual() -> str:
     from parallelutilities_jl_spark.operators.similarity import (
         _DD_DOT,
         _DD_LF,
+        _DD_LF_CTES,
         KNN_GRAPH_K,
     )
 
@@ -1918,7 +1937,7 @@ def _oracle_knn_mutual() -> str:
         IVF_FIT_ITERS, SEMDEDUP_FIT_SPC, SEMDEDUP_CELL_TARGET
     )
     prb = _two_level_pick_ctes(ctes, cfin, nprobe=KNN_GRAPH_NPROBE)
-    ctes.append(_DD_LF)
+    ctes.extend(_DD_LF_CTES)
     # unordered pairs scored once, mirrored after (cosine is symmetric
     # bit-exactly) — same halving the Spark side does
     ctes.append(

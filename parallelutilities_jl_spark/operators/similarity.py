@@ -472,15 +472,26 @@ def q_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT sums (a raw double SUM is combine-order-dependent and need not
 # match Spark's sequential fold in the last ulp)
 _DD_DOT = f"SUM(CAST(FLOOR((a.v * b.v) * {float(DOT_SCALE)}) AS BIGINT))"
-_DD_LF = (
-    "lf AS (SELECT vec_id, label, "
-    "UNNEST(generate_series(1, len(embedding))) AS k, "
-    "UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v "
-    "FROM embeddings), "
-    "norms AS (SELECT vec_id, SQRT(CAST(SUM(CAST(FLOOR((v * v) * "
-    f"{float(DOT_SCALE)}) AS BIGINT)) AS DOUBLE)) AS nrm "
-    "FROM lf GROUP BY vec_id)"
+# kept as SEPARATE CTE strings so callers that route through
+# clustering._assemble can MATERIALIZE each one individually — as a
+# single string only the first " AS (" gets the hint, leaving `norms`
+# inlined and re-evaluated per reference (it is joined twice in the
+# knn_mutual oracle), the exact re-evaluation pathology _assemble
+# exists to prevent
+_DD_LF_CTES = (
+    (
+        "lf AS (SELECT vec_id, label, "
+        "UNNEST(generate_series(1, len(embedding))) AS k, "
+        "UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v "
+        "FROM embeddings)"
+    ),
+    (
+        "norms AS (SELECT vec_id, SQRT(CAST(SUM(CAST(FLOOR((v * v) * "
+        f"{float(DOT_SCALE)}) AS BIGINT)) AS DOUBLE)) AS nrm "
+        "FROM lf GROUP BY vec_id)"
+    ),
 )
+_DD_LF = ", ".join(_DD_LF_CTES)
 
 
 def _dd_topk(filter_sql: str, join_sql: str, k: int) -> str:
