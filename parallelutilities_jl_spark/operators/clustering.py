@@ -1816,7 +1816,14 @@ FROM agg
 """
 
 
-KNN_GRAPH_NPROBE = 2  # within-group probe cells carried per vector
+# Within-group probe cells carried per vector. Swept at the round-10
+# knee of the recall/cost curve (sf0.01 edge recall / sf0.1 graph wall):
+# nprobe=2 → 0.659 @ 2.9 s, nprobe=3 → 0.784 @ 3.8 s, nprobe=4 → 0.800
+# @ 5.1 s — 3 buys +0.125 recall for 1.28× wall, 4 only +0.016 more for
+# another 1.36×. (Group-level multiprobe is untestable at fixture scale:
+# k_eff=8 → 2 super-groups, so probing a second group is probing
+# everything — recall 1.0 at 2.7× wall, not a knee.)
+KNN_GRAPH_NPROBE = 3
 
 # (applicationId, sf_dir, nprobe) → localCheckpoint'ed mutual-edge
 # frame (src, dst, score_e6) — the RESIDENT GRAPH artifact shared by
@@ -1869,8 +1876,9 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-group cells (`_two_level_probes`); two vectors are
     candidates when their probe sets share a cell — the symmetric
     multi-probe that recovers near-neighbor pairs the single-cell
-    partition splits (measured edge recall 0.349 → 0.66 at sf0.01,
-    RECALL.md) at ≤ nprobe²× pair work, still O(N·cell) — linear in N.
+    partition splits (measured edge recall 0.349 → 0.659 → 0.784 at
+    sf0.01 for nprobe 1/2/3, RECALL.md) at ≤ nprobe²× pair work, still
+    O(N·cell) — linear in N.
     Per-node top-k is a window over cell-bounded candidate lists; the
     mutuality check is an equi-join of the (N·k)-row directed edge
     list with its own transpose. Cosine is the quantized int64 dot

@@ -202,11 +202,12 @@ def test_leakage_safe_split_never_splits_a_dup_pair(spark, sf_dir):
 def test_knn_mutual_graph_edge_recall_floor(spark, sf_dir):
     """Edge recall of the trained-cell mutual kNN graph vs the exact
     corpus-wide mutual top-k edge set (numpy ground truth): the
-    symmetric 2-probe candidate generation must keep recovering most
-    true edges. Measured at sf0.01: label cells 0.111 (the round-8
-    shape), trained single-probe 0.349, trained 2-probe 0.66 — the
-    0.55 floor leaves fixture-regen headroom; if it flaps, the knob is
-    KNN_GRAPH_NPROBE, not the floor."""
+    symmetric multi-probe candidate generation must keep recovering
+    most true edges. Measured with the shipped 3-probe (round 10):
+    0.784 at sf0.01, 0.678 at this sf0.001 tier (2-probe scored 0.659
+    / ~0.60; single-probe 0.349; label cells 0.111). The 0.62 floor
+    sits under the weaker sf0.001 tier with fixture-regen headroom; if
+    it flaps, the knob is KNN_GRAPH_NPROBE, not the floor."""
     import importlib.util
     import os
 
@@ -226,7 +227,7 @@ def test_knn_mutual_graph_edge_recall_floor(spark, sf_dir):
     exact_edges = rr.exact_mutual_edges(ids, vecs, KNN_GRAPH_K)
     rows = C.q_knn_mutual_graph(spark, sf_dir).collect()
     recall = rr.knn_edge_recall(rows, exact_edges)
-    assert recall >= 0.55, (
+    assert recall >= 0.62, (
         f"mutual-kNN edge recall degraded: {recall:.3f} "
         f"({len(exact_edges)} true edges)"
     )

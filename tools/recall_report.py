@@ -185,9 +185,9 @@ def main() -> None:
         "n_queries": len(exact_edges),
         "note": "EDGE recall: fraction of true corpus-wide mutual "
         "top-k edges recovered by the trained-cell graph (n_queries "
-        "column = true edge count); symmetric 2-probe candidates over "
+        "column = true edge count); symmetric 3-probe candidates over "
         "learned constant-size cells — label cells scored 0.111, "
-        "trained 1-probe 0.349; floor 0.55",
+        "trained 1-probe 0.349, 2-probe 0.659; floor 0.62 (under the weaker sf0.001 tier's 0.678)",
     }
 
     sf = os.path.basename(SF_DIR.rstrip("/"))
