@@ -92,6 +92,11 @@ QUERIES = (
     "dsir_importance_weights",
     "reservoir_sample_per_key",
     "knn_mutual_graph",
+    # components over the mutual graph: the timed run measures
+    # propagation over the resident checkpointed edge frame (the warm
+    # run builds it once per tier — production shape: one graph build,
+    # many consumers), so this row isolates the O(rounds x E) loop
+    "knn_components",
     # PMI is two token-stream aggs + vocab-sized broadcast joins
     # (=> ~linear); power iteration is 2 fixed rounds of broadcast-join
     # matvecs (=> ~linear in rows)
@@ -194,8 +199,10 @@ def main() -> None:
 
     spark = get_spark(app_name="pu_scale_stress")
     qs = entrymod.queries()
+    # optional argv filter: re-measure a few rows without the full sweep
+    names = [n for n in QUERIES if not sys.argv[1:] or n in sys.argv[1:]]
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in names:
         fn = qs[name]
         tiers = {}
         for label, sf_dir in (("sf0.01", SF01), ("sf0.1", SF1), ("x10", STRESS)):
