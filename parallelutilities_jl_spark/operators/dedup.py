@@ -30,6 +30,10 @@ same engine primitives (explode/groupBy/join).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -930,6 +934,12 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAM_MAX}
     }
 
 
+# parquet-reset cadence for the propagation loop: digits of the
+# checkpoint-inherited sizeInBytes stat double per round, so 6 rounds
+# cap the BigInt at ~64x its entry width — multiplication stays sub-ms
+_CC_STATS_RESET_EVERY = 6
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
@@ -940,11 +950,21 @@ def connected_components(
     lets a recursive-SQL oracle verify it).
 
     Each round is a node-keyed shuffle (neighbor min) plus a label-keyed
-    shuffle (pointer jump — label-path doubling against the previous
-    round's map), so convergence takes O(log diameter) rounds instead of
-    O(diameter); `localCheckpoint` truncates the growing lineage. At
-    100 TB each round is the same two bounded shuffles over the N·k edge
-    list — round COUNT, not round cost, is what the jump buys down."""
+    shuffle (pointer jump — composing with the previous round's label
+    map, which shortcuts descending label chains and measured 15 → 13
+    rounds on the sf0.1 mutual-kNN graph); `localCheckpoint` truncates
+    the lineage every round, and every `_CC_STATS_RESET_EVERY` rounds
+    the label frame takes a parquet round-trip: Catalyst's
+    size-in-bytes estimate for a join is the PRODUCT of its children's,
+    and checkpoints PRESERVE the originating stats, so an iterative
+    self-join doubles the BigInteger's digit count per round — by round
+    ~20 the driver burns minutes in BigInteger.multiply (measured:
+    2.7× per-round wall growth, thread pinned in multiplyToomCook3).
+    The parquet re-read is the one lineage cut that also RESETS stats
+    to the real file size — the same reason GraphFrames' connected
+    components checkpoints to disk. At 100 TB point the spill at a
+    shared filesystem; each round is still the two bounded shuffles
+    over the N·k edge list."""
     # materialize the edge list once — every propagation round reuses it,
     # and without this the (possibly expensive) edge-producing pipeline
     # re-executes per round
@@ -968,8 +988,10 @@ def connected_components(
             F.least(F.col("u"), F.col("mv")).alias("lbl"),
         )
     ).localCheckpoint()
+    spark = edges.sparkSession
+    spill_dir: str | None = None
     converged = False
-    for _ in range(max_iters):
+    for i in range(max_iters):
         nbr = (
             und.join(labels, und.v == labels.n)
             .groupBy("u")
@@ -980,11 +1002,9 @@ def connected_components(
         # always the id of a node in the same component (init = own id;
         # min/composition preserve it), so the jump stays in-component
         # and is non-increasing — the fixpoint argument is unchanged,
-        # but the radius a label has travelled now grows geometrically
-        # instead of one hop per round: rounds drop from O(diameter) to
-        # O(log diameter) (the mutual-kNN graph at sf0.1 measured
-        # diameter ~14 → 15 one-hop rounds; chain-shaped components are
-        # exactly where one-hop propagation degenerates).
+        # and descending label chains shortcut two hops per round
+        # (measured 15 → 13 rounds on the sf0.1 mutual-kNN graph,
+        # diameter ~14).
         hop = labels.join(nbr, labels.n == nbr.u, "left").select(
             "n",
             F.col("lbl").alias("prev"),
@@ -1022,6 +1042,21 @@ def connected_components(
         if stepped.filter("chg").count() == 0:
             converged = True
             break
+        if (i + 1) % _CC_STATS_RESET_EVERY == 0:
+            # stats + lineage + object-graph hard reset (see docstring:
+            # checkpoint-preserved sizeInBytes doubles its digit count
+            # per self-join round; only a storage round-trip resets it)
+            if spill_dir is None:
+                spill_dir = tempfile.mkdtemp(prefix="pu_cc_spill_")
+            path = os.path.join(spill_dir, f"round_{i}")
+            labels.write.mode("overwrite").parquet(path)
+            labels = spark.read.parquet(path)
+    if spill_dir is not None:
+        if converged:
+            # the surviving frame may lazily read the spill files —
+            # pin the rows in block storage before deleting them
+            labels = labels.localCheckpoint()
+        shutil.rmtree(spill_dir, ignore_errors=True)
     if not converged:
         # intermediate labels are WRONG dedup groups — never return them
         # silently; a >max_iters-diameter graph needs the star-contraction

@@ -1,0 +1,121 @@
+"""Round-10 units: the shared checkpointed mutual-edge frame
+(`clustering._EDGE_CACHE`) and the pointer-jump min-label propagation
+in `dedup.connected_components` (reference parity target:
+src/mapreduce.jl has no graph ops — these belong to the mandated
+LLM-pipeline surface; the loop invariants are documented in
+dedup.connected_components' docstring)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _components(spark, pairs):
+    from parallelutilities_jl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+
+
+def _truth(pairs):
+    """Driver-side union-find oracle."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns) for r, ns in comp.items() for n in ns}
+
+
+def test_components_long_path_random_ids(spark):
+    """A 40-node path graph with shuffled node ids — the adversarial
+    shape for min-label propagation (diameter = rounds for the naive
+    loop; the pointer-jump + fused-init round must still converge
+    within max_iters and land on the exact min-member labeling)."""
+    # deterministic shuffle: multiply by a unit mod 97 (prime > 40)
+    ids = [(i * 31) % 97 + 1000 for i in range(40)]
+    assert len(set(ids)) == 40
+    pairs = [(ids[i], ids[i + 1]) for i in range(39)]
+    assert _components(spark, pairs) == _truth(pairs)
+
+
+def test_components_mixed_shapes(spark):
+    """Cliques + chains + stars + an isolated pair, ids interleaved so
+    min labels must cross shape boundaries only where edges exist."""
+    pairs = (
+        [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]  # clique
+        + [(100 + i, 101 + i) for i in range(7)]  # chain
+        + [(5, 200 + i) for i in range(6)]  # star centered at 5
+        + [(9000, 8999)]  # pair
+    )
+    assert _components(spark, pairs) == _truth(pairs)
+
+
+def test_components_nonconvergence_raises(spark):
+    """max_iters too small for the diameter must raise, never return
+    intermediate (wrong) dedup groups silently."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = [(i * 31) % 97 + 1000 for i in range(40)]
+    pairs = [(ids[i], ids[i + 1]) for i in range(39)]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+
+
+def test_edge_cache_shared_and_evicted(spark, sf_dir):
+    """`_mutual_edges_checkpointed` returns the SAME resident frame on
+    repeat calls within one application (the one-build/many-consumers
+    contract `q_knn_components` rides), its rows equal the lazy
+    `q_knn_mutual_graph` plan's, and `_evict_stale` drops entries whose
+    applicationId is not the live SparkContext's."""
+    from parallelutilities_jl_spark.operators import clustering as C
+
+    C._EDGE_CACHE.clear()
+    first = C._mutual_edges_checkpointed(spark, sf_dir)
+    again = C._mutual_edges_checkpointed(spark, sf_dir)
+    assert first is again
+    lazy = {
+        (r["src"], r["dst"], r["score_e6"])
+        for r in C.q_knn_mutual_graph(spark, sf_dir).collect()
+    }
+    resident = {
+        (r["src"], r["dst"], r["score_e6"]) for r in first.collect()
+    }
+    assert lazy == resident and resident
+
+    # a foreign-application entry is evicted on the next lookup
+    C._EDGE_CACHE[("dead-app", sf_dir, C.KNN_GRAPH_NPROBE)] = first
+    C._mutual_edges_checkpointed(spark, sf_dir)
+    assert all(
+        k[0] == spark.sparkContext.applicationId for k in C._EDGE_CACHE
+    )
+
+
+def test_fit_cache_evicts_foreign_application(spark, sf_dir):
+    from parallelutilities_jl_spark.operators import clustering as C
+
+    emb_all, cents = C._sampled_fit(spark, sf_dir)
+    C._FIT_CACHE[("dead-app", sf_dir, 1, 2, 3)] = (emb_all, cents)
+    C._sampled_fit(spark, sf_dir)
+    assert all(
+        k[0] == spark.sparkContext.applicationId for k in C._FIT_CACHE
+    )
