@@ -129,6 +129,8 @@ LATE_ADDITIONS = [
     # r10 so the committed bench artifact times every registered query)
     "char_class_entropy",
     "zipf_slope_by_source",
+    # round-10 addition: streaming ingest near-dup screen (batch parity)
+    "stream_sig_dedup",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

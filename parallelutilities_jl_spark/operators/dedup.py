@@ -157,12 +157,20 @@ def minhash_per_doc(
     )
 
 
-def lsh_bands(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+def lsh_bands(
+    sig: DataFrame,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    keep_sig: bool = False,
+) -> DataFrame:
     """(doc_id, band, key): band key = md5 of the band's signature rows.
 
     One pass over the signature table (explode of an inline array) — a
     union of per-band selects would recompute the signature aggregation
-    once per band."""
+    once per band. keep_sig=True carries the h0.. signature columns on
+    every band row (the streaming ingest-dedup operator needs the
+    signature AT the band-bucket key it is grouped by; a join-back is
+    not stream-safe)."""
     entries = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
@@ -174,8 +182,16 @@ def lsh_bands(sig: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> 
         )
         for b in range(bands)
     ]
-    return sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    carried = (
+        [f"h{i}" for i in range(bands * rows)] if keep_sig else []
+    )
+    return sig.select(
+        "doc_id", *carried, F.explode(F.array(*entries)).alias("e")
+    ).select(
+        "doc_id",
+        *carried,
+        F.col("e.band").alias("band"),
+        F.col("e.key").alias("key"),
     )
 
 
@@ -1534,9 +1550,130 @@ FROM flags GROUP BY source
 """
 
 
+# --- streaming ingest dedup (signature-estimate, arrival-ordered) ----
+
+STREAM_STATE_CAP = 16  # stored signatures per band bucket (stream state)
+SIG_MATCH_MIN = 8  # matching minhash components (of 16) ≈ Jaccard ≥ 0.5
+
+
+def sig_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N_HASHES-1}) minhash-signature frame from any
+    (doc_id, text) frame as a ZERO-SHUFFLE narrow map (the
+    `minhash_per_doc` scheme without its shingle-set columns) — narrow
+    ops only, so it is STREAM-SAFE: the streaming ingest-dedup operator
+    applies it to a readStream of documents unchanged."""
+    ws = TH.words(F.col("text"))
+    base = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.array_distinct(TH.shingles(F.col("ws"), SHINGLE_K)).alias(
+                "shs"
+            ),
+        )
+    )
+    hdf = base.select(
+        "doc_id",
+        F.transform(F.col("shs"), lambda sh: TH.md5_int60(sh)).alias("hs"),
+    )
+
+    def mh(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: h.bitwiseXOR(F.lit(TH.MINHASH_XOR_SALTS[i])),
+            )
+        ).alias(f"h{i}")
+
+    return hdf.select("doc_id", *[mh(i) for i in range(N_HASHES)])
+
+
+def q_stream_sig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity of the streaming ingest near-dup screen
+    (`streaming.stateful.sig_dedup_stream`): documents arrive in doc_id
+    order; a document is a dup iff some EARLIER document (smaller
+    doc_id) shares an LSH band bucket in which that earlier document
+    was among the first STREAM_STATE_CAP arrivals (the stream's
+    bounded per-bucket state), and their signatures agree on >=
+    SIG_MATCH_MIN of N_HASHES minhash components (the estimated-
+    Jaccard confirm — the stream never stores shingle sets, only the
+    O(16)-int signature, so state per bucket is O(cap*16) forever).
+    Emits (doc_id, dup_of = min matching earlier doc, max_matches).
+
+    At 100 TB: signature build is a narrow map; the bucket rank is a
+    window over band-bucket partitions (the same key space the LSH
+    join shuffles on); candidates are bucket-bounded by construction —
+    every earlier-side doc has rank <= cap, so fan-out per (bucket,
+    late-doc) is <= cap, never quadratic in bucket size."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sig = sig_frame(docs)
+    bands = lsh_bands(sig)
+    rk = bands.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("band", "key").orderBy("doc_id")
+        ),
+    )
+    early = rk.filter(F.col("rn") <= STREAM_STATE_CAP).select(
+        F.col("doc_id").alias("early_id"), "band", "key"
+    )
+    cand = (
+        bands.join(early, ["band", "key"])
+        .filter(F.col("early_id") < F.col("doc_id"))
+        .select("doc_id", "early_id")
+        .distinct()
+    )
+    a = sig.select(
+        "doc_id",
+        *[F.col(f"h{i}").alias(f"ah{i}") for i in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("early_id"),
+        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ).cast("long")
+    scored = (
+        cand.join(a, "doc_id")
+        .join(b, "early_id")
+        .select("doc_id", "early_id", matches.alias("matches"))
+        .filter(F.col("matches") >= SIG_MATCH_MIN)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.min("early_id").alias("dup_of"),
+        F.max("matches").alias("max_matches"),
+    )
+
+
+def _oracle_stream_sig_dedup() -> str:
+    msum = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return (
+        f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
+        "rk AS (SELECT doc_id, band, key, ROW_NUMBER() OVER "
+        "(PARTITION BY band, key ORDER BY doc_id) AS rn FROM bands), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_id, e.doc_id AS early_id "
+        "FROM bands l JOIN rk e ON e.band = l.band AND e.key = l.key "
+        f"AND e.doc_id < l.doc_id AND e.rn <= {STREAM_STATE_CAP}), "
+        f"m AS (SELECT c.doc_id, c.early_id, CAST({msum} AS BIGINT) AS matches "
+        "FROM cand c JOIN sig a ON a.doc_id = c.doc_id "
+        "JOIN sig b ON b.doc_id = c.early_id) "
+        "SELECT doc_id, MIN(early_id) AS dup_of, MAX(matches) AS max_matches "
+        f"FROM m WHERE matches >= {SIG_MATCH_MIN} GROUP BY doc_id"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "stream_sig_dedup": q_stream_sig_dedup,
     "link_graph_pagerank": q_link_graph_pagerank,
     "triangle_count": q_triangle_count,
     "dedup_eval_confusion": q_dedup_eval_confusion,
@@ -1552,6 +1689,7 @@ QUERIES = {
 }
 
 ORACLES = _oracles()
+ORACLES["stream_sig_dedup"] = _oracle_stream_sig_dedup()
 ORACLES["dedup_components"] = _oracle_components()
 ORACLES["link_graph_pagerank"] = _oracle_pagerank()
 ORACLES["triangle_count"] = _oracle_triangles()

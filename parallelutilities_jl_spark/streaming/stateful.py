@@ -412,6 +412,78 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sig_dedup_stream(grouped_stream, n_hashes: int | None = None):
+    """Streaming ingest near-dup screen: the stateful half of
+    `dedup.q_stream_sig_dedup` (which is its registered, oracle-checked
+    batch parity — see its docstring for the semantics).
+
+    Input: a stream of (band, key, doc_id, h0..h{n-1}) band rows
+    (build with `dedup.sig_frame` + `dedup.lsh_bands`, both narrow /
+    stream-safe), grouped by (band, key). State per bucket is the
+    first STREAM_STATE_CAP arrivals' signatures — two flat arrays,
+    O(cap·n_hashes) longs FOREVER, the property that makes this safe
+    on an unbounded ingest stream. Each arriving doc (processed in
+    doc_id order within the trigger, so batch-boundary placement never
+    changes results) is compared against the stored earlier docs;
+    >= SIG_MATCH_MIN matching components emits
+    (doc_id, dup_of = min matching stored id, matches = max agreement).
+    Cross-bucket reduction (global min dup_of / max matches per doc)
+    is the consumer's one-line groupBy — same as the batch query's."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from parallelutilities_jl_spark.operators.dedup import (
+        N_HASHES,
+        SIG_MATCH_MIN,
+        STREAM_STATE_CAP,
+    )
+
+    n = n_hashes or N_HASHES
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        if state.exists:
+            ids, flat = state.get
+            ids, flat = list(ids), list(flat)
+        else:
+            ids, flat = [], []
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        out_doc, out_of, out_m = [], [], []
+        if batches:
+            rows = pd.concat(batches).sort_values("doc_id")
+            hcols = [rows[f"h{i}"].astype("int64").tolist() for i in range(n)]
+            for r, doc_id in enumerate(rows["doc_id"].astype("int64")):
+                sig = [hcols[i][r] for i in range(n)]
+                best_of = None
+                best_m = 0
+                for j, eid in enumerate(ids):
+                    if eid >= doc_id:
+                        continue
+                    m = sum(
+                        1 for i in range(n) if flat[j * n + i] == sig[i]
+                    )
+                    if m >= SIG_MATCH_MIN:
+                        best_of = eid if best_of is None else min(best_of, eid)
+                        best_m = max(best_m, m)
+                if best_of is not None:
+                    out_doc.append(int(doc_id))
+                    out_of.append(int(best_of))
+                    out_m.append(int(best_m))
+                if len(ids) < STREAM_STATE_CAP:
+                    ids.append(int(doc_id))
+                    flat.extend(sig)
+        state.update((ids, flat))
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "dup_of": out_of, "matches": out_m}
+        )
+
+    return grouped_stream.applyInPandasWithState(
+        fn,
+        "doc_id long, dup_of long, matches long",
+        "ids array<long>, flat array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 QUERIES = {
     "stateful_running_count": q_stateful_running_count,
     "stateful_running_sum": q_stateful_running_sum,
