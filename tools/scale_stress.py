@@ -92,6 +92,9 @@ QUERIES = (
     "dsir_importance_weights",
     "reservoir_sample_per_key",
     "knn_mutual_graph",
+    # round-10: streaming ingest dedup's batch parity — cap-bounded
+    # earlier-side fan-out must hold at 10x dup density
+    "stream_sig_dedup",
     # components over the mutual graph: the timed run measures
     # propagation over the resident checkpointed edge frame (the warm
     # run builds it once per tier — production shape: one graph build,
