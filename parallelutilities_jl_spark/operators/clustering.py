@@ -1880,8 +1880,10 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 for nprobe 1/2/3, RECALL.md) at ≤ nprobe²× pair work, still
     O(N·cell) — linear in N.
     Per-node top-k is a window over cell-bounded candidate lists; the
-    mutuality check is an equi-join of the (N·k)-row directed edge
-    list with its own transpose. Cosine is the quantized int64 dot
+    mutuality check is one pair-keyed count over the (N·k)-row directed
+    edge list (both directions of a mutual pair carry the identical
+    score, so "appears twice under its unordered key" ⟺ mutual — no
+    transpose self-join). Cosine is the quantized int64 dot
     (DOT_SCALE) shared with every ANN tier, and floor(x·y·S) =
     floor(y·x·S) exactly, so the symmetric pair carries one
     well-defined score in both engines; a pair meeting in both probe
@@ -1944,17 +1946,22 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     topk = _topk(pair, KNN_GRAPH_K).select("qid", "cid", "score_e6")
-    rev = topk.select(
-        F.col("cid").alias("qid"), F.col("qid").alias("cid")
-    )
+    # mutuality without the transpose self-join: the directed top-k list
+    # has one row per direction and both directions of a pair carry the
+    # bit-identical score, so an edge is mutual iff its UNORDERED key
+    # appears exactly twice — one map-side-combinable pair-keyed shuffle
+    # instead of re-shuffling both join sides
     return (
-        topk.join(rev, ["qid", "cid"])
-        .filter(F.col("qid") < F.col("cid"))
-        .select(
-            F.col("qid").alias("src"),
-            F.col("cid").alias("dst"),
-            "score_e6",
+        topk.groupBy(
+            F.least("qid", "cid").alias("src"),
+            F.greatest("qid", "cid").alias("dst"),
         )
+        .agg(
+            F.count(F.lit(1)).alias("n_dir"),
+            F.max("score_e6").alias("score_e6"),
+        )
+        .filter(F.col("n_dir") == 2)
+        .select("src", "dst", "score_e6")
     )
 
 
