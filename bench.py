@@ -129,8 +129,10 @@ LATE_ADDITIONS = [
     # r10 so the committed bench artifact times every registered query)
     "char_class_entropy",
     "zipf_slope_by_source",
-    # round-10 addition: streaming ingest near-dup screen (batch parity)
+    # round-10 additions: streaming ingest near-dup screen (batch
+    # parity) and the arrival-ordered n-gram novelty census
     "stream_sig_dedup",
+    "ngram_novelty_rate",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

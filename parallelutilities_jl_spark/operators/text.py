@@ -1413,7 +1413,78 @@ FROM s WHERE n_terms >= {ZIPF_MIN_TERMS}
 """
 
 
+NOVELTY_K = 3  # word k-grams for the novelty census
+
+
+def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-ordered n-gram NOVELTY per document — the data-valuation
+    census dedup pipelines run after near-dup removal: for each doc,
+    the fraction of its distinct word {NOVELTY_K}-grams whose global
+    FIRST occurrence (min doc_id = arrival order) is this document.
+    Low novelty ⟹ the doc is mostly re-treading earlier corpus content
+    even if no single earlier doc is a near-duplicate (the cross-doc
+    redundancy MinHash pairs don't see). Emits (doc_id, n_grams,
+    n_novel, novelty_e6), fixed-point rate.
+
+    Scale shape: explode → map-side-combinable groupBy on the shingle
+    key (the same shuffle space the MinHash family uses) → join back →
+    per-doc agg. First-occurrence fan-out is one row per (shingle,
+    doc), so hot shingles never blow up the join; everything is linear
+    in total shingle count."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ws = TH.words(F.col("text"))
+    sh = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= NOVELTY_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(TH.shingles(F.col("ws"), NOVELTY_K))
+            ).alias("sh"),
+        )
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").alias(
+                "novelty_e6"
+            ),
+        )
+    )
+
+
+def _oracle_ngram_novelty() -> str:
+    wsql = TH.dd_words("text")
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id, UNNEST({TH.dd_shingles(wsql, NOVELTY_K)}) AS sh
+            FROM documents
+            WHERE text IS NOT NULL AND len({wsql}) >= {NOVELTY_K}),
+first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+per AS (SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM sh JOIN first USING (sh) GROUP BY doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_e6
+FROM per
+"""
+
+
 QUERIES = {
+    "ngram_novelty_rate": q_ngram_novelty_rate,
     "token_stats": q_token_stats,
     "text_quality_score": q_text_quality,
     "lang_id_ngram": q_lang_id,
@@ -1436,6 +1507,7 @@ QUERIES = {
 }
 
 ORACLES = _oracles()
+ORACLES["ngram_novelty_rate"] = _oracle_ngram_novelty()
 ORACLES["bpe_merges"] = _oracle_bpe_merges()
 ORACLES["bpe_apply_fertility"] = _oracle_bpe_fertility()
 ORACLES["lang_mix_entropy"] = ORACLE_LANG_MIX_ENTROPY

@@ -93,8 +93,10 @@ QUERIES = (
     "reservoir_sample_per_key",
     "knn_mutual_graph",
     # round-10: streaming ingest dedup's batch parity — cap-bounded
-    # earlier-side fan-out must hold at 10x dup density
+    # earlier-side fan-out must hold at 10x dup density — and the
+    # shingle-keyed novelty census (first-occurrence join, ~linear)
     "stream_sig_dedup",
+    "ngram_novelty_rate",
     # components over the mutual graph: the timed run measures
     # propagation over the resident checkpointed edge frame (the warm
     # run builds it once per tier — production shape: one graph build,
