@@ -1415,6 +1415,11 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (`_oracle_semantic_scaled`) replays sample, fit, grouping,
     both argmin levels, and the prune bit-for-bit."""
     emb_all, assign = _sampled_fit_assign(spark, sf_dir)
+    # materialize the (vec_id, cluster) assignment before the
+    # within-cell self-join for the same reason as _build_mutual_edges:
+    # keeps Catalyst planning O(1) in k_eff instead of re-walking the
+    # k_eff-centroid argmin expression inside the join tree
+    assign = assign.localCheckpoint()
     return _semdedup_prune_census(emb_all.join(assign, "vec_id"))
 
 
@@ -1828,14 +1833,13 @@ KNN_GRAPH_NPROBE = 3
 # (applicationId, sf_dir, nprobe) → localCheckpoint'ed mutual-edge
 # frame (src, dst, score_e6) — the RESIDENT GRAPH artifact shared by
 # every downstream consumer in one application (`q_knn_components`
-# today). The graph query itself stays LAZY (its measured wall is
-# honest edge-generation cost, and eager checkpointing would
-# materialize the chain twice per consumption); consumers that iterate
-# over the edges checkpoint once here instead of re-running the full
-# fit/probe/score/top-k chain per use (the round-9 bench paid that
-# chain twice: 3.5 s graph + inside the 9.7 s components). Same
-# immutable-fixture assumption and stale-application eviction as
-# _FIT_CACHE.
+# today). The graph build itself materializes only its half-scored
+# pair frame (its wall stays honest edge-generation cost); consumers
+# that iterate over the edges checkpoint the FINAL edge list once here
+# instead of re-running the full fit/probe/score/top-k chain per use
+# (the round-9 bench paid that chain twice: 3.5 s graph + inside the
+# 9.7 s components). Same immutable-fixture assumption and
+# stale-application eviction as _FIT_CACHE.
 _EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -1898,14 +1902,31 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb_all, centroids = _sampled_fit(spark, sf_dir)
-    probes = _two_level_probes(emb_all, centroids, KNN_GRAPH_NPROBE)
+    # Materialize the probe-assignment frame ((vec_id, cluster)·nprobe
+    # rows — 2 longs/row, the IVF index's assignment table) before it
+    # enters the join chain: the k_eff-centroid argmin CASE expression
+    # is cheap to EXECUTE (O(√k)/row) but embedding it inside the
+    # self-join+agg tree makes every Catalyst optimizer pass re-walk
+    # it — measured 33 s of driver-side planning per invocation at the
+    # 10× tier (k_eff=80) vs 0.8 s to just run it. Planning cost must
+    # stay O(1) in k_eff: k_eff ∝ N makes an inlined expression a
+    # planning-time scale bomb long before execution hurts.
+    probes = _two_level_probes(
+        emb_all, centroids, KNN_GRAPH_NPROBE
+    ).localCheckpoint()
     emb = emb_all.withColumn("nrm", norm(F.col("emb"))).join(
         probes, "vec_id"
     )
-    # hash-partition the query side by qid up front: pair expansion is
-    # compute-bound, not byte-bound, so a single-split scan (or an AQE
-    # size-coalesced stream) would otherwise grind the per-cell work
-    # through one task
+    # The qid repartition looks redundant (the join's own
+    # ENSURE_REQUIREMENTS exchange on cell immediately follows) but is
+    # load-bearing, re-measured in round 11: WITHOUT it the join-stage
+    # coalescing/skew heuristics run the compute-bound pair expansion
+    # through ~2 size-coalesced tasks (one-chain wall 12.5 s at sf0.1
+    # vs 3.0 s with it), and repartitioning by CELL instead — which
+    # would let the join reuse the exchange — pins a user-specified
+    # partitioning that disables AQE's skew-splitting of the quadratic
+    # per-cell expansion (8.4 s). Two AQE-managed cell exchanges fed by
+    # a well-split input is the fast physical shape.
     a = emb.select(
         F.col("vec_id").alias("qid"),
         F.col("cluster").alias("cell"),
@@ -1938,13 +1959,32 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-exact cosine — max() is pure dedup, and the (qid, cid) agg
     # is map-side combinable before the window's qid shuffle
     half = scored.groupBy("qid", "cid").agg(F.max("cos").alias("cos"))
-    pair = half.union(
-        half.select(
-            F.col("cid").alias("qid"),
-            F.col("qid").alias("cid"),
-            "cos",
-        )
-    )
+    # Mirror via explode, NOT a self-union: a union's two branches each
+    # re-plan the entire scored chain (round-10 verdict: duplicated
+    # SortMergeJoin subtrees) — AQE stage reuse dedupes the SHUFFLES at
+    # runtime, but the join-stage work (the quantized dots, the
+    # dominant term) still executed once per branch, negating the
+    # qid < cid halving. Exploding a 2-element array of (row, mirrored
+    # row) structs emits both directions inside the SAME stage: the
+    # scored chain plans and executes exactly once, the mirror is a
+    # narrow flatmap, and nothing needs materializing (a round-11
+    # localCheckpoint variant re-paid the whole pair frame as
+    # serialization — a wash at the 10x tier where the pair list is
+    # 18M rows).
+    pair = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("qid"), F.col("cid"), F.col("cos")
+                ),
+                F.struct(
+                    F.col("cid").alias("qid"),
+                    F.col("qid").alias("cid"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.qid", "e.cid", "e.cos")
     topk = _topk(pair, KNN_GRAPH_K).select("qid", "cid", "score_e6")
     # mutuality without the transpose self-join: the directed top-k list
     # has one row per direction and both directions of a pair carry the
@@ -1967,10 +2007,13 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mutual k-NN graph (see `_build_mutual_edges` for semantics
-    and scale shape). Returns the lazy plan — the construction query's
-    measured wall IS edge-generation cost; iterating consumers share
-    the resident checkpointed frame via `_mutual_edges_checkpointed`
-    instead of re-running this chain per use."""
+    and scale shape). The plan is lazy except the probe-assignment
+    materialization (planning must stay O(1) in k_eff) and the scored
+    chain executes exactly once (explode-mirror, no self-union), so
+    the construction query's measured wall IS edge-generation cost;
+    iterating consumers share the resident checkpointed frame via
+    `_mutual_edges_checkpointed` instead of re-running this chain per
+    use."""
     return _build_mutual_edges(spark, sf_dir)
 
 

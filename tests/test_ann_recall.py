@@ -207,7 +207,10 @@ def test_knn_mutual_graph_edge_recall_floor(spark, sf_dir):
     0.784 at sf0.01, 0.678 at this sf0.001 tier (2-probe scored 0.659
     / ~0.60; single-probe 0.349; label cells 0.111). The 0.62 floor
     sits under the weaker sf0.001 tier with fixture-regen headroom; if
-    it flaps, the knob is KNN_GRAPH_NPROBE, not the floor."""
+    it flaps, the knob is KNN_GRAPH_NPROBE, not the floor. Round-11
+    re-sweep on the single-execution (explode-mirror) chain confirmed
+    3-probe as the knee: nprobe=4 buys +0.016 recall (0.800) for 1.7×
+    wall (5.4 vs 3.2 s at sf0.1) — not taken."""
     import importlib.util
     import os
 

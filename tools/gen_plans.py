@@ -141,10 +141,14 @@ SHOWCASE = {
     ),
     "knn_mutual_graph": (
         "corpus-as-queries ANN over TRAINED constant-size cells: "
-        "symmetric 2-probe cell equi-join candidates (sampled Lloyd "
-        "fit + O(sqrt k) hierarchical probes), map-side-combinable "
-        "pair dedup, per-node top-k windows partitioned by qid, "
-        "mutuality via a transpose equi-join of the N*k-row edge list"
+        "symmetric 3-probe cell equi-join candidates (sampled Lloyd "
+        "fit + O(sqrt k) hierarchical probes; assignment frame "
+        "materialized so planning stays O(1) in k_eff), unordered "
+        "pairs scored ONCE and mirrored via explode(array(row, "
+        "swapped row)) in the SAME stage — one scored SMJ subtree, no "
+        "self-union re-execution — per-node top-k windows partitioned "
+        "by qid, mutuality as a pair-keyed count==2 over the N*k-row "
+        "directed edge list"
     ),
     "multimodal_dedup_census": (
         "binary dedup accounting: payloads hash in place; only 32-byte "

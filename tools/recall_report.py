@@ -187,7 +187,10 @@ def main() -> None:
         "top-k edges recovered by the trained-cell graph (n_queries "
         "column = true edge count); symmetric 3-probe candidates over "
         "learned constant-size cells — label cells scored 0.111, "
-        "trained 1-probe 0.349, 2-probe 0.659; floor 0.62 (under the weaker sf0.001 tier's 0.678)",
+        "trained 1-probe 0.349, 2-probe 0.659; floor 0.62 (under the "
+        "weaker sf0.001 tier's 0.678). Round-11 re-sweep on the "
+        "single-execution chain: nprobe=4 = 0.800 for 1.7x wall — "
+        "0.784 @ 3-probe is the knee",
     }
 
     sf = os.path.basename(SF_DIR.rstrip("/"))
