@@ -448,10 +448,25 @@ FROM t
 """
 
 
+# Re-encode the working word histogram (apply pending merges, truncate
+# the plan with a localCheckpoint) every this many rounds: bounds the
+# per-round literal-REPLACE chain at R, so total replace work is
+# O(merges·R·vocab) — LINEAR in merge count — instead of the unbounded
+# chain's O(merges²·vocab). At a real tokenizer's 32k merges the
+# unbounded chain is the op's scale-killer (round-10 verdict finding 3);
+# same bounded-lineage pattern as dedup.connected_components'
+# propagation checkpoint.
+BPE_REENCODE_EVERY = 8
+
+
 def _learn_bpe(spark: SparkSession, sf_dir: str):
     """The BPE training loop shared by `bpe_merges` (emits the merge
     table) and `bpe_apply_fertility` (applies the merges back to the
-    corpus). Returns (vocab_df, merges, per-round top-1 DataFrames)."""
+    corpus). Returns (raw vocab_df, merges, per-round top-1 rows —
+    plain collected tuples: one (rank, x, y, merged, pair_count) row
+    per round IS the model state, so consumers rebuild the merge table
+    from driver state instead of re-executing every round's pair-count
+    shuffle at action time)."""
     docs = load_table_parallel(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -466,10 +481,10 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
         .localCheckpoint()  # reused every merge round; freed on GC
     )
 
-    def pair_counts(wcol: Column) -> DataFrame:
+    def pair_counts(wcol: Column, frame: DataFrame) -> DataFrame:
         syms = F.regexp_extract_all(wcol, F.lit(_BPE_SYM_RE), 1)
         return (
-            vocab.select(syms.alias("s"), "freq")
+            frame.select(syms.alias("s"), "freq")
             # single-symbol words have no pairs; the >=2 guard also keeps
             # sequence() ascending (Spark's sequence(1, 0) is DESCENDING)
             .filter(F.size("s") >= 2)
@@ -490,15 +505,13 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
         )
 
     merges: list[tuple[str, str]] = []
-    out: list[DataFrame] = []
+    pending: list[tuple[str, str]] = []  # not yet baked into `work`
+    work = vocab  # working histogram; re-encoded every R rounds
+    out: list[tuple] = []
     for r in range(BPE_MERGES):
-        wcol = F.col("w")
-        for x, y in merges:
-            wcol = F.replace(
-                wcol, F.lit(f"({x})({y})"), F.lit(f"({x}{y})")
-            )
+        wcol = _apply_merges(F.col("w"), pending)
         top = (
-            pair_counts(wcol)
+            pair_counts(wcol, work)
             .orderBy(F.col("pair_count").desc(), "x", "y")
             .limit(1)
         )
@@ -507,15 +520,23 @@ def _learn_bpe(spark: SparkSession, sf_dir: str):
             break
         row = rows[0]
         merges.append((row["x"], row["y"]))
+        pending.append((row["x"], row["y"]))
         out.append(
-            top.select(
-                F.lit(r + 1).cast("long").alias("merge_rank"),
-                "x",
-                "y",
-                F.concat("x", "y").alias("merged"),
-                "pair_count",
+            (
+                r + 1,
+                row["x"],
+                row["y"],
+                row["x"] + row["y"],
+                row["pair_count"],
             )
         )
+        if len(pending) >= BPE_REENCODE_EVERY and r + 1 < BPE_MERGES:
+            # bake the pending merges in and truncate the plan — the
+            # next round's replace chain restarts at length 0
+            work = work.select(
+                _apply_merges(F.col("w"), pending).alias("w"), "freq"
+            ).localCheckpoint()
+            pending = []
     return vocab, merges, out
 
 
@@ -540,19 +561,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed and localCheckpoint-materialized once. Each merge round
     is one map-side-combinable pair-count shuffle plus a 1-row
     TakeOrderedAndProject argmax to the driver; the chosen pair is
-    applied as a literal REPLACE (narrow map) in the next round's plan.
-    The oracle replays the identical rounds as chained CTEs."""
+    applied as a literal REPLACE (narrow map) in the next round's plan,
+    and the working histogram is re-encoded + checkpointed every
+    `BPE_REENCODE_EVERY` rounds so the replace chain stays bounded —
+    total replace work linear in merge count (10x-merges stress row in
+    SCALING.md). The merge table itself is rebuilt from the driver-held
+    per-round argmax rows (the model), not by re-executing each round's
+    pair-count shuffle at action time. The oracle replays the identical
+    rounds as chained CTEs."""
     _, merges, out = _learn_bpe(spark, sf_dir)
-    if not out:  # no mergeable pairs at all — empty result, same schema
-        return spark.createDataFrame(
-            [],
-            "merge_rank long, x string, y string, merged string, "
-            "pair_count long",
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionAll(df)
-    return res
+    schema = (
+        "merge_rank long, x string, y string, merged string, "
+        "pair_count long"
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def q_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:

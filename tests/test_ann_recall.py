@@ -148,6 +148,37 @@ def test_bpe_merges_greedy_max_is_monotone(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_bpe_merges_parity_across_reencode_boundary(spark, sf_dir):
+    """The bounded-replace-chain rewrite (round 11) re-encodes +
+    checkpoints the working histogram every BPE_REENCODE_EVERY=8
+    rounds; this pins that the merges CHOSEN don't change across that
+    boundary — run 11 merges (crossing the re-encode at round 8) and
+    compare the full merge table against the DuckDB CTE-chain oracle at
+    the same count, which never re-encodes. A rank drift at round 9-11
+    is exactly where a re-encode bug would surface."""
+    import importlib
+
+    from tests.harness_util import compare_query
+
+    T = importlib.import_module(
+        "parallelutilities_jl_spark.operators.text"
+    )
+    n = 11
+    assert n > T.BPE_REENCODE_EVERY  # the boundary must be crossed
+    old = T.BPE_MERGES
+    T.BPE_MERGES = n
+    try:
+        compare_query(
+            spark,
+            sf_dir,
+            T.q_bpe_merges,
+            T._oracle_bpe_merges(n),
+            "bpe_merges_11",
+        )
+    finally:
+        T.BPE_MERGES = old
+
+
 def test_leakage_safe_split_never_splits_a_dup_pair(spark, sf_dir):
     """The guarantee the op exists for: both ends of every verified
     near-dup pair land in the SAME train/val/test split (the naive
