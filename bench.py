@@ -133,6 +133,8 @@ LATE_ADDITIONS = [
     # parity) and the arrival-ordered n-gram novelty census
     "stream_sig_dedup",
     "ngram_novelty_rate",
+    # round-11 addition: the real-codec WAV encode->decode round trip
+    "multimodal_wav_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 
