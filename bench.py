@@ -139,6 +139,30 @@ LATE_ADDITIONS = [
 HEADLINE = HEADLINE + LATE_ADDITIONS
 
 
+# Cross-boot throughput canary (round-10 verdict task 7): this rig's
+# wall clocks drift ~15% between boots with identical code, so the
+# committed artifact carries a fixed calibration query timed FIRST in
+# every run — a pinned hash-agg over lineitem (scan + partial/final
+# agg, whole-stage codegen, no Python) — and the common-subset total
+# both raw and canary-normalized (total * CANARY_REF_SEC/canary). The
+# reference value is the round-11 boot's median; a normalized trend
+# that moves while the raw trend is flat (or vice versa) is the boot
+# band, not a plan change — no more idle-box re-runs to triage drift.
+CANARY_REF_SEC = 0.373
+
+
+def _canary_df(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def main() -> None:
     from parallelutilities_jl_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -155,6 +179,17 @@ def main() -> None:
     qs = entrymod.queries()
     # warmup: JVM + parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # canary first, same measurement protocol as the queries
+    _canary_df(spark).write.mode("overwrite").format("noop").save()
+    creps: list[float] = []
+    for _ in range(REPS):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.05)
+        t0 = time.perf_counter()
+        _canary_df(spark).write.mode("overwrite").format("noop").save()
+        creps.append(round(time.perf_counter() - t0, 3))
+    canary = round(statistics.median(creps), 3)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -216,6 +251,16 @@ def main() -> None:
         # set only (round-7 additions excluded)
         "r06_common_total": round(sum(common.values()), 3),
         "r06_common_n": len(common),
+        # boot-band calibration: canary median, the normalization
+        # factor CANARY_REF_SEC/canary, and the common total scaled by
+        # it (see CANARY_REF_SEC comment)
+        "canary_sec": canary,
+        "canary_norm": round(CANARY_REF_SEC / canary, 4) if canary else None,
+        "r06_common_total_norm": (
+            round(sum(common.values()) * CANARY_REF_SEC / canary, 3)
+            if canary
+            else None
+        ),
     }
     print(json.dumps(summary))
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or (

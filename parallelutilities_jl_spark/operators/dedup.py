@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -182,8 +183,17 @@ def lsh_bands(
         )
         for b in range(bands)
     ]
+    # carry the sig frame's ACTUAL h* columns, not range(bands*rows):
+    # with non-default band geometry (bands*rows < N_HASHES) the old
+    # derivation truncated the carried signature; with bands*rows >
+    # N_HASHES it crashed on a missing column (round-10 advisor)
     carried = (
-        [f"h{i}" for i in range(bands * rows)] if keep_sig else []
+        sorted(
+            (c for c in sig.columns if c.startswith("h") and c[1:].isdigit()),
+            key=lambda c: int(c[1:]),
+        )
+        if keep_sig
+        else []
     )
     return sig.select(
         "doc_id", *carried, F.explode(F.array(*entries)).alias("e")
@@ -956,6 +966,40 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAM_MAX}
 _CC_STATS_RESET_EVERY = 6
 
 
+def _cc_spill_dir(spark: SparkSession) -> tuple[str, bool]:
+    """Spill location for the propagation stats-reset round-trip: the
+    session's Spark checkpoint dir when one is set (on a real cluster
+    that's a SHARED filesystem — a driver-local temp path is invisible
+    to remote executors, and the re-read there would silently come
+    back empty, making the loop see zero changes and return wrong
+    labels), else a driver-local tempdir (exact on local[...] where
+    driver and executors share one filesystem). Returns (path,
+    is_local_temp)."""
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    if opt.isDefined():
+        base = opt.get().rstrip("/")
+        return f"{base}/pu_cc_spill_{uuid.uuid4().hex}", False
+    return tempfile.mkdtemp(prefix="pu_cc_spill_"), True
+
+
+def _rm_spill(spark: SparkSession, path: str, is_local: bool) -> None:
+    """Remove the spill dir — Hadoop FS delete for checkpoint-dir
+    locations (may be remote), shutil for the local tempdir. Cleanup
+    never raises: it must not mask the error that aborted the loop."""
+    if is_local:
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        fs.delete(p, True)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 50
 ) -> DataFrame:
@@ -1005,7 +1049,62 @@ def connected_components(
         )
     ).localCheckpoint()
     spark = edges.sparkSession
-    spill_dir: str | None = None
+    state = {"dir": None, "local": False}
+
+    def _spill(frame: DataFrame, rnd: int) -> DataFrame:
+        """Stats/lineage/object-graph hard reset (see docstring) with
+        the cluster-safety checks the round-10 advisor asked for: the
+        spill honors a configured Spark checkpoint dir (shared FS on a
+        real cluster), and the re-read row count must equal the
+        pre-spill count — a driver-local path invisible to remote
+        executors would otherwise come back empty and the loop would
+        return silently wrong labels."""
+        if state["dir"] is None:
+            state["dir"], state["local"] = _cc_spill_dir(spark)
+        path = state["dir"].rstrip("/") + f"/round_{rnd}"
+        n_before = frame.count()  # checkpointed blocks: cheap
+        frame.write.mode("overwrite").parquet(path)
+        reread = spark.read.parquet(path)
+        n_after = reread.count()
+        if n_after != n_before:
+            raise RuntimeError(
+                "connected_components spill round-trip lost rows "
+                f"({n_before} -> {n_after}) at {path} — is the spill "
+                "location visible to all executors? Set a shared "
+                "sparkContext.setCheckpointDir on multi-node clusters."
+            )
+        return reread
+
+    try:
+        labels, converged = _cc_loop(
+            spark, und, labels, max_iters, _spill
+        )
+        if state["dir"] is not None and converged:
+            # the surviving frame may lazily read the spill files —
+            # pin the rows in block storage before deleting them
+            labels = labels.localCheckpoint()
+    finally:
+        # an exception mid-round (or in the parquet write itself) must
+        # not leak pu_cc_spill_* dirs (round-10 advisor)
+        if state["dir"] is not None:
+            _rm_spill(spark, state["dir"], state["local"])
+    if not converged:
+        # intermediate labels are WRONG dedup groups — never return them
+        # silently; a >max_iters-diameter graph needs the star-contraction
+        # variant, not more of this loop
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "min-label rounds (component diameter exceeds the bound)"
+        )
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+
+
+def _cc_loop(spark, und, labels, max_iters, spill):
+    """The propagation rounds of `connected_components` (split out so
+    the caller can own spill-dir lifecycle in one try/finally). Returns
+    (labels frame, converged flag)."""
     converged = False
     for i in range(max_iters):
         nbr = (
@@ -1059,31 +1158,8 @@ def connected_components(
             converged = True
             break
         if (i + 1) % _CC_STATS_RESET_EVERY == 0:
-            # stats + lineage + object-graph hard reset (see docstring:
-            # checkpoint-preserved sizeInBytes doubles its digit count
-            # per self-join round; only a storage round-trip resets it)
-            if spill_dir is None:
-                spill_dir = tempfile.mkdtemp(prefix="pu_cc_spill_")
-            path = os.path.join(spill_dir, f"round_{i}")
-            labels.write.mode("overwrite").parquet(path)
-            labels = spark.read.parquet(path)
-    if spill_dir is not None:
-        if converged:
-            # the surviving frame may lazily read the spill files —
-            # pin the rows in block storage before deleting them
-            labels = labels.localCheckpoint()
-        shutil.rmtree(spill_dir, ignore_errors=True)
-    if not converged:
-        # intermediate labels are WRONG dedup groups — never return them
-        # silently; a >max_iters-diameter graph needs the star-contraction
-        # variant, not more of this loop
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} "
-            "min-label rounds (component diameter exceeds the bound)"
-        )
-    return labels.select(
-        F.col("n").alias("doc_id"), F.col("lbl").alias("component_id")
-    )
+            labels = spill(labels, i)
+    return labels, converged
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

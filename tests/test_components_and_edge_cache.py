@@ -81,6 +81,69 @@ def test_components_nonconvergence_raises(spark):
         connected_components(edges, max_iters=2)
 
 
+def test_components_spill_honors_checkpoint_dir_and_cleans_up(
+    spark, tmp_path
+):
+    """Round-11 advisor fix: with a Spark checkpoint dir configured,
+    the stats-reset spill writes UNDER it (a shared filesystem on a
+    real cluster — a driver-local tempdir is silently empty to remote
+    executors), the labels stay exact, and no pu_cc_spill_* dirs
+    survive the call."""
+    import os
+
+    from parallelutilities_jl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    old = sc._jsc.sc().getCheckpointDir()
+    sc.setCheckpointDir(ckpt)
+    try:
+        ids = [(i * 31) % 97 + 1000 for i in range(40)]
+        pairs = [(ids[i], ids[i + 1]) for i in range(39)]
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == _truth(pairs)  # ≥7 spill rounds on this graph
+        leftovers = [
+            d
+            for root, dirs, _ in os.walk(ckpt)
+            for d in dirs
+            if d.startswith("pu_cc_spill_")
+        ]
+        assert leftovers == []
+    finally:
+        if old.isDefined():
+            sc.setCheckpointDir(old.get())
+
+
+def test_components_spill_cleaned_up_on_exception(spark):
+    """An exception mid-loop (non-convergence raise is the easiest to
+    force past the first spill) must not leak local pu_cc_spill_*
+    tempdirs."""
+    import glob
+    import tempfile
+
+    import pytest
+
+    from parallelutilities_jl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    before = set(glob.glob(tempfile.gettempdir() + "/pu_cc_spill_*"))
+    ids = [(i * 31) % 97 + 1000 for i in range(40)]
+    pairs = [(ids[i], ids[i + 1]) for i in range(39)]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    # max_iters=8 crosses the round-6 spill, then fails to converge
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=8)
+    after = set(glob.glob(tempfile.gettempdir() + "/pu_cc_spill_*"))
+    assert after == before
+
+
 def test_edge_cache_shared_and_evicted(spark, sf_dir):
     """`_mutual_edges_checkpointed` returns the SAME resident frame on
     repeat calls within one application (the one-build/many-consumers

@@ -77,24 +77,90 @@ def test_stream_matches_registered_batch_query(spark, sf_dir, n_batches):
     assert want, "fixture should contain at least one near-dup"
 
 
-def test_state_is_bounded(spark, sf_dir):
-    """No bucket's state may exceed STREAM_STATE_CAP signatures: the
-    batch replay of the state contents (first cap arrivals per bucket)
-    is the exact worst case the stream ever stores."""
-    from pyspark.sql import functions as F
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    sig = DD.sig_frame(docs.select("doc_id", "text"))
-    counts = (
-        DD.lsh_bands(sig)
-        .groupBy("band", "key")
-        .count()
-        .agg(
-            F.sum(
-                F.least(F.col("count"), F.lit(DD.STREAM_STATE_CAP))
-            ).alias("stored")
-        )
-        .collect()[0]
+def test_lsh_bands_keep_sig_carries_full_signature_any_geometry(spark):
+    """keep_sig must carry the sig frame's ACTUAL h* columns: with
+    non-default band geometry (bands*rows < N_HASHES) the old
+    bands*rows derivation silently truncated the carried signature
+    (round-10 advisor)."""
+    n = DD.N_HASHES
+    pdf = {"doc_id": 1, **{f"h{i}": i * 11 for i in range(n)}}
+    sig = spark.createDataFrame(
+        [pdf],
+        "doc_id long, " + ", ".join(f"h{i} long" for i in range(n)),
     )
-    n_docs = sig.count()
-    assert counts["stored"] <= n_docs * DD.BANDS
+    out = DD.lsh_bands(sig, bands=2, rows=4, keep_sig=True)
+    carried = [c for c in out.columns if c.startswith("h")]
+    assert carried == [f"h{i}" for i in range(n)]  # all 16, not 8
+    r = out.collect()[0]
+    assert all(r[f"h{i}"] == i * 11 for i in range(n))
+
+
+def test_state_is_bounded(spark):
+    """Functional proof the per-bucket state is capped (round-10
+    advisor: the old assertion held by definition for ANY cap). One
+    bucket is overfilled: docs 1..16 (signature A) fill the state to
+    STREAM_STATE_CAP; docs 17..20 (signature B, disjoint from A) arrive
+    over-cap — they match nothing AND must not be stored. Doc 100 then
+    arrives with signature B: with an unbounded state it would report
+    dup_of=17; with the cap it matches nothing stored, so it emits NO
+    row. Docs 2..16 meanwhile prove the screen itself works (dup_of=1,
+    matches=16)."""
+    cap = DD.STREAM_STATE_CAP
+    assert cap == 16  # fixture below is built for this geometry
+    n = DD.N_HASHES
+    sig_a = [7] * n
+    sig_b = [9] * n  # 0 components shared with A (< SIG_MATCH_MIN)
+
+    def row(doc_id, sig):
+        return {
+            "band": 0,
+            "key": "bucket",
+            "doc_id": doc_id,
+            **{f"h{i}": sig[i] for i in range(n)},
+        }
+
+    batch1 = [row(d, sig_a) for d in range(1, 17)] + [
+        row(d, sig_b) for d in range(17, 21)
+    ]
+    batch2 = [row(100, sig_b)]
+
+    import pyarrow as pa
+
+    schema = "band long, key string, doc_id long, " + ", ".join(
+        f"h{i} long" for i in range(n)
+    )
+    stage = tempfile.mkdtemp(prefix="pu_sigcap_")
+    try:
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(stage)
+        )
+        q = (
+            ST.sig_dedup_stream(stream.groupBy("band", "key"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sig_cap_sink")
+            .start()
+        )
+        try:
+            for i, batch in enumerate((batch1, batch2)):
+                pq.write_table(
+                    pa.Table.from_pylist(batch),
+                    os.path.join(stage, f"b{i}.parquet"),
+                )
+                q.processAllAvailable()
+            rows = {
+                r["doc_id"]: (r["dup_of"], r["matches"])
+                for r in spark.sql("SELECT * FROM sig_cap_sink").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    for d in range(2, 17):
+        assert rows[d] == (1, n)  # the screen works below the cap
+    for d in range(17, 21):
+        assert d not in rows  # B matches no stored A
+    # the cap: docs 17..20 were NOT stored, so doc 100 (signature B)
+    # finds no stored match — an unbounded state would emit dup_of=17
+    assert 100 not in rows
