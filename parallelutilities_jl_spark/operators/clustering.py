@@ -297,6 +297,11 @@ def _two_level_pick(
 
     if not centroids:  # empty corpus: same contract as _assign
         return _assign(emb, centroids)
+    if len(centroids) >= TWO_LEVEL_JOIN_MIN_K:
+        # large-model regime: the literal expression is a planning-time
+        # bomb (size ∝ k_eff·dim); the row-identical broadcast-join
+        # path keeps the plan constant-size (see TWO_LEVEL_JOIN_MIN_K)
+        return _two_level_join(emb, centroids, nprobe=1)
     n_groups = max(1, int(math.isqrt(len(centroids))))
     groups = _group_centroids(centroids, n_groups)
     # super-centroid = mean of its member centroids (recomputed exactly
@@ -349,6 +354,9 @@ def _two_level_probes(
 
     if not centroids:  # empty corpus: same contract as _assign
         return _assign(emb, centroids)
+    if len(centroids) >= TWO_LEVEL_JOIN_MIN_K:
+        # large-model regime — see TWO_LEVEL_JOIN_MIN_K / _two_level_join
+        return _two_level_join(emb, centroids, nprobe=nprobe)
     n_groups = max(1, int(math.isqrt(len(centroids))))
     groups = _group_centroids(centroids, n_groups)
     supers = _super_centroids(centroids, groups)
@@ -384,6 +392,115 @@ def _two_level_probes(
         )
     return emb.select("vec_id", "emb", picked.alias("sg")).select(
         "vec_id", F.explode(within).alias("cluster")
+    )
+
+
+# Above this many fitted centroids the two-level pick/probe paths
+# switch from the literal CASE/array expression to the broadcast-join
+# formulation (`_two_level_join`): the expression's size is
+# O(k_eff·dim) literals, so at k_eff ∝ N it becomes a PLANNING-time
+# bomb (SCALING.md round-11 finding: 5.6 s of py4j expression build +
+# 33 s of Catalyst re-walks per invocation at k_eff=80 when inlined in
+# a join tree) while the join's plan is constant-size and its
+# broadcast side is the model table itself. Both paths are pinned
+# row-identical (tests/test_two_level_assign.py): the per-term
+# quantized integer distance and the (d, id) struct-min tiebreak are
+# the same arithmetic whether the centroid is a literal or a column.
+# The fixture tiers (k_eff ≤ ~10) stay on the expression path — faster
+# at small k where in-register evaluation beats a join — and the 10x
+# stress tier (k_eff = 80) exercises the join path.
+TWO_LEVEL_JOIN_MIN_K = 64
+
+
+def _sq_dist_col(cent_col: F.Column) -> F.Column:
+    """`_sq_dist` with the centroid as a COLUMN (join path) instead of
+    a literal array — identical per-term floor-quantized int64 math,
+    so both paths produce the same exact integers."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            cent_col,
+            lambda x, c: F.floor(
+                ((x - c) * (x - c)) * F.lit(float(DOT_SCALE))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _two_level_join(
+    emb: DataFrame, centroids: dict[int, list[float]], nprobe: int
+) -> DataFrame:
+    """(vec_id, cluster) via broadcast joins against the MODEL TABLES —
+    the k_eff-scalable realization of `_two_level_pick` /
+    `_two_level_probes` (same grouping, same quantized distances, same
+    (d, id) tiebreaks; row-identical by test). Level 1: cross the
+    corpus with the √k-row super-centroid table, struct-min per vector.
+    Level 2: join the vector's group's centroid rows (√k average),
+    struct-min (nprobe=1) or sorted top-nprobe. Both levels are
+    broadcast model-table joins with map-side-combinable aggs — per-row
+    work O(√k·dim), plan size O(1) in k_eff. This is the join the
+    SCALING.md planning note calls for at 100 TB; when even the k×dim
+    centroid table outgrows a broadcast, the same plan runs with a
+    shuffle join — nothing else changes."""
+    import math
+
+    spark = emb.sparkSession
+    n_groups = max(1, int(math.isqrt(len(centroids))))
+    groups = _group_centroids(centroids, n_groups)
+    supers = _super_centroids(centroids, groups)
+    sup_df = spark.createDataFrame(
+        [(g, supers[g]) for g in sorted(groups)],
+        "sg long, scent array<double>",
+    )
+    cent_df = spark.createDataFrame(
+        [
+            (g, c, centroids[c])
+            for g in sorted(groups)
+            for c in sorted(groups[g])
+        ],
+        "sg long, cid long, cent array<double>",
+    )
+    sg = (
+        emb.select("vec_id", "emb")
+        .join(F.broadcast(sup_df))  # bounded-broadcast model cross
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    _sq_dist_col(F.col("scent")).alias("d"),
+                    F.col("sg").alias("g"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.g").alias("sg"))
+    )
+    within = emb.select("vec_id", "emb").join(sg, "vec_id").join(
+        F.broadcast(cent_df), "sg"
+    )
+    scored = F.struct(
+        _sq_dist_col(F.col("cent")).alias("d"), F.col("cid").alias("cid")
+    )
+    if nprobe == 1:
+        return (
+            within.groupBy("vec_id")
+            .agg(F.min(scored).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"))
+        )
+    return (
+        within.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(scored)), 1, nprobe
+            ).alias("tops")
+        )
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform("tops", lambda s: s.getField("cid"))
+            ).alias("cluster"),
+        )
     )
 
 

@@ -76,3 +76,43 @@ def test_two_level_matches_numpy_replica_and_flat_quality(spark, sf_dir):
     # most vectors' nearest centroid lives in their nearest super-group
     # (measured ~0.8 at sf0.01); pin loosely so fixture regens don't flap
     assert flat_agree / len(vecs) >= 0.5, flat_agree / len(vecs)
+
+
+def test_join_path_row_identical_to_expression_path(spark, sf_dir):
+    """The k_eff-scalable broadcast-join formulation (round 11,
+    `_two_level_join`) must be ROW-IDENTICAL to the literal-expression
+    path for both the single pick and the multi-probe variant: same
+    grouping, same floor-quantized integer distances, same (d, id)
+    struct-min tiebreak. Forces a large model (cell_target small enough
+    that k_eff >= TWO_LEVEL_JOIN_MIN_K) so the comparison runs at the
+    geometry where the join path actually ships."""
+    from parallelutilities_jl_spark.operators import clustering as C
+
+    emb, centroids = C._sampled_fit(spark, sf_dir, cell_target=7)
+    assert len(centroids) >= C.TWO_LEVEL_JOIN_MIN_K, (
+        f"fixture too small to force the join regime "
+        f"(k_eff={len(centroids)})"
+    )
+
+    old = C.TWO_LEVEL_JOIN_MIN_K
+    for nprobe in (1, 3):
+        join_rows = {
+            (r["vec_id"], r["cluster"])
+            for r in C._two_level_join(emb, centroids, nprobe).collect()
+        }
+        try:
+            # force the expression path despite the large model
+            C.TWO_LEVEL_JOIN_MIN_K = 10**9
+            expr_fn = (
+                C._two_level_pick
+                if nprobe == 1
+                else lambda e, c: C._two_level_probes(e, c, nprobe)
+            )
+            expr_rows = {
+                (r["vec_id"], r["cluster"])
+                for r in expr_fn(emb, centroids).collect()
+            }
+        finally:
+            C.TWO_LEVEL_JOIN_MIN_K = old
+        assert join_rows == expr_rows, f"paths diverge at nprobe={nprobe}"
+        assert join_rows  # non-vacuous
