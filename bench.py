@@ -133,8 +133,12 @@ LATE_ADDITIONS = [
     # parity) and the arrival-ordered n-gram novelty census
     "stream_sig_dedup",
     "ngram_novelty_rate",
-    # round-11 addition: the real-codec WAV encode->decode round trip
+    # round-11 additions: the real-codec WAV encode->decode round trip,
+    # the cross-source shingle-redundancy matrix, and the
+    # token-budget mixture planner
     "multimodal_wav_decode",
+    "source_overlap_census",
+    "mixture_epochs_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -211,6 +211,98 @@ GROUP BY doc_id, source
 """
 
 
+def q_source_overlap_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source redundancy matrix — the data-mixing diagnostic:
+    for every ordered source pair (src_a, src_b), how many of src_a's
+    distinct {_CONTAM_K}-word shingles also occur in src_b, and the
+    fraction of src_a that is (n_shared·10⁶ div n_src_a, exact integer
+    division). This is the table that decides dedup ORDER and mixture
+    weights: a source mostly contained in another contributes little
+    novel text at its full weight (cf. the within-pipeline
+    `contamination_check`, which screens one eval source against the
+    rest — this is the all-pairs census of the corpus against itself).
+
+    Scale shape: one corpus-sized DISTINCT over (shingle-md5, source)
+    — md5 keys so the shuffle carries fixed-width keys, same as the
+    MinHash tier — then a groupBy(shingle) collect_set(source) whose
+    arrays are bounded by the SOURCE COUNT (a config-sized constant,
+    ~20 here), an exploded source-pair fan-out bounded by S² per
+    shingle, and an S²-row join against per-source totals. No
+    corpus×corpus join at any size; every agg is map-side combinable.
+    Emits only pairs with n_shared > 0."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ws = TH.words(F.col("text"))
+    sh = (
+        docs.select("source", ws.alias("ws"))
+        .filter(F.size("ws") >= _CONTAM_K)
+        .select(
+            "source",
+            F.explode(TH.shingles(F.col("ws"), _CONTAM_K)).alias("s"),
+        )
+        .select("source", F.md5("s").alias("h"))
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_src_a"))
+    srcs = sh.groupBy("h").agg(F.collect_set("source").alias("ss"))
+    pairs = (
+        srcs.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ss",
+                        lambda a: F.filter(
+                            F.transform(
+                                "ss",
+                                lambda b: F.struct(
+                                    a.alias("src_a"), b.alias("src_b")
+                                ),
+                            ),
+                            lambda p: p.getField("src_a")
+                            != p.getField("src_b"),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.join(
+        F.broadcast(totals), pairs.src_a == totals.source
+    ).select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_src_a",
+        F.expr("(n_shared * 1000000) div n_src_a").alias("frac_e6"),
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH w AS (SELECT source, {_DD_WS} AS ws FROM documents
+           WHERE text IS NOT NULL),
+sh AS (SELECT DISTINCT source, md5(s) AS h
+       FROM (SELECT source,
+                    UNNEST({TH.dd_shingles('ws', _CONTAM_K)}) AS s
+             FROM w WHERE len(ws) >= {_CONTAM_K})),
+tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+ov AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+       GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared, t.n AS n_src_a,
+       (n_shared * 1000000) // t.n AS frac_e6
+FROM ov JOIN tot t ON t.source = ov.src_a
+"""
+
+
 _MIN_CHARS, _MAX_CHARS = 100, 500
 _MIN_QUALITY = 0.5
 
@@ -441,6 +533,91 @@ SELECT source, MIN(n_s) AS n_total,
        AS n_sampled
 FROM documents JOIN rates USING (source)
 GROUP BY source
+"""
+
+
+# global token budget for the mixture planner (fixture-scaled; at
+# production scale this is the run's total training tokens). Bound for
+# the exact-integer math below: BUDGET * weight_ppm must stay < 2^63,
+# i.e. BUDGET < ~9e12 — any real single-run budget
+TRAIN_TOKEN_BUDGET = 1_000_000
+
+
+def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLANNER that goes with `mixture_weighted_sample`'s
+    sampler: given per-source whitespace-token counts and
+    temperature-0.5 weights (w_s ∝ √tokens_s — the standard
+    multilingual/multi-source rebalance), allocate a global
+    TRAIN_TOKEN_BUDGET and report how many EPOCHS of each source that
+    plan implies (planned/available — the >1.0 entries are the sources
+    the run will repeat, the number data-mixing tables are read for).
+
+    Float-parity policy: the only transcendental is one correctly-
+    rounded IEEE sqrt per source on an exact (< 2^53) integer — then
+    everything is quantized: q_s = floor(√tokens·10⁶) int64,
+    weight_ppm = q_s·10⁶ div Σq, planned = BUDGET·weight_ppm div 10⁶,
+    epochs_e6 = planned·10⁶ div tokens — three exact integer
+    divisions, bit-identical on any engine and combine order.
+
+    Scale shape: one corpus scan into a source-keyed token-count agg
+    (map-side combinable), a ≤S-row broadcast of Σq back onto the
+    S-row frame — nothing else touches the corpus."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TH.words(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    q = per_src.withColumn(
+        "q",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    qsum = q.agg(F.sum("q").alias("qsum"))
+    planned = (
+        q.join(F.broadcast(qsum))
+        .withColumn(
+            "weight_ppm", F.expr("(q * 1000000) div qsum")
+        )
+        .withColumn(
+            "planned_tokens",
+            F.expr(f"({TRAIN_TOKEN_BUDGET} * weight_ppm) div 1000000"),
+        )
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "planned_tokens",
+        F.expr("(planned_tokens * 1000000) div n_tokens").alias(
+            "epochs_e6"
+        ),
+    )
+
+
+ORACLE_MIXTURE_EPOCHS = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_DD_WS})) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL GROUP BY source),
+q AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS q
+      FROM per_src),
+s AS (SELECT CAST(SUM(q) AS BIGINT) AS qsum FROM q),
+p AS (SELECT source, n_docs, n_tokens,
+             (q * 1000000) // qsum AS weight_ppm
+      FROM q CROSS JOIN s),
+pl AS (SELECT *, ({TRAIN_TOKEN_BUDGET} * weight_ppm) // 1000000
+                   AS planned_tokens
+       FROM p)
+SELECT source, n_docs, n_tokens, weight_ppm, planned_tokens,
+       (planned_tokens * 1000000) // n_tokens AS epochs_e6
+FROM pl
 """
 
 
@@ -1707,10 +1884,12 @@ QUERIES = {
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
+    "source_overlap_census": q_source_overlap_census,
     "corpus_filter_pipeline": q_filter_pipeline,
     "stratified_sample": q_stratified_sample,
     "substring_dup_spans": q_substring_dup_spans,
     "mixture_weighted_sample": q_mixture_weighted_sample,
+    "mixture_epochs_plan": q_mixture_epochs_plan,
     "sequence_packing": q_sequence_packing,
     "corpus_shuffle": q_corpus_shuffle,
     "training_order_packing": q_training_order_packing,
@@ -1736,6 +1915,8 @@ ORACLES = {
     "hash_split_documents": ORACLE_HASH_SPLIT,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION,
+    "source_overlap_census": ORACLE_SOURCE_OVERLAP,
+    "mixture_epochs_plan": ORACLE_MIXTURE_EPOCHS,
     "corpus_filter_pipeline": ORACLE_FILTER_PIPELINE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dsir_importance_weights": _oracle_dsir(),
