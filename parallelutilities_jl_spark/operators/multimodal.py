@@ -9,10 +9,11 @@ chunk walk + PCM16 sample stats; exercised end-to-end by
 oracle predicts every field from first principles). Codecs that
 genuinely need external libraries (JPEG/PNG/MP4 — PIL / pyav are not in
 this container) remain behind the deterministic `_decode_stub`;
-`decode_assets` sniffs the container magic and dispatches to the real
-decoder whenever one exists. Swapping the stub for `PIL.Image.open`
-changes nothing structurally: the UDF signatures, schemas and batch
-shapes are what a real deployment uses.
+`decode_assets` dispatches per row on claimed modality, then sniffs
+the container magic for the real decoder (audio + valid WAV → real
+RIFF/PCM16 parse; everything else → stub). Swapping the stub for
+`PIL.Image.open` changes nothing structurally: the UDF signatures,
+schemas and batch shapes are what a real deployment uses.
 
 Scale design:
 * binary payloads stay columnar (parquet BYTE_ARRAY) and are only
@@ -64,9 +65,11 @@ def _decode_wav(content: bytes) -> dict | None:
     + PCM16 sample stats, pure stdlib/numpy — no external codec needed
     (the reason WAV retires the stub while JPEG/MP4 keep it). Returns
     None unless `content` is a structurally valid PCM WAV (RIFF magic,
-    WAVE form, a 16-byte `fmt ` chunk with audio_format=1, a `data`
-    chunk), so the magic-sniff dispatch in `decode_assets` can never
-    misroute non-WAV bytes here.
+    WAVE form, a 16-byte `fmt ` chunk with audio_format=1, then a
+    `data` chunk — spec order enforced, first chunk of each kind wins,
+    and the walk STOPS at the data chunk so duplicate chunks or
+    trailing RIFF-shaped bytes can't rewrite the stats), so the
+    dispatch in `decode_assets` can never misroute non-WAV bytes here.
 
     Returned fields: sample_rate / n_channels / bits straight from the
     fmt chunk; n_frames = data_size // block_align (the header math);
@@ -90,10 +93,18 @@ def _decode_wav(content: bytes) -> dict | None:
         body = content[pos + 8 : pos + 8 + sz]
         if len(body) < sz:
             return None  # truncated chunk: not a valid container
-        if cid == b"fmt " and sz >= 16:
+        if cid == b"fmt " and sz >= 16 and fmt is None:
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
+            # spec order: one fmt chunk BEFORE the one data chunk.
+            # First-wins + break makes the walk deterministic on
+            # non-canonical files (duplicate chunks, trailing
+            # RIFF-shaped bytes can't silently overwrite the stats);
+            # data before fmt is out-of-spec → reject.
+            if fmt is None:
+                return None
             data = body
+            break
         pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
     if fmt is None or data is None:
         return None
@@ -123,9 +134,11 @@ def _decode_stub(content: bytes, modality: str) -> dict:
     (PIL / pyav are not in this container — JPEG/PNG/MP4 cannot be
     parsed honestly without them). Deterministic fake: metadata derived
     from the byte stream so tests are reproducible. Replace the body
-    with the real decoder in deployment. WAV no longer routes here:
-    `_decode_wav` is a REAL pure-Python decoder and `decode_assets`
-    dispatches to it whenever the bytes are a structurally valid WAV."""
+    with the real decoder in deployment. Valid WAVs no longer route
+    here: `_decode_wav` is a REAL pure-Python decoder and
+    `decode_assets` dispatches AUDIO rows whose bytes are a
+    structurally valid WAV to it (non-audio rows always take this
+    stand-in, whatever their bytes look like)."""
     if modality not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for modality {modality!r}")
     h = hashlib.sha256(content).digest()
@@ -249,7 +262,15 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [_decode_wav(bytes(c)) for c in pdf["content"]]
-            assert all(m is not None for m in metas)  # we wrote them
+            # explicit raise, not assert: survives python -O and names
+            # the offending asset instead of an opaque TypeError deep
+            # in the Arrow batch (we wrote these bytes — a None here
+            # means the synthesizer or the decoder regressed)
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None:
+                    raise ValueError(
+                        f"invalid WAV payload for asset {aid}"
+                    )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -294,11 +315,14 @@ def decode_assets(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             metas = []
             for c, m in zip(pdf["content"], pdf["modality"]):
-                # dispatch on the detected container, not the claimed
-                # modality: a structurally valid WAV takes the REAL
-                # pure-Python decoder; everything else falls back to
-                # the documented deterministic stand-in
-                wav = _decode_wav(bytes(c))
+                # dispatch on claimed modality FIRST, container sniff
+                # second: only audio rows may take the real WAV
+                # decoder. An image/video blob that happens to be a
+                # structurally valid RIFF/WAVE container must NOT get
+                # WAV metadata (NULL width/height) — the row's output
+                # contract follows its modality, and non-audio
+                # modalities fall back to the documented stand-in
+                wav = _decode_wav(bytes(c)) if m == "audio" else None
                 if wav is not None:
                     metas.append(
                         {

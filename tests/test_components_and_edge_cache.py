@@ -118,6 +118,21 @@ def test_components_spill_honors_checkpoint_dir_and_cleans_up(
     finally:
         if old.isDefined():
             sc.setCheckpointDir(old.get())
+        else:
+            # Spark has no API to UNSET a checkpoint dir on a live
+            # context, so the pre-test state (unset) is unrestorable.
+            # Park it on a stable per-application location instead of
+            # leaving it pointed at this test's pytest tmp_path —
+            # otherwise later tests' connected_components spills would
+            # take the shared-FS path into a dir pytest deletes
+            # (round-11 advisor finding: order-dependent coupling).
+            import tempfile
+
+            stable = os.path.join(
+                tempfile.gettempdir(),
+                f"pu_test_ckpt_{sc.applicationId}",
+            )
+            sc.setCheckpointDir(stable)
 
 
 def test_components_spill_cleaned_up_on_exception(spark):

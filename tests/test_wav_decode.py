@@ -131,3 +131,74 @@ def test_decode_assets_magic_dispatch(spark):
     assert real["width"] is None and real["height"] is None
     assert real["n_frames"] == 2
     assert stub["width"] is not None  # deterministic stand-in path
+
+
+def test_duplicate_chunks_first_wins_and_walk_stops_at_data():
+    """Round-12 advisor fix: the chunk walk is first-wins and STOPS at
+    the data chunk — trailing RIFF-shaped bytes or duplicate
+    fmt/data chunks cannot rewrite the reported stats."""
+    from parallelutilities_jl_spark.operators.multimodal import _decode_wav
+
+    good = struct.pack("<2h", 5, -7)
+    wav = _wav(sr=8000, data=good)
+    # append a second, bogus data chunk with MORE samples and a second
+    # fmt chunk with a different rate: both must be ignored
+    bogus = (
+        b"data"
+        + struct.pack("<I", 6)
+        + struct.pack("<3h", 30000, 30000, 30000)
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+    )
+    m = _decode_wav(wav + bogus)
+    assert m is not None
+    assert m["sample_rate"] == 8000
+    assert m["n_frames"] == 2
+    assert m["peak_abs"] == 7
+
+
+def test_data_before_fmt_is_rejected():
+    """Spec order: fmt must precede data; a container violating it is
+    rejected rather than decoded with a guessed geometry."""
+    from parallelutilities_jl_spark.operators.multimodal import _decode_wav
+
+    data = struct.pack("<2h", 1, 2)
+    out_of_order = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    )
+    assert _decode_wav(out_of_order) is None
+
+
+def test_decode_assets_gates_wav_on_audio_modality(spark):
+    """Round-12 advisor fix: a non-audio row whose bytes happen to be a
+    structurally valid RIFF/WAVE container must keep its modality's
+    output contract (stub metadata with width/height), never silently
+    acquire WAV fields."""
+    import pandas as pd
+
+    from parallelutilities_jl_spark.operators.multimodal import (
+        decode_assets,
+    )
+
+    wav = _wav(sr=24000, data=struct.pack("<2h", 1, -1))
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2],
+            "modality": ["image", "audio"],
+            "content": [wav, wav],
+        }
+    )
+    out = {
+        r["asset_id"]: r
+        for r in decode_assets(spark.createDataFrame(pdf)).collect()
+    }
+    img, aud = out[1], out[2]
+    assert img["width"] is not None and img["height"] is not None
+    assert aud["width"] is None and aud["sample_rate"] == 24000
