@@ -650,11 +650,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("ni").cast("double") / (
         F.col("na") + F.col("nb") - F.col("ni")
     )
+    # τ-PUSHDOWN below the scoring joins (round-12): j ≥ τ needs
+    # |A∩B| ≥ τ/(1+τ)·(|A|+|B|), and |A∩B| can never exceed
+    # ni_ub = min(ni_cold + #hot_keys, na, nb) (every non-cold
+    # intersection member is a hot shingle, globally few by
+    # construction). Pairs failing the bound are dropped HERE, on
+    # scalar columns only, so the hot-array joins and the exact score
+    # run over SURVIVORS rather than the full candidate set — at
+    # production scale wall tracks the output, not the candidate
+    # fan-out. The comparison is the exact integer cross-multiply
+    # (τ = _EVAL_NUM/_EVAL_DEN), so the bound can never round a true
+    # survivor away; the exact jac ≥ τ filter below is unchanged and
+    # the output is identical (pinned by the oracle and the stress
+    # tool's identical-output assert).
+    hcnt = hot_keys.agg(F.count(F.lit(1)).alias("hot_total"))
+    ni_ub = F.least(
+        F.col("ni_cold") + F.col("hot_total"), F.col("na"), F.col("nb")
+    )
     return (
         pairs.join(scal.select(F.col("doc_id").alias("doc_a"),
                                F.col("n").alias("na")), "doc_a")
         .join(scal.select(F.col("doc_id").alias("doc_b"),
                           F.col("n").alias("nb")), "doc_b")
+        .crossJoin(F.broadcast(hcnt))  # one global scalar
+        .filter(
+            (_EVAL_DEN + _EVAL_NUM) * ni_ub
+            >= _EVAL_NUM * (F.col("na") + F.col("nb"))
+        )
         .join(ha, "doc_a", "left")
         .join(hb, "doc_b", "left")
         .withColumn("ni", ni)

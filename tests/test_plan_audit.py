@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "bm25_topk",
     "unigram_logppl",
     "dsir_importance_weights",  # 1-row (n_r, n_t) totals crossed per doc
+    "ngram_jaccard_pairs",  # 1-row hot-key-count frame crossed for the τ-pushdown bound
     "mixture_epochs_plan",  # 1-row Σq frame crossed onto the S-row plan
     "bigram_pmi_top",  # 1-row N_uni / N_bi totals crossed onto the vocab
     "embedding_power_iteration",  # 1-row norm frame crossed per round
