@@ -139,6 +139,9 @@ LATE_ADDITIONS = [
     "multimodal_wav_decode",
     "source_overlap_census",
     "mixture_epochs_plan",
+    # round-12 addition: the Q2 analog that completes the 22-query
+    # TPC-H sweep (single-scan window-min formulation)
+    "q2_min_cost_supplier",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -1538,6 +1538,49 @@ FROM supplier JOIN rev ON s_suppkey = l_suppkey
 WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
 """
 
+# TPC-H Q2 analog (completes the 22-query TPC-H sweep; no partsupp in
+# the fixture, so the cheapest observed lineitem unit price per
+# (part, supplier) stands in for ps_supplycost — the same derived-table
+# adaptation Q11/Q16 use). The spec's correlated scalar subquery
+# "cost = (SELECT MIN(cost) ... same part, region suppliers only)" is
+# expressed as MIN() OVER (PARTITION BY partkey) over the
+# region-filtered supply table: identical semantics (all tied
+# minimum-cost suppliers survive, part-attribute filters stay OUTSIDE
+# the min exactly as in the spec), but ONE lineitem scan — Spark plans
+# the correlated form as two full ps derivations with no exchange
+# reuse (measured), and at 100 TB the duplicate scan of the dominant
+# fact table is the whole cost. Correlated-subquery decorrelation is
+# exercised by Q15/Q17/Q22 instead. Scale: one corpus-sized exchange
+# for the (part, supplier) min agg, one partkey re-exchange for the
+# window (both hash, no range/global sort); supplier⋈nation⋈region is
+# broadcast-sized; the min is an exact int64 (2-dp money grid) so the
+# tie can't flip between engines; ORDER BY + LIMIT 100 is a bounded
+# TakeOrderedAndProject over a unique total order (s_name unique per
+# supplier, p_partkey breaks part ties).
+_SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS cost2
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pse AS (
+  SELECT ps.partkey, ps.cost2, eu.s_acctbal, eu.s_name, eu.n_name,
+         MIN(ps.cost2) OVER (PARTITION BY ps.partkey) AS min_cost2
+  FROM ps JOIN eu ON eu.s_suppkey = ps.suppkey)
+SELECT pse.s_acctbal, pse.s_name, pse.n_name, p.p_partkey, p.p_brand,
+       CAST(pse.cost2 AS DOUBLE) / 100.0 AS supply_cost
+FROM pse
+JOIN part p ON pse.partkey = p.p_partkey
+WHERE pse.cost2 = pse.min_cost2
+  AND p.p_size IN (1, 4, 7) AND p.p_type = 'STANDARD'
+ORDER BY pse.s_acctbal DESC, pse.n_name, pse.s_name, p.p_partkey
+LIMIT 100
+"""
+
 _SQL_IDLE_RICH_CUSTOMERS = """
 SELECT c_nationkey, COUNT(*) AS n_cust,
        CAST(SUM(CAST(FLOOR((c_acctbal) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -1569,6 +1612,7 @@ def _sql_query(sql: str):
 
 q_top_supplier = _sql_query(_SQL_TOP_SUPPLIER)
 q_idle_rich_customers = _sql_query(_SQL_IDLE_RICH_CUSTOMERS)
+q_min_cost_supplier = _sql_query(_SQL_MIN_COST_SUPPLIER)
 
 
 def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2894,6 +2938,7 @@ QUERIES = {
     "unpivot_part_metrics": q_unpivot_part,
     "q15_top_supplier": q_top_supplier,
     "q22_idle_rich_customers": q_idle_rich_customers,
+    "q2_min_cost_supplier": q_min_cost_supplier,
     "window_rank_functions": q_window_functions,
     "window_rolling_7d": q_rolling_7d_revenue,
     "lateral_topk_per_nation": q_lateral_topk,
@@ -2931,6 +2976,7 @@ ORACLES = {
     "grouping_sets_customer": ORACLE_GROUPING_SETS,
     "unpivot_part_metrics": ORACLE_UNPIVOT,
     "q15_top_supplier": _SQL_TOP_SUPPLIER,
+    "q2_min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
     "q22_idle_rich_customers": _SQL_IDLE_RICH_CUSTOMERS,
     "window_rank_functions": ORACLE_WINDOW_FUNCTIONS,
     "window_rolling_7d": ORACLE_ROLLING_7D,
