@@ -2313,11 +2313,19 @@ def _oracle_knn_mutual() -> str:
         f"FROM {prb} pa JOIN {prb} pb ON pb.cluster = pa.cluster "
         "AND pb.vec_id > pa.vec_id)"
     )
+    # route the scoring join THROUGH cand on composite (vec_id, k)
+    # keys — same planner fix as _semdedup_census_ctes/_oracle_cosine_
+    # dups: with a bare a.k = b.k join available DuckDB front-loads the
+    # N²·dim lf self-join before applying cand (sf0.1 replay ~35 s →
+    # ~2 s with the pair-list-first shape)
     ctes.append(
-        f"dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
+        "pq AS (SELECT cand.qid, cand.cid, a.k, a.v "
+        "FROM cand JOIN lf a ON a.vec_id = cand.qid)"
+    )
+    ctes.append(
+        f"dots AS (SELECT a.qid, a.cid, "
         f"{_DD_DOT} AS dot "
-        "FROM lf a JOIN lf b ON a.k = b.k "
-        "JOIN cand ON cand.qid = a.vec_id AND cand.cid = b.vec_id "
+        "FROM pq a JOIN lf b ON b.vec_id = a.cid AND b.k = a.k "
         "GROUP BY 1, 2)"
     )
     ctes.append(
