@@ -77,3 +77,26 @@ def test_flat_assign_literal_vs_join_row_identical(spark, sf_dir):
         for r in C._assign(emb, model).collect()
     }
     assert disp == jnd
+
+
+def test_flat_assign_tiebreak_identical_centroids(spark):
+    """Exact distance ties must break to the LOWEST cid on BOTH
+    physical paths: a model with duplicated centroid coordinates makes
+    every vector exactly equidistant to the duplicates, so any
+    path-dependent tiebreak would diverge here."""
+    rows = [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    # cids 1 and 3 are identical; 0 and 4 are identical
+    model = {
+        0: [0.0, 0.0],
+        1: [1.0, 2.0],
+        3: [1.0, 2.0],
+        4: [0.0, 0.0],
+    }
+    lit = {(r["vec_id"], r["cluster"])
+           for r in C._assign_literal(emb, model).collect()}
+    jnd = {(r["vec_id"], r["cluster"])
+           for r in C._assign_join(emb, model).collect()}
+    assert lit == jnd
+    # no winner may ever be one of the duplicated HIGHER cids
+    assert not any(c in (3, 4) for _, c in lit)

@@ -54,6 +54,10 @@ QUERIES = (
     # at x10) must stay ~linear AND keep exact totals (the replication
     # check below asserts 10x rows => exactly 10x each sum)
     "q1_pricing_summary",
+    # round-12: the Q2 analog — 10x lineitem over an unchanged
+    # (part, supplier) key space, so the ps min agg input grows 10x
+    # while its output (and the query result) is bit-identical
+    "q2_min_cost_supplier",
     # round-6 second continuation: pair fan-out (skipgram), vocab-level
     # join (should be near-FLAT — the vocab doesn't grow with shards),
     # the join-free diversity identity, the wedge-join triangle census
@@ -172,6 +176,19 @@ def build_stress_corpus() -> None:
     pq.write_table(
         pa.concat_tables(lparts), os.path.join(STRESS, "lineitem.parquet")
     )
+
+    # dimension tables ride along VERBATIM (the realistic shape: facts
+    # replicate, dims don't) — q2's per-(part, supplier) min agg then
+    # sees 10x input rows over an UNCHANGED key space, so its output is
+    # bit-identical across tiers while the scan/agg work grows 10x
+    # (customer/orders only because register_all() registers all ten
+    # fixture tables for the SQL-entry queries)
+    for dim in ("part", "supplier", "nation", "region",
+                "customer", "orders"):
+        shutil.copyfile(
+            os.path.join(SF1, f"{dim}.parquet"),
+            os.path.join(STRESS, f"{dim}.parquet"),
+        )
 
     # 10x events for the user-keyed window/fan-out ops: shift user_id and
     # event_id per shard — 10x distinct users, each with the original
