@@ -141,15 +141,28 @@ def kmeans_fit_assign(
 _FLAT_FIT_CACHE: dict[tuple, tuple[DataFrame, dict[int, list[float]]]] = {}
 
 
+def _model_copy(
+    centroids: dict[int, list[float]],
+) -> dict[int, list[float]]:
+    """Per-call copy of a cached centroid model (values included): the
+    caches hand models to many query families, and a caller mutating
+    what it believes is its own fit would otherwise silently poison
+    every later query in the application. KB-sized — the copy is
+    noise next to one Spark job."""
+    return {c: list(v) for c, v in centroids.items()}
+
+
 def _fit_state(
     spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
 ):
     """Shared fit loop: returns (cached embedding frame, centroids).
-    Memoized per (application, sf_dir, k, iters) — see _FLAT_FIT_CACHE."""
+    Memoized per (application, sf_dir, k, iters) — see _FLAT_FIT_CACHE;
+    the returned dict is a per-call copy (`_model_copy`)."""
     _evict_stale(_FLAT_FIT_CACHE, spark)
     key = (spark.sparkContext.applicationId, sf_dir, k, iters)
     if key in _FLAT_FIT_CACHE:
-        return _FLAT_FIT_CACHE[key]
+        emb, cached = _FLAT_FIT_CACHE[key]
+        return emb, _model_copy(cached)
     # cache both layouts: every Lloyd round re-reads them (iters mean
     # updates + iters+1 assignment passes would otherwise re-scan and
     # re-derive the parquet each time), and repartition first — the
@@ -172,7 +185,7 @@ def _fit_state(
     }
     if not centroids:  # empty corpus: no model, no assignments
         _FLAT_FIT_CACHE[key] = (emb, {})
-        return _FLAT_FIT_CACHE[key]
+        return emb, {}
     dim = len(next(iter(centroids.values())))
     emb_long = emb.select(
         "vec_id", F.posexplode("emb").alias("idx", "val")
@@ -196,7 +209,7 @@ def _fit_state(
                 int(r["idx"])
             ] = float(r["cval"])
     _FLAT_FIT_CACHE[key] = (emb, centroids)
-    return _FLAT_FIT_CACHE[key]
+    return emb, _model_copy(centroids)
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,10 +491,13 @@ BROADCAST_MODEL_MAX_BYTES = 8 << 20
 
 def _maybe_broadcast(df: DataFrame, approx_bytes: int) -> DataFrame:
     """Hint-broadcast a model table only while it is safely below the
-    broadcast threshold; past it, return the frame unhinted so the SAME
-    plan runs as a shuffle join (the 100 TB fallback the docstrings
-    promise — previously the hint was hard-pinned, which forced a
-    broadcast regardless of model size)."""
+    broadcast threshold; past it, return the frame unhinted so Catalyst
+    picks a shuffle join (previously the hint was hard-pinned, which
+    forced a broadcast regardless of model size). ONLY valid for KEYED
+    joins — an unhinted KEYLESS model cross would plan as a
+    BroadcastNestedLoopJoin/CartesianProduct, not a shuffle join, so
+    the keyless crosses below (flat argmin, level-1 super pick) keep an
+    unconditional hint and document their model-size ceiling instead."""
     if approx_bytes < BROADCAST_MODEL_MAX_BYTES:
         return F.broadcast(df)
     return df
@@ -507,19 +523,22 @@ def _assign_join(
     costs seconds of py4j construction + Catalyst re-walks per
     invocation (round-11 measurement at k_eff=80), while this plan
     never grows. The min-agg is map-side combinable, so the only
-    exchange is the final per-vec_id combine; when the k×dim model
-    outgrows `BROADCAST_MODEL_MAX_BYTES` the hint is dropped
-    (`_maybe_broadcast`) and the identical plan runs as a
-    Catalyst-chosen shuffle join."""
+    exchange is the final per-vec_id combine. CEILING: the model cross
+    is KEYLESS, so it requires a broadcastable model (the hint stays
+    unconditional — dropping it would plan a CartesianProduct, not a
+    shuffle join); at k·dim·16 B beyond broadcast range (~65k
+    64-dim centroids), flat-exact assignment stops being the right
+    operator and the caller should use the two-level path, whose
+    level-2 join is keyed on the super-group and genuinely degrades to
+    a shuffle join (`_two_level_join`)."""
     spark = emb.sparkSession
     cent_df = spark.createDataFrame(
         [(cid, centroids[cid]) for cid in sorted(centroids)],
         "cid long, cent array<double>",
     )
-    cent_df = _maybe_broadcast(cent_df, _model_bytes(centroids))
     return (
         emb.select("vec_id", "emb")
-        .join(cent_df)  # bounded model cross (hinted while it fits)
+        .join(F.broadcast(cent_df))  # keyless model cross: must broadcast
         .groupBy("vec_id")
         .agg(
             F.min(
@@ -545,12 +564,12 @@ def _two_level_join(
     struct-min (nprobe=1) or sorted top-nprobe. Both levels are
     broadcast model-table joins with map-side-combinable aggs — per-row
     work O(√k·dim), plan size O(1) in k_eff. This is the join the
-    SCALING.md planning note calls for at 100 TB; the broadcast hints
-    are size-gated (`_maybe_broadcast`), so when the k×dim centroid
-    table outgrows `BROADCAST_MODEL_MAX_BYTES` the hint drops away and
-    Catalyst/AQE picks a shuffle join — same plan shape, no code
-    change (the super-centroid table is √k rows and in practice always
-    stays hinted)."""
+    SCALING.md planning note calls for at 100 TB. Size fallback: the
+    level-2 centroid join is KEYED on the super-group, so its hint is
+    size-gated (`_maybe_broadcast`) — past `BROADCAST_MODEL_MAX_BYTES`
+    Catalyst/AQE picks a shuffle join on `sg`, same plan shape, no
+    code change. The level-1 super cross is keyless but √k-bounded
+    (8 MB of 64-dim supers ⇒ k ≈ 6e9), so its hint is unconditional."""
     import math
 
     spark = emb.sparkSession
@@ -569,14 +588,15 @@ def _two_level_join(
         ],
         "sg long, cid long, cent array<double>",
     )
-    # super table: n_groups ≈ √k rows; centroid table: k rows
-    sup_df = _maybe_broadcast(
-        sup_df, _model_bytes(supers)
-    )
+    # super table: √k rows — bounded at any feasible k (8 MB of
+    # 64-dim supers needs k ≈ 6e9 centroids), and its cross is KEYLESS,
+    # so the hint stays unconditional. The k-row centroid table joins
+    # KEYED on the super-group, so IT is the one that can genuinely
+    # fall back to a Catalyst-chosen shuffle join past broadcast size.
     cent_df_b = _maybe_broadcast(cent_df, _model_bytes(centroids))
     sg = (
         emb.select("vec_id", "emb")
-        .join(sup_df)  # bounded model cross (hinted while it fits)
+        .join(F.broadcast(sup_df))  # keyless √k-row cross: broadcast
         .groupBy("vec_id")
         .agg(
             F.min(
@@ -666,6 +686,23 @@ _QD = (
 )
 
 
+def _argmin_select(src: str, cent: str) -> str:
+    """The flat-argmin SQL template — nearest centroid per vector over
+    long-format rows `src` (vec_id, idx, val) against centroid CTE
+    `cent` (cid, idx, cval), quantized distance + lowest-cid tiebreak
+    (the replay of `_assign`). ONE definition shared by every fit
+    round and assignment replay so the `_QD` grid and the tiebreak can
+    never drift between copies."""
+    qd = _QD.format(c="c", v="cval")
+    return (
+        f"SELECT vec_id, cid AS cluster FROM ("
+        f"SELECT e.vec_id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
+        f"FROM {src} e JOIN {cent} c ON e.idx = c.idx "
+        f"GROUP BY e.vec_id, c.cid) WHERE rn = 1"
+    )
+
+
 def _kmeans_ctes(k: int = K, iters: int = ITERS) -> tuple[list[str], str]:
     """The fit loop as chained CTEs (no RNG → replayable): returns
     (cte list, name of the final centroid CTE holding cid/idx/cval)."""
@@ -675,16 +712,9 @@ def _kmeans_ctes(k: int = K, iters: int = ITERS) -> tuple[list[str], str]:
         "FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, idx, val AS cval FROM e WHERE vec_id < {k})",
     ]
-    qd = _QD.format(c="c", v="cval")
     prev = "c0"
     for i in range(1, iters + 1):
-        ctes.append(
-            f"a{i} AS (SELECT vec_id, cid AS cluster FROM ("
-            f"SELECT e.vec_id, c.cid, "
-            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
-            f"FROM e JOIN {prev} c ON e.idx = c.idx "
-            f"GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
-        )
+        ctes.append(f"a{i} AS ({_argmin_select('e', prev)})")
         ctes.append(
             f"c{i} AS (SELECT cluster AS cid, idx, "
             f"{_DSUM18.format(e='val')} / COUNT(*) AS cval "
@@ -697,15 +727,7 @@ def _kmeans_ctes(k: int = K, iters: int = ITERS) -> tuple[list[str], str]:
 def _oracle_kmeans(k: int = K, iters: int = ITERS) -> str:
     """The identical iterations as chained CTEs (no RNG → replayable)."""
     ctes, prev = _kmeans_ctes(k, iters)
-    qd = _QD.format(c="c", v="cval")
-    final = (
-        f"SELECT vec_id, cid AS cluster FROM ("
-        f"SELECT e.vec_id, c.cid, "
-        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
-        f"FROM e JOIN {prev} c ON e.idx = c.idx "
-        f"GROUP BY e.vec_id, c.cid) WHERE rn = 1"
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + final
+    return "WITH " + ",\n".join(ctes) + "\n" + _argmin_select("e", prev)
 
 
 def _two_level_pick_ctes(
@@ -836,16 +858,9 @@ def _kmeans_ctes_sampled(
         "c0 AS (SELECT e.vec_id AS cid, e.idx, e.val AS cval FROM e "
         "JOIN sinit USING (vec_id) WHERE sinit.rnk <= (SELECT k FROM keff))",
     ]
-    qd = _QD.format(c="c", v="cval")
     prev = "c0"
     for i in range(1, iters + 1):
-        ctes.append(
-            f"a{i} AS (SELECT vec_id, cid AS cluster FROM ("
-            f"SELECT e.vec_id, c.cid, "
-            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
-            f"FROM es e JOIN {prev} c ON e.idx = c.idx "
-            f"GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
-        )
+        ctes.append(f"a{i} AS ({_argmin_select('es', prev)})")
         ctes.append(
             f"c{i} AS (SELECT cluster AS cid, idx, "
             f"{_DSUM18.format(e='val')} / COUNT(*) AS cval "
@@ -1615,7 +1630,7 @@ def _sampled_fit(
             _lloyd_sample(sample, k_eff, iters),
         )
     emb_all, centroids = _FIT_CACHE[key]
-    return emb_all, centroids
+    return emb_all, _model_copy(centroids)
 
 
 def _sampled_fit_assign(
@@ -1724,14 +1739,7 @@ def _oracle_semantic_dedup() -> str:
     ctes, cfin = _kmeans_ctes_sampled(
         IVF_FIT_ITERS, SEMDEDUP_FIT_SPC, SEMDEDUP_CELL_TARGET
     )
-    qd = _QD.format(c="c", v="cval")
-    ctes.append(
-        f"asgf AS (SELECT vec_id, cid AS cluster FROM ("
-        f"SELECT e.vec_id, c.cid, "
-        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
-        f"FROM e JOIN {cfin} c ON e.idx = c.idx "
-        f"GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
-    )
+    ctes.append(f"asgf AS ({_argmin_select('e', cfin)})")
     final = _semdedup_census_ctes(ctes, "asgf")
     return _assemble(ctes, final)
 

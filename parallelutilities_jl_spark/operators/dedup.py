@@ -661,8 +661,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out. The comparison is the exact integer cross-multiply
     # (τ = _EVAL_NUM/_EVAL_DEN), so the bound can never round a true
     # survivor away; the exact jac ≥ τ filter below is unchanged and
-    # the output is identical (pinned by the oracle and the stress
-    # tool's identical-output assert).
+    # the output is identical (pinned by the DuckDB oracle, whose SQL
+    # has no pushdown).
     hcnt = hot_keys.agg(F.count(F.lit(1)).alias("hot_total"))
     ni_ub = F.least(
         F.col("ni_cold") + F.col("hot_total"), F.col("na"), F.col("nb")

@@ -20,12 +20,17 @@ def test_fit_state_memoized_and_bit_identical(spark, sf_dir):
     C._FLAT_FIT_CACHE.clear()
     emb1, cent1 = C._fit_state(spark, sf_dir)
     assert cent1, "fixture corpus must produce a model"
-    # second call is a cache hit: the SAME frame handle and model dict
+    # second call is a cache hit: the SAME frame handle, an EQUAL model
+    # — but a fresh dict copy, so a caller mutating "its" model cannot
+    # poison the cache for later queries (_model_copy)
     emb2, cent2 = C._fit_state(spark, sf_dir)
-    assert emb2 is emb1 and cent2 is cent1
+    assert emb2 is emb1 and cent2 == cent1 and cent2 is not cent1
+    cent2[min(cent2)][0] += 1.0  # simulate a careless caller
+    _, cent2b = C._fit_state(spark, sf_dir)
+    assert cent2b == cent1  # cache unpoisoned
     # distinct params miss the cache
     emb3, cent3 = C._fit_state(spark, sf_dir, k=4)
-    assert cent3 is not cent1 and len(cent3) == 4
+    assert len(cent3) == 4
     # determinism: a cold refit is bit-identical (float equality, not
     # approx — lowest-id init + decimal(38,18) means have no RNG and a
     # fixed combine order)

@@ -181,14 +181,30 @@ def build_stress_corpus() -> None:
     # replicate, dims don't) — q2's per-(part, supplier) min agg then
     # sees 10x input rows over an UNCHANGED key space, so its output is
     # bit-identical across tiers while the scan/agg work grows 10x
-    # (customer/orders only because register_all() registers all ten
-    # fixture tables for the SQL-entry queries)
-    for dim in ("part", "supplier", "nation", "region",
-                "customer", "orders"):
+    for dim in ("part", "supplier", "nation", "region", "customer"):
         shutil.copyfile(
             os.path.join(SF1, f"{dim}.parquet"),
             os.path.join(STRESS, f"{dim}.parquet"),
         )
+
+    # orders replicates WITH the same per-shard orderkey shift as
+    # lineitem — a verbatim copy would leave 9/10 of the fact rows with
+    # dangling orderkeys, and any future lineitem⋈orders stress row
+    # (Q3/Q4/Q5/Q10/Q12-style) would silently drop 90% of its input
+    # and fake a "linear" ratio. o_custkey stays unshifted (customer is
+    # verbatim): 10x orders per customer, keys intact.
+    od = pq.read_table(os.path.join(SF1, "orders.parquet"))
+    oparts = []
+    for s in range(SHARDS):
+        keys = pc.add(od.column("o_orderkey"), s * ID_STRIDE)
+        oparts.append(
+            od.set_column(
+                od.schema.get_field_index("o_orderkey"), "o_orderkey", keys
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(oparts), os.path.join(STRESS, "orders.parquet")
+    )
 
     # 10x events for the user-keyed window/fan-out ops: shift user_id and
     # event_id per shard — 10x distinct users, each with the original
