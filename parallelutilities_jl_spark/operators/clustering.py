@@ -1557,6 +1557,14 @@ def _semdedup_prune_census(emb: DataFrame) -> DataFrame:
 # per query (the round-8 bench re-fit 3×). Keyed by applicationId so a
 # restarted session never sees another session's checkpointed frames;
 # entries are a checkpointed frame handle + a KB-sized centroid dict.
+# SCALE NOTE: the frame handle pins the localCheckpoint'ed embedding
+# blocks in executor storage for the life of the entry — the right
+# trade at fixture/bench scale, where every consumer re-reads the
+# frame many times and the corpus is MBs. At 100 TB the corpus side of
+# this pair must NOT be checkpointed: drop the frame from the cache
+# (keep only the KB-sized model) and let each consumer re-scan the
+# columnar parquet, which the cluster's scan tier does cheaply and
+# with column pruning; the model dict is the only state worth pinning.
 # ASSUMPTION: the fixture under sf_dir is immutable for the life of the
 # application — a rewritten fixture at the same path within one app
 # would be served stale (acceptable: test fixtures are read-only).
