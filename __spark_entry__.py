@@ -63,6 +63,14 @@ def _registries():
         )
     except ImportError:
         pass
+    try:
+        from parallelutilities_jl_spark.streaming import sinks as ssk
+
+        mods.append(
+            (getattr(ssk, "QUERIES", {}), getattr(ssk, "ORACLES", {}))
+        )
+    except ImportError:
+        pass
     return mods
 
 

@@ -139,9 +139,11 @@ LATE_ADDITIONS = [
     "multimodal_wav_decode",
     "source_overlap_census",
     "mixture_epochs_plan",
-    # round-12 addition: the Q2 analog that completes the 22-query
-    # TPC-H sweep (single-scan window-min formulation)
+    # round-12 additions: the Q2 analog that completes the 22-query
+    # TPC-H sweep (single-scan window-min formulation), and the
+    # foreachBatch upsert sink's batch-parity reduction
     "q2_min_cost_supplier",
+    "stream_upsert_state",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

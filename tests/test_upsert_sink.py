@@ -1,0 +1,117 @@
+"""foreachBatch idempotent-upsert sink: the three properties that make
+it a correct latest-state maintainer (streaming/sinks.py).
+
+1. STREAM ≡ BATCH: the state read back after the real foreachBatch
+   stream equals the one-shot batch reduction over the same events —
+   however the stream was chunked (the (ts, event_id) total order is
+   batching-independent).
+2. REPLAY IDEMPOTENCE: re-invoking the batch function with the same
+   (rows, batch_id) — what a crash between sink write and checkpoint
+   commit causes — leaves the state bit-identical.
+3. UPSERT SEMANTICS: a later batch's row for an existing key WINS, and
+   keys untouched by later batches keep their old state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from parallelutilities_jl_spark.sources.fixtures import load_table
+from parallelutilities_jl_spark.streaming.sinks import (
+    latest_per_user,
+    read_upsert_state,
+    start_upsert_stream,
+    upsert_batch_writer,
+)
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="pu_upsert_sink_")
+    d = {
+        "src": os.path.join(base, "src"),
+        "out": os.path.join(base, "out"),
+        "ckpt": os.path.join(base, "ckpt"),
+    }
+    os.makedirs(d["src"])
+    yield d
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _state_rows(spark, out_dir):
+    return sorted(
+        tuple(r) for r in read_upsert_state(spark, out_dir).collect()
+    )
+
+
+def _stage_chunks(spark, sf_dir, src, n_chunks=3):
+    """Split the fixture events into n_chunks files so the file source
+    sees several micro-batches (maxFilesPerTrigger is not needed with
+    availableNow: each listing becomes batches, but distinct files
+    guarantee the data really arrives split)."""
+    ev = load_table(spark, sf_dir, "events")
+    chunks = ev.randomSplit([1.0] * n_chunks, seed=7)
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk={i}")
+        )
+    # the stream reads the directory tree recursively via glob
+    return ev
+
+
+def test_stream_state_equals_batch_reduction(spark, sf_dir, dirs):
+    _stage_chunks(spark, sf_dir, dirs["src"])
+    q = start_upsert_stream(
+        spark, dirs["src"] + "/chunk=*", dirs["out"], dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    got = _state_rows(spark, dirs["out"])
+    want = sorted(
+        tuple(r)
+        for r in latest_per_user(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_batch_replay_is_idempotent(spark, sf_dir, dirs):
+    ev = load_table(spark, sf_dir, "events")
+    writer = upsert_batch_writer(dirs["out"])
+    writer(ev.filter("user_id % 2 = 0"), 0)
+    writer(ev.filter("user_id % 2 = 1"), 1)
+    before = _state_rows(spark, dirs["out"])
+    # crash-replay of batch 1: same rows, same batch_id
+    writer(ev.filter("user_id % 2 = 1"), 1)
+    assert _state_rows(spark, dirs["out"]) == before
+
+
+def test_later_batch_wins_only_for_its_keys(spark, dirs):
+    writer = upsert_batch_writer(dirs["out"])
+    rows0 = [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+        (2, "2024-01-01 00:00:00", 20, "view", 2.0, None),
+    ]
+    rows1 = [(3, "2024-01-02 00:00:00", 10, "purchase", 9.0, None)]
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    from pyspark.sql import functions as F
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    writer(frame(rows0), 0)
+    writer(frame(rows1), 1)
+    state = {r["user_id"]: r for r in
+             read_upsert_state(spark, dirs["out"]).collect()}
+    assert state[10]["last_type"] == "purchase"  # upserted
+    assert state[10]["last_event_id"] == 3
+    assert state[20]["last_type"] == "view"  # untouched key kept
