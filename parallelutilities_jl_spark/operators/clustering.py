@@ -1202,13 +1202,78 @@ def q_ann_pq_topk(
     data-sized operations are one projection pass to encode and one
     broadcast-join + partial-agg scan per query batch. Codebook state is
     M×K×SUBDIM floats on the driver — KB, like MLlib's k-means."""
+    emb, cb = _pq_fit_state(spark, sf_dir)
+    if not cb:  # empty corpus: no codebook, no results (same schema)
+        return emb.select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec_id").alias("cid"),
+            F.lit(0).cast("long").alias("adist"),
+            F.lit(0).cast("long").alias("rnk"),
+        ).filter(F.lit(False))
+    codes = emb.select(
+        "vec_id", F.posexplode(_pq_codes_col(cb)).alias("s", "code")
+    )
+    # per-query distance lookup table over the final codebook
+    lut_entries = [
+        F.struct(
+            F.lit(s).cast("long").alias("s"),
+            F.lit(cid).cast("long").alias("code"),
+            _pq_sq_dist(F.col(f"sub{s}"), cb[(s, cid)]).alias("ld"),
+        )
+        for (s, cid) in sorted(cb)
+    ]
+    lut = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.array(*lut_entries)).alias("e"),
+        )
+        .select("qid", "e.s", "e.code", "e.ld")
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("ld").alias("adist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", "cid", "adist", "rnk")
+    )
+
+
+# (applicationId, sf_dir) → (sliced cached emb frame, codebook dict):
+# the PQ fit is deterministic (lowest-id init, one Lloyd round with
+# int64-quantized means), so cached vs fresh is bit-identical — the
+# same hygiene as _FLAT_FIT_CACHE / _FIT_CACHE. Both PQ queries (ADC
+# and shortlist+rerank) share one fit per application; the returned
+# codebook is a per-call copy (_model_copy) so a caller mutation can't
+# poison the memo.
+_PQ_FIT_CACHE: dict[tuple, tuple[DataFrame, dict]] = {}
+
+
+def _pq_fit_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """Fit the per-subspace PQ codebooks (see `q_ann_pq_topk`'s
+    docstring for the math); returns (sliced cached corpus frame,
+    {(s, code): centroid} dict). Memoized per (application, sf_dir)."""
+    _evict_stale(_PQ_FIT_CACHE, spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PQ_FIT_CACHE:
+        emb, cb = _PQ_FIT_CACHE[key]
+        return emb, _model_copy(cb)
     emb = _pq_sliced(
         _emb_double(spark, sf_dir)
         .select("vec_id", "emb")
         .repartition(min(8, spark.sparkContext.defaultParallelism))
         # cached, not checkpointed: read by the fit, encode, and LUT
-        # passes within this one build (first collect materializes it
-        # lazily); bench/sweep callers clearCache between queries
+        # passes (first collect materializes it lazily); a clearCache
+        # between queries just recomputes — correctness unaffected
         .cache()
     )
     init = emb.filter(F.col("vec_id") < PQ_K).collect()
@@ -1219,13 +1284,9 @@ def q_ann_pq_topk(
         for r in init
         for s in range(PQ_M)
     }
-    if not cb:  # empty corpus: no codebook, no results (same schema)
-        return emb.select(
-            F.col("vec_id").alias("qid"),
-            F.col("vec_id").alias("cid"),
-            F.lit(0).cast("long").alias("adist"),
-            F.lit(0).cast("long").alias("rnk"),
-        ).filter(F.lit(False))
+    if not cb:  # empty corpus: no codebook
+        _PQ_FIT_CACHE[key] = (emb, {})
+        return emb, {}
     for _ in range(PQ_ITERS):
         # mean update WITHOUT a join: the assignment rides the explode
         # as an array column, element_at picks the row's subspace code
@@ -1263,40 +1324,8 @@ def q_ann_pq_topk(
             cb.setdefault(
                 (int(r["s"]), int(r["code"])), [0.0] * PQ_SUBDIM
             )[int(r["j"])] = float(r["cval"])
-    codes = emb.select(
-        "vec_id", F.posexplode(_pq_codes_col(cb)).alias("s", "code")
-    )
-    # per-query distance lookup table over the final codebook
-    lut_entries = [
-        F.struct(
-            F.lit(s).cast("long").alias("s"),
-            F.lit(cid).cast("long").alias("code"),
-            _pq_sq_dist(F.col(f"sub{s}"), cb[(s, cid)]).alias("ld"),
-        )
-        for (s, cid) in sorted(cb)
-    ]
-    lut = (
-        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.explode(F.array(*lut_entries)).alias("e"),
-        )
-        .select("qid", "e.s", "e.code", "e.ld")
-    )
-    from pyspark.sql.window import Window as W
-
-    scored = (
-        codes.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", F.col("vec_id").alias("cid"))
-        .agg(F.sum("ld").alias("adist"))
-    )
-    w = W.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("cid"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= top_k)
-        .select("qid", "cid", "adist", "rnk")
-    )
+    _PQ_FIT_CACHE[key] = (emb, cb)
+    return emb, _model_copy(cb)
 
 
 PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly per query —
