@@ -29,8 +29,10 @@ Scale shape: the per-batch reduction is a row_number window keyed on
 user_id — one hash exchange + per-partition local sort (never a global
 sort), the same key the state view re-reduces on, and batch output is
 ≤ |distinct keys in batch| rows, so the state directory grows with
-keys-touched-per-batch, not events. Compaction of old batch partitions
-is an offline rewrite of the same `latest_per_user` reduction.
+keys-touched-per-batch, not events. `compact_upsert_state` folds the
+accumulated batch partitions into one snapshot (the same reduction, so
+the state is unchanged by construction) to bound the view's listing
+cost between compactions.
 """
 
 from __future__ import annotations
@@ -130,6 +132,44 @@ def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
             "last_value_c",
         )
     )
+
+
+def compact_upsert_state(spark: SparkSession, out_dir: str) -> int:
+    """Offline compaction: fold every `batch_id=<id>` partition into
+    the HIGHEST existing batch id's directory (so a restarted stream's
+    next batch id never collides with the snapshot) and remove the
+    older partitions. The fold is the same `read_upsert_state`
+    reduction, so the state read back is unchanged by construction —
+    only the file/listing count shrinks (the state view's glob cost
+    grows with batches between compactions). Crash-safety matches the
+    sink's own contract: the snapshot overwrite of `batch_id=<max>` is
+    the commit point; a crash before the old-partition removals leaves
+    extra SUPERSEDED winner rows that the state view's re-reduction
+    makes harmless (every surviving key's global winner is already in
+    the snapshot), and re-running compaction completes the removal.
+    Returns the number of batch partitions removed."""
+    import shutil
+
+    parts = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("batch_id=")
+    )
+    if len(parts) <= 1:
+        return 0
+    max_part = max(parts, key=lambda d: int(d.split("=", 1)[1]))
+    snapshot = read_upsert_state(spark, out_dir)
+    staged = os.path.join(out_dir, "_compact_staging")
+    snapshot.write.mode("overwrite").parquet(staged)
+    # commit: the snapshot replaces the highest partition, then the
+    # superseded partitions drop
+    final = os.path.join(out_dir, max_part)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(staged, final)
+    removed = 0
+    for d in parts:
+        if d != max_part:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:

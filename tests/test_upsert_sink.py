@@ -115,3 +115,29 @@ def test_later_batch_wins_only_for_its_keys(spark, dirs):
     assert state[10]["last_type"] == "purchase"  # upserted
     assert state[10]["last_event_id"] == 3
     assert state[20]["last_type"] == "view"  # untouched key kept
+
+
+def test_compaction_preserves_state_and_drops_partitions(
+    spark, sf_dir, dirs
+):
+    """Compaction must leave the queryable state bit-identical while
+    folding every batch partition into one; a second compaction is a
+    no-op."""
+    from parallelutilities_jl_spark.streaming.sinks import (
+        compact_upsert_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    writer = upsert_batch_writer(dirs["out"])
+    for i in range(4):
+        writer(ev.filter(f"user_id % 4 = {i}"), i)
+    before = _state_rows(spark, dirs["out"])
+    assert len(os.listdir(dirs["out"])) >= 4
+    removed = compact_upsert_state(spark, dirs["out"])
+    assert removed == 3
+    assert _state_rows(spark, dirs["out"]) == before
+    parts = [d for d in os.listdir(dirs["out"])
+             if d.startswith("batch_id=")]
+    assert parts == ["batch_id=3"]  # highest id keeps the snapshot
+    assert compact_upsert_state(spark, dirs["out"]) == 0  # idempotent
+    assert _state_rows(spark, dirs["out"]) == before
