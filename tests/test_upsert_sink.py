@@ -141,3 +141,33 @@ def test_compaction_preserves_state_and_drops_partitions(
     assert parts == ["batch_id=3"]  # highest id keeps the snapshot
     assert compact_upsert_state(spark, dirs["out"]) == 0  # idempotent
     assert _state_rows(spark, dirs["out"]) == before
+
+
+def test_later_batch_with_older_event_does_not_win(spark, dirs):
+    """Batching-independence edge: micro-batch boundaries don't imply
+    event-time order (late data!). If batch 1 delivers an OLDER event
+    for a key than batch 0 did, the state must keep batch 0's row —
+    the winner is decided by the (ts, event_id) total order, never by
+    batch recency."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    writer = upsert_batch_writer(dirs["out"])
+    writer(frame([(5, "2024-01-03 00:00:00", 10, "purchase", 9.0,
+                   None)]), 0)
+    # late-arriving older event for the same user in a LATER batch
+    writer(frame([(1, "2024-01-01 00:00:00", 10, "view", 1.0,
+                   None)]), 1)
+    state = {r["user_id"]: r for r in
+             read_upsert_state(spark, dirs["out"]).collect()}
+    assert state[10]["last_event_id"] == 5
+    assert state[10]["last_type"] == "purchase"
