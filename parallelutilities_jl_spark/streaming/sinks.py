@@ -20,10 +20,19 @@ The pattern, and why each piece is shaped this way at 100 TB:
   MERGE and nothing else changes.
 * **Latest-state view**: the queryable state is `read_upsert_state` —
   latest row per key across all batch partitions. The per-user winner
-  is determined by the TOTAL order (ts, event_id), which is
-  batching-independent, so stream state ≡ the batch recompute over the
-  same rows no matter how the stream was chunked (pinned in
-  tests/test_upsert_sink.py, along with replay idempotence).
+  is determined by the TOTAL order (ts, event_id) at FULL timestamp
+  precision: the batch partitions persist the winner's raw `last_ts`
+  (sub-second intact) and the state view re-reduces on it, truncating
+  to whole seconds only in the final output projection. Ordering the
+  re-reduction on a second-truncated column would NOT be
+  batching-independent — two same-user events inside the same second,
+  split across batches, could elect a different winner than the batch
+  recompute whenever event_id order disagrees with sub-second ts
+  order. With the full-precision order the state is batching-
+  independent, so stream state ≡ the batch recompute over the same
+  rows no matter how the stream was chunked (pinned in
+  tests/test_upsert_sink.py, along with replay idempotence and the
+  same-second/cross-batch case).
 
 Scale shape: the per-batch reduction is a row_number window keyed on
 user_id — one hash exchange + per-partition local sort (never a global
@@ -32,7 +41,10 @@ sort), the same key the state view re-reduces on, and batch output is
 keys-touched-per-batch, not events. `compact_upsert_state` folds the
 accumulated batch partitions into one snapshot (the same reduction, so
 the state is unchanged by construction) to bound the view's listing
-cost between compactions.
+cost between compactions. The snapshot lives in the RESERVED partition
+`batch_id=-1` — Structured Streaming batch ids start at 0 and only
+grow, so a crash-replayed stream batch can overwrite its own directory
+but never the snapshot.
 """
 
 from __future__ import annotations
@@ -45,16 +57,23 @@ from pyspark.sql.window import Window
 
 from parallelutilities_jl_spark.sources.fixtures import load_table
 
+# Reserved snapshot partition for compaction. Stream batch ids are
+# non-negative, so a replayed micro-batch can never collide with it.
+_SNAPSHOT_PART = "batch_id=-1"
+_STAGING = "_compact_staging"
+_ASIDE = "_compact_aside"
 
-def latest_per_user(df: DataFrame) -> DataFrame:
-    """Latest event per user under the deterministic total order
-    (ts DESC, event_id DESC) — NULL ts sorts last (a user whose every
-    ts is NULL still yields a row, with NULL last_ts_s). Shared by the
-    per-batch reducer, the state view's re-reduction, and the
-    oracle-checked batch query, so all three reductions are the same
-    code path. Value is carried on the exact 2-dp integer grid
-    (floor(v·100 + 0.5)) so the hash compare cannot hinge on a double
-    print format."""
+
+def _latest_winners(df: DataFrame) -> DataFrame:
+    """The shared reduction: latest row per user under the
+    deterministic total order (ts DESC, event_id DESC) at FULL
+    timestamp precision — NULL ts sorts last (a user whose every ts is
+    NULL still yields a row, with NULL last_ts). This is the frame the
+    batch partitions persist: `last_ts` keeps the raw TIMESTAMP so the
+    state view's re-reduction orders on exactly the same key the
+    per-batch reduction did. Value is carried on the exact 2-dp
+    integer grid (floor(v·100 + 0.5)) so the hash compare cannot hinge
+    on a double print format."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
     )
@@ -64,9 +83,7 @@ def latest_per_user(df: DataFrame) -> DataFrame:
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
-            # unix_timestamp, not cast: the fixture loads ts as
-            # TIMESTAMP_NTZ, which ANSI mode refuses to cast to BIGINT
-            F.unix_timestamp(F.col("ts")).alias("last_ts_s"),
+            F.col("ts").alias("last_ts"),
             F.col("event_type").alias("last_type"),
             F.floor(F.col("value") * 100 + F.lit(0.5))
             .cast("long")
@@ -75,15 +92,40 @@ def latest_per_user(df: DataFrame) -> DataFrame:
     )
 
 
+def _project_state(winners: DataFrame) -> DataFrame:
+    """Final output projection: truncate the full-precision winner ts
+    to whole seconds (unix_timestamp, not cast: the fixture loads ts
+    as TIMESTAMP_NTZ, which ANSI mode refuses to cast to BIGINT). Only
+    the OUTPUT is second-granular; every ordering decision upstream
+    used the full-precision `last_ts`."""
+    return winners.select(
+        "user_id",
+        "last_event_id",
+        F.unix_timestamp(F.col("last_ts")).alias("last_ts_s"),
+        "last_type",
+        "last_value_c",
+    )
+
+
+def latest_per_user(df: DataFrame) -> DataFrame:
+    """Latest event per user, second-granular output schema — the
+    oracle-checked batch query, and by construction the same reduction
+    the per-batch writer and the state view run (both call
+    `_latest_winners`)."""
+    return _project_state(_latest_winners(df))
+
+
 def upsert_batch_writer(out_dir: str):
     """The foreachBatch function: reduce the micro-batch to its
-    per-user latest rows and overwrite that batch's OWN partition
-    directory. Replay-idempotent by construction — same (rows,
-    batch_id) in, byte-equivalent directory out."""
+    per-user latest rows (full-precision `last_ts` persisted) and
+    overwrite that batch's OWN partition directory. Replay-idempotent
+    by construction — same (rows, batch_id) in, byte-equivalent
+    directory out. Stream batch ids are ≥ 0, so no batch can ever
+    write the reserved `batch_id=-1` snapshot partition."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         (
-            latest_per_user(batch_df)
+            _latest_winners(batch_df)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
@@ -112,63 +154,137 @@ def start_upsert_stream(
     )
 
 
-def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The queryable latest-state table: re-reduce the per-batch winner
-    rows by the same (ts, event_id) total order. Because that order is
-    global, the result equals `latest_per_user` over the union of all
-    raw events, however they were batched."""
+def _read_winners(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Re-reduce the per-batch winner rows by the same full-precision
+    (last_ts, last_event_id) total order the batches were reduced
+    with. Because that order is global, the result equals
+    `_latest_winners` over the union of all raw events, however they
+    were batched. Reads the snapshot partition (batch_id=-1) and the
+    live batch partitions uniformly — superseded rows lose the window
+    either way."""
     winners = spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch_id=*")
     )
     w = Window.partitionBy("user_id").orderBy(
-        F.col("last_ts_s").desc_nulls_last(),
+        F.col("last_ts").desc_nulls_last(),
         F.col("last_event_id").desc_nulls_last(),
     )
     return (
         winners.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
-            "user_id", "last_event_id", "last_ts_s", "last_type",
+            "user_id", "last_event_id", "last_ts", "last_type",
             "last_value_c",
         )
     )
 
 
+def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The queryable latest-state table (second-granular output)."""
+    return _project_state(_read_winners(spark, out_dir))
+
+
+def _fs_ops(spark: SparkSession, base: str):
+    """Hadoop FileSystem handle + Path class for `base`'s scheme, so
+    the compaction's directory surgery works on whatever filesystem
+    the state table lives on (local, HDFS, or an object store with an
+    HCFS connector), not just local POSIX."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def compact_upsert_state(spark: SparkSession, out_dir: str) -> int:
     """Offline compaction: fold every `batch_id=<id>` partition into
-    the HIGHEST existing batch id's directory (so a restarted stream's
-    next batch id never collides with the snapshot) and remove the
-    older partitions. The fold is the same `read_upsert_state`
-    reduction, so the state read back is unchanged by construction —
-    only the file/listing count shrinks (the state view's glob cost
-    grows with batches between compactions). Crash-safety matches the
-    sink's own contract: the snapshot overwrite of `batch_id=<max>` is
-    the commit point; a crash before the old-partition removals leaves
-    extra SUPERSEDED winner rows that the state view's re-reduction
-    makes harmless (every surviving key's global winner is already in
-    the snapshot), and re-running compaction completes the removal.
-    Returns the number of batch partitions removed."""
-    import shutil
+    the RESERVED snapshot partition `batch_id=-1` and remove the
+    superseded partitions. Stream batch ids are ≥ 0 and only grow, so
+    a crash-replayed micro-batch overwrites only its own directory —
+    never the snapshot (replaying after compaction just re-adds rows
+    the snapshot already supersedes, which the state view's
+    re-reduction makes harmless). The fold is the same full-precision
+    reduction the state view runs, so the state read back is unchanged
+    by construction — only the file/listing count shrinks.
+
+    Crash-safe commit protocol (every intermediate state is
+    recoverable, and the union of live partitions + staging + aside
+    always contains every winner):
+
+      1. write the snapshot to `_compact_staging` (Spark emits
+         `_SUCCESS` on completion — an incomplete staging is
+         detectable and discarded);
+      2. rename any existing `batch_id=-1` aside to `_compact_aside`
+         (its rows are still part of the staged snapshot; nothing is
+         deleted yet);
+      3. rename staging → `batch_id=-1` (the commit point);
+      4. delete the aside copy and the superseded `batch_id=<n≥0>`
+         partitions last.
+
+    On entry the function first REPAIRS any crash residue: a complete
+    staging with the old snapshot aside is promoted (never recomputed
+    — recomputing after the old snapshot left the `batch_id=*` glob
+    would silently drop its winners); an incomplete staging is rolled
+    back (aside restored, staging discarded). Directory operations go
+    through the Hadoop FileSystem API, so this works wherever the
+    state table lives; note that HDFS/POSIX rename is atomic while
+    object-store rename is copy+delete — on an object store, prefer a
+    table format (Delta/Iceberg) whose MERGE/compaction is
+    transactional, as the module docstring notes.
+
+    Returns the number of superseded batch partitions removed."""
+    fs, hpath = _fs_ops(spark, out_dir)
+
+    staged = os.path.join(out_dir, _STAGING)
+    aside = os.path.join(out_dir, _ASIDE)
+    final = os.path.join(out_dir, _SNAPSHOT_PART)
+    staged_ok = fs.exists(hpath(os.path.join(staged, "_SUCCESS")))
+
+    # --- crash repair (see protocol above) ---
+    if fs.exists(hpath(aside)):
+        if staged_ok and not fs.exists(hpath(final)):
+            # died between steps 2 and 3: promote the complete staging
+            if not fs.rename(hpath(staged), hpath(final)):
+                raise IOError(f"rename {staged} -> {final} failed")
+            staged_ok = False
+        elif not fs.exists(hpath(final)):
+            # staging incomplete and snapshot moved aside: roll back
+            if not fs.rename(hpath(aside), hpath(final)):
+                raise IOError(f"rename {aside} -> {final} failed")
+        # died between steps 3 and 4 (final + aside both present):
+        # the commit landed; just finish the cleanup below.
+        fs.delete(hpath(aside), True)
+    if fs.exists(hpath(staged)):
+        # leftover staging with no aside: nothing was deleted or moved
+        # yet, so recomputing from the live partitions is safe.
+        fs.delete(hpath(staged), True)
 
     parts = sorted(
-        d for d in os.listdir(out_dir) if d.startswith("batch_id=")
+        st.getPath().getName()
+        for st in fs.listStatus(hpath(out_dir))
+        if st.getPath().getName().startswith("batch_id=")
     )
-    if len(parts) <= 1:
+    superseded = [p for p in parts if p != _SNAPSHOT_PART]
+    if not superseded:
         return 0
-    max_part = max(parts, key=lambda d: int(d.split("=", 1)[1]))
-    snapshot = read_upsert_state(spark, out_dir)
-    staged = os.path.join(out_dir, "_compact_staging")
-    snapshot.write.mode("overwrite").parquet(staged)
-    # commit: the snapshot replaces the highest partition, then the
-    # superseded partitions drop
-    final = os.path.join(out_dir, max_part)
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(staged, final)
+
+    # step 1: stage the folded snapshot (full-precision schema, same
+    # as the batch partitions, so future re-reductions keep ordering
+    # on the raw ts)
+    _read_winners(spark, out_dir).write.mode("overwrite").parquet(staged)
+    # step 2: move the old snapshot aside (delete nothing yet)
+    if fs.exists(hpath(final)):
+        if not fs.rename(hpath(final), hpath(aside)):
+            raise IOError(f"rename {final} -> {aside} failed")
+    # step 3: commit
+    if not fs.rename(hpath(staged), hpath(final)):
+        raise IOError(f"rename {staged} -> {final} failed")
+    # step 4: cleanup, strictly last
+    if fs.exists(hpath(aside)):
+        fs.delete(hpath(aside), True)
     removed = 0
-    for d in parts:
-        if d != max_part:
-            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
-            removed += 1
+    for p in superseded:
+        fs.delete(hpath(os.path.join(out_dir, p)), True)
+        removed += 1
     return removed
 
 

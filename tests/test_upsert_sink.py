@@ -134,13 +134,157 @@ def test_compaction_preserves_state_and_drops_partitions(
     before = _state_rows(spark, dirs["out"])
     assert len(os.listdir(dirs["out"])) >= 4
     removed = compact_upsert_state(spark, dirs["out"])
-    assert removed == 3
+    assert removed == 4
     assert _state_rows(spark, dirs["out"]) == before
     parts = [d for d in os.listdir(dirs["out"])
              if d.startswith("batch_id=")]
-    assert parts == ["batch_id=3"]  # highest id keeps the snapshot
+    # the snapshot lives in the RESERVED partition a stream batch id
+    # (always >= 0) can never collide with
+    assert parts == ["batch_id=-1"]
     assert compact_upsert_state(spark, dirs["out"]) == 0  # idempotent
     assert _state_rows(spark, dirs["out"]) == before
+
+
+def _frame(spark, rows):
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def test_same_second_cross_batch_uses_subsecond_order(spark, dirs):
+    """Two same-user events INSIDE the same wall-clock second, where
+    event_id order disagrees with sub-second ts order, split across
+    batches. The winner must be decided by the FULL-precision ts —
+    a state view that re-reduced on a second-truncated column would
+    tie-break on event_id and elect the wrong row, breaking
+    batching-independence (the fixture ts is sub-second precision, so
+    this is realistic data)."""
+    writer = upsert_batch_writer(dirs["out"])
+    # later sub-second ts but SMALLER event_id
+    writer(_frame(spark, [
+        (1, "2024-01-01 00:00:00.900", 10, "purchase", 9.0, None)
+    ]), 0)
+    # earlier sub-second ts but LARGER event_id, in a later batch
+    writer(_frame(spark, [
+        (2, "2024-01-01 00:00:00.100", 10, "view", 1.0, None)
+    ]), 1)
+    state = {r["user_id"]: r for r in
+             read_upsert_state(spark, dirs["out"]).collect()}
+    assert state[10]["last_event_id"] == 1
+    assert state[10]["last_type"] == "purchase"
+    # and it equals the batch recompute over the union — the
+    # batching-independence invariant itself
+    union = _frame(spark, [
+        (1, "2024-01-01 00:00:00.900", 10, "purchase", 9.0, None),
+        (2, "2024-01-01 00:00:00.100", 10, "view", 1.0, None),
+    ])
+    want = sorted(tuple(r) for r in latest_per_user(union).collect())
+    assert _state_rows(spark, dirs["out"]) == want
+
+
+def test_replay_after_compaction_does_not_clobber_snapshot(spark, dirs):
+    """A crash between the sink write and the checkpoint commit makes
+    the stream REPLAY its last batch id after restart. The compaction
+    snapshot lives in batch_id=-1, which no stream batch id (>= 0) can
+    collide with — so the replay overwrites only its own directory and
+    the compacted state survives intact."""
+    from parallelutilities_jl_spark.streaming.sinks import (
+        compact_upsert_state,
+    )
+
+    writer = upsert_batch_writer(dirs["out"])
+    writer(_frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+        (2, "2024-01-01 00:00:00", 20, "view", 2.0, None),
+    ]), 0)
+    b1_rows = [(3, "2024-01-02 00:00:00", 30, "purchase", 9.0, None)]
+    writer(_frame(spark, b1_rows), 1)
+    assert compact_upsert_state(spark, dirs["out"]) == 2
+    before = _state_rows(spark, dirs["out"])
+    # crash-replay of the LAST batch after the compaction
+    writer(_frame(spark, b1_rows), 1)
+    assert _state_rows(spark, dirs["out"]) == before
+    # and a follow-up compaction folds the replayed partition back in
+    assert compact_upsert_state(spark, dirs["out"]) == 1
+    assert _state_rows(spark, dirs["out"]) == before
+
+
+def test_compaction_crash_recovery_promotes_staging(spark, dirs):
+    """Simulate a crash at the worst point of the commit protocol:
+    the staged snapshot is complete (_SUCCESS) and the old snapshot
+    has been moved aside, but the staging → batch_id=-1 rename never
+    ran. Re-running compaction must PROMOTE the staging copy (not
+    recompute from the remaining partitions, which would silently drop
+    the aside snapshot's winners) and finish the cleanup."""
+    from parallelutilities_jl_spark.streaming.sinks import (
+        _read_winners,
+        compact_upsert_state,
+    )
+
+    writer = upsert_batch_writer(dirs["out"])
+    writer(_frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+    ]), 0)
+    assert compact_upsert_state(spark, dirs["out"]) == 1
+    # key 20 arrives in a later batch; key 10 now lives ONLY in the
+    # batch_id=-1 snapshot
+    writer(_frame(spark, [
+        (2, "2024-01-02 00:00:00", 20, "view", 2.0, None),
+    ]), 1)
+    want = _state_rows(spark, dirs["out"])
+    # hand-build the crash state: complete staging, snapshot aside
+    staged = os.path.join(dirs["out"], "_compact_staging")
+    _read_winners(spark, dirs["out"]).write.mode("overwrite").parquet(
+        staged
+    )
+    os.rename(
+        os.path.join(dirs["out"], "batch_id=-1"),
+        os.path.join(dirs["out"], "_compact_aside"),
+    )
+    # at this instant a naive recompute would only see batch_id=1
+    assert compact_upsert_state(spark, dirs["out"]) == 1
+    assert _state_rows(spark, dirs["out"]) == want
+    assert not os.path.exists(os.path.join(dirs["out"],
+                                           "_compact_aside"))
+    assert not os.path.exists(staged)
+    parts = [d for d in os.listdir(dirs["out"])
+             if d.startswith("batch_id=")]
+    assert parts == ["batch_id=-1"]
+
+
+def test_compaction_crash_recovery_rolls_back_incomplete_staging(
+    spark, dirs
+):
+    """If the crash left an INCOMPLETE staging (no _SUCCESS) with the
+    snapshot moved aside, recovery must restore the aside snapshot and
+    discard the staging — never promote a torn write."""
+    from parallelutilities_jl_spark.streaming.sinks import (
+        compact_upsert_state,
+    )
+
+    writer = upsert_batch_writer(dirs["out"])
+    writer(_frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+    ]), 0)
+    assert compact_upsert_state(spark, dirs["out"]) == 1
+    writer(_frame(spark, [
+        (2, "2024-01-02 00:00:00", 20, "view", 2.0, None),
+    ]), 1)
+    want = _state_rows(spark, dirs["out"])
+    staged = os.path.join(dirs["out"], "_compact_staging")
+    os.makedirs(staged)  # torn write: directory exists, no _SUCCESS
+    os.rename(
+        os.path.join(dirs["out"], "batch_id=-1"),
+        os.path.join(dirs["out"], "_compact_aside"),
+    )
+    assert compact_upsert_state(spark, dirs["out"]) == 1
+    assert _state_rows(spark, dirs["out"]) == want
 
 
 def test_later_batch_with_older_event_does_not_win(spark, dirs):
