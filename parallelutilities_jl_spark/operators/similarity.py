@@ -273,26 +273,95 @@ def _cos_band_entries(emb: Column) -> Column:
     return F.array(*entries)
 
 
+# τ-pushdown pre-quantizer (round-13, mirroring the round-12 exact-
+# integer Jaccard pushdown): each dim drops to the 2^-10 grid,
+# t_j = floor(e_j·2^10), before the verify join. Writing e_j·P = t_j +
+# f_j with f_j ∈ [0,1) and expanding Σ(ta+fa)(tb+fb) gives the EXACT
+# upper bound
+#     P²·Σ ea_j·eb_j  ≤  Σ ta·tb + Σ|ta| + Σ|tb| + 64
+# and the floor-quantized dot the exact filter runs on obeys
+# Dq = Σ floor(ea·eb·S) ≤ S·Σ ea·eb, so
+#     Dq  ≤  S/P² · (Σ ta·tb + l1a + l1b + 64).
+# Everything on the right is int64-exact from per-vector precomputed
+# columns (the 1e-12 slack factors at the comparison absorb the two
+# double roundings in the constant multiply), so pruning on it can
+# NEVER drop a true survivor — candidates failing the bound are
+# discarded on the compact int sketch before the 64-d double arrays
+# are ever joined or the floor-fold evaluated. The l1 slack costs
+# (l1a+l1b+64)/P²/(‖a‖‖b‖) ≈ 0.01 of cosine, so only candidates
+# within ~0.01 of τ survive pruning without surviving the exact
+# filter.
+COS_PRESCALE = 1 << 10
+_PRE_TO_DOT = float(DOT_SCALE) / float(COS_PRESCALE * COS_PRESCALE)
+
+
+def _prequant(emb: Column) -> Column:
+    """array<int> sketch floor(e_j·2^10) — 4 B/dim vs the 8 B/dim
+    double array, and integer products downstream (no floor per
+    element)."""
+    return F.transform(
+        emb,
+        lambda v: F.floor(v * F.lit(float(COS_PRESCALE))).cast("int"),
+    )
+
+
+def _preq_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier of the ANN
     surface): candidate pairs from a banded hyperplane-LSH self-join,
-    then EXACT cosine ≥ τ verified on candidates only.
+    then the exact-integer τ bound pruned on compact int16-grid
+    sketches (see COS_PRESCALE above), then EXACT cosine ≥ τ verified
+    on the pruned survivors only.
 
     This is the 100 TB shape: candidate generation is an equi-join on
     (band, key) — shuffle linear in bucket sizes, with buckets above
     COS_MAX_BUCKET dropped before the join (8-bit keys average N/256
     docs per bucket, so the join is quadratic unbounded without the
-    cap; mirrored in the oracle) — and the O(N²) dot products never
+    cap; mirrored in the oracle) — the τ-pushdown means wall tracks
+    SURVIVORS rather than the candidate fan-out (the random same-
+    bucket pairs that dominate candidates at scale die on the int
+    sketch, ~260 B/side, never touching the 512 B double arrays or
+    the per-element floor fold) — and the O(N²) dot products never
     happen (an earlier all-pairs broadcast nested-loop form was the
     slowest bench query and would be 10,000× the compute at 100× the
     data). `embedding_cosine_exact` below keeps the exact all-pairs
-    semantics on a bounded sample as the recall verifier."""
+    semantics on a bounded sample as the recall verifier; the
+    diversity/QA censuses stay unthresholded by design."""
     from pyspark.sql.window import Window as W
 
-    emb = _emb_double(spark, sf_dir).withColumn("nrm", norm(F.col("emb")))
+    emb = (
+        _emb_double(spark, sf_dir)
+        .withColumn("nrm", norm(F.col("emb")))
+        .withColumn("pq", _prequant(F.col("emb")))
+        .withColumn(
+            "pl1",
+            F.aggregate(
+                F.transform("pq", lambda v: F.abs(v.cast("long"))),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    # band rows CARRY the int sketch (pq, pl1, nrm ≈ 270 B — explode
+    # fan-out is only COS_BANDS×) so the τ bound evaluates INSIDE the
+    # band self-join stage: a pruned pair dies before any exchange —
+    # no pair-level distinct shuffle, no per-pair sketch lookup joins.
+    # At the ×10 stress tier this is the difference between shuffling
+    # the 6.3M-candidate fan-out and shuffling the ~0.1M survivors.
     bands = emb.select(
-        "vec_id", F.explode(_cos_band_entries(F.col("emb"))).alias("e")
-    ).select("vec_id", "e.band", "e.key")
+        "vec_id",
+        "pq",
+        "pl1",
+        "nrm",
+        F.explode(_cos_band_entries(F.col("emb"))).alias("e"),
+    ).select("vec_id", "pq", "pl1", "nrm", "e.band", "e.key")
     # bucket cap rides the same (band, key) shuffle the self-join needs
     bands = (
         bands.withColumn(
@@ -303,18 +372,38 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    # τ-pushdown: exact upper bound on the quantized dot (derivation
+    # at COS_PRESCALE); the 1±1e-12 slack factors absorb double
+    # rounding in the strictly-positive comparison, keeping the bound
+    # one-sided so no true survivor is ever pruned. A pair colliding
+    # in k bands pays k bound evaluations — the price of never
+    # shuffling the non-survivors, and cheap (64 int multiplies on
+    # in-cache arrays, no floor per element).
+    pruned = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(
+            (
+                _preq_dot(F.col("a.pq"), F.col("b.pq"))
+                + F.col("a.pl1")
+                + F.col("b.pl1")
+                + F.lit(64)
+            ).cast("double")
+            * F.lit(_PRE_TO_DOT * (1.0 + 1e-12))
+            >= F.lit(COSINE_DUP_THRESHOLD * (1.0 - 1e-12))
+            * F.col("a.nrm")
+            * F.col("b.nrm")
+        )
         .select(
             F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
         )
         .distinct()
     )
+    # stage 2 — exact verify over pruned survivors only
     ea = emb.select(
         F.col("vec_id").alias("ia"),
         F.col("emb").alias("ea"),
@@ -326,7 +415,7 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     return (
-        cands.join(ea, "ia")
+        pruned.join(ea, "ia")
         .join(eb, "ib")
         .select(
             "ia",
