@@ -175,6 +175,34 @@ SHOWCASE = {
         "then the 7-way offset fan-out and count-distinct run on the "
         "compacted frame — the only data-sized shuffle is the dedup"
     ),
+    "q2_min_cost_supplier": (
+        "min-cost supplier WITHOUT a correlated re-scan: one lineitem "
+        "pass feeds a (part, supplier) min agg, the per-part winner "
+        "falls out of a partkey window over that agg (2 exchanges "
+        "total), every dimension a BroadcastHashJoin, bounded top-100 "
+        "as TakeOrdered — no sort, no cartesian"
+    ),
+    "stream_upsert_state": (
+        "foreachBatch upsert sink's per-batch reduction (batch-parity "
+        "plan): one hash exchange on user_id + per-partition local "
+        "sort for the row_number winner — never a global sort; the "
+        "state view re-reduces the same key at full ts precision, so "
+        "state ≡ batch recompute however the stream was chunked"
+    ),
+    "semantic_dedup_scaled": (
+        "SemDeDup at constant cell size (k grows with N): bounded-"
+        "sample k-means fit, two-level coarse→fine assignment as "
+        "broadcast joins, within-cell pair scoring rides cell-bounded "
+        "SMJs — 3 exchanges, 0 sorts, no corpus-sized re-fit"
+    ),
+    "embedding_cosine_dups": (
+        "banded hyperplane-LSH with the exact-integer τ bound INSIDE "
+        "the band self-join: band rows carry an int16-grid sketch, "
+        "non-survivor candidates die on in-cache integer dots before "
+        "any exchange — no pair-level distinct shuffle of the "
+        "candidate fan-out; the 64-d double arrays join for survivors "
+        "only"
+    ),
 }
 
 HEADER = '''# PLANS — physical plans of flagship queries (sf0.01, local[32])
