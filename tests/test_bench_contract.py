@@ -53,3 +53,40 @@ def test_bench_cli_emits_single_json_line():
     assert detail["median"] == d["queries"]
     assert set(detail["spread"]) == set(d["queries"])
     assert detail["reps"] == 1
+
+
+# --- canary-normalized performance gate (round-12 verdict item 5) ---
+#
+# The rig's wall clocks drift ~15% between boots, so the RAW common-63
+# total can't gate regressions — the canary-normalized total
+# (r06_common_total_norm = raw total * CANARY_REF_SEC / canary_sec)
+# can, with a ±5% band for residual noise. Reference point: round 12's
+# full sf0.1 run, 27.559 s (BENCH_r12.json / BENCH_DETAIL.json at
+# commit 49315f0). PROTOCOL: when a committed full-run BENCH_DETAIL
+# lands with a lower normalized total, move NORM_GATE_REF_SEC down to
+# it (ratchet — never up without a verdict-visible justification in
+# the commit message).
+NORM_GATE_REF_SEC = 27.559
+NORM_GATE_BAND = 1.05
+
+
+def test_canary_normalized_common_total_within_band():
+    """Gate the committed BENCH_DETAIL.json: a full sf0.1 artifact
+    whose canary-normalized common-subset total exceeds the reference
+    by more than the documented ±5% boot band is a real plan
+    regression, not drift — fail the suite instead of spending a
+    triage round (round-11/12 verdict ask)."""
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        d = json.load(f)
+    if d.get("sf") != 0.1 or not d.get("r06_common_total_norm"):
+        pytest.skip(
+            "BENCH_DETAIL.json is not a full sf0.1 run — regenerate "
+            "with `python bench.py` before committing it"
+        )
+    norm = d["r06_common_total_norm"]
+    assert norm <= NORM_GATE_REF_SEC * NORM_GATE_BAND, (
+        f"canary-normalized common-63 total {norm}s exceeds the "
+        f"{NORM_GATE_REF_SEC}s reference by more than the ±5% boot "
+        f"band — a real regression, not boot drift (canary_sec="
+        f"{d.get('canary_sec')}, raw={d.get('r06_common_total')})"
+    )
