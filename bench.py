@@ -144,6 +144,8 @@ LATE_ADDITIONS = [
     # foreachBatch upsert sink's batch-parity reduction
     "q2_min_cost_supplier",
     "stream_upsert_state",
+    # round-13: the dedup-order planner over the containment matrix
+    "dedup_order_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

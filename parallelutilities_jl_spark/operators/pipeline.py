@@ -232,6 +232,15 @@ def q_source_overlap_census(
     shingle, and an S²-row join against per-source totals. No
     corpus×corpus join at any size; every agg is map-side combinable.
     Emits only pairs with n_shared > 0."""
+    pairs, totals = _source_overlap_matrix(spark, sf_dir)
+    return pairs
+
+
+def _source_overlap_matrix(spark: SparkSession, sf_dir: str):
+    """Shared containment-matrix builder for the census and the
+    dedup-order planner: returns (pairs, totals) where pairs is the
+    S²-bounded (src_a, src_b, n_shared, n_src_a, frac_e6) frame and
+    totals the per-source distinct-shingle counts."""
     docs = load_table_parallel(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -274,7 +283,7 @@ def q_source_overlap_census(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return pairs.join(
+    out = pairs.join(
         F.broadcast(totals), pairs.src_a == totals.source
     ).select(
         "src_a",
@@ -282,6 +291,67 @@ def q_source_overlap_census(
         "n_shared",
         "n_src_a",
         F.expr("(n_shared * 1000000) div n_src_a").alias("frac_e6"),
+    )
+    return out, totals
+
+
+def q_dedup_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-order planner over the containment matrix (round-12
+    verdict item 7): the order in which a sequential keep-first dedup
+    pass (Bloom/signature-store ingest, `incremental_dedup` tier)
+    should process sources. Earlier sources KEEP their copy of any
+    duplicated content, so the planner ranks MOST-NOVEL sources first:
+    ascending worst-case containment (the max fraction of the source's
+    shingles found in any single other source), then ascending total
+    containment, then source name — every key exact-integer, so both
+    engines produce the identical permutation.
+
+    Scale shape: the corpus-sized work is exactly the census's (one
+    fixed-width distinct + S-bounded collect_set); everything the
+    planner adds — the per-source argmax via a window over the S²-row
+    matrix, the zero-fill join for fully-novel sources, the S-row
+    ranking window — is bounded by the config-sized source count, not
+    the corpus."""
+    from pyspark.sql.window import Window as W
+
+    pairs, totals = _source_overlap_matrix(spark, sf_dir)
+    w_top = W.partitionBy("src_a").orderBy(
+        F.col("frac_e6").desc(), F.col("src_b").asc()
+    )
+    per_src = (
+        pairs.withColumn("rn", F.row_number().over(w_top))
+        .groupBy("src_a")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("src_b"))).alias(
+                "top_overlap_src"
+            ),
+            F.max("frac_e6").alias("top_containment_e6"),
+            F.sum("frac_e6").alias("sum_containment_e6"),
+        )
+    )
+    full = (
+        totals.join(
+            per_src, totals.source == per_src.src_a, "left"
+        )
+        .select(
+            F.col("source").alias("src"),
+            F.col("n_src_a").alias("n_shingles"),
+            "top_overlap_src",
+            F.coalesce("top_containment_e6", F.lit(0)).alias(
+                "top_containment_e6"
+            ),
+            F.coalesce("sum_containment_e6", F.lit(0)).alias(
+                "sum_containment_e6"
+            ),
+        )
+    )
+    w_rank = W.orderBy(
+        F.col("top_containment_e6").asc(),
+        F.col("sum_containment_e6").asc(),
+        F.col("src").asc(),
+    )
+    return full.withColumn(
+        "dedup_rank", F.row_number().over(w_rank).cast("long")
     )
 
 
@@ -300,6 +370,40 @@ ov AS (SELECT a.source AS src_a, b.source AS src_b,
 SELECT src_a, src_b, n_shared, t.n AS n_src_a,
        (n_shared * 1000000) // t.n AS frac_e6
 FROM ov JOIN tot t ON t.source = ov.src_a
+"""
+
+
+ORACLE_DEDUP_ORDER = f"""
+WITH w AS (SELECT source, {_DD_WS} AS ws FROM documents
+           WHERE text IS NOT NULL),
+sh AS (SELECT DISTINCT source, md5(s) AS h
+       FROM (SELECT source,
+                    UNNEST({TH.dd_shingles('ws', _CONTAM_K)}) AS s
+             FROM w WHERE len(ws) >= {_CONTAM_K})),
+tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+ov AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+       GROUP BY 1, 2),
+mat AS (SELECT src_a, src_b,
+               (n_shared * 1000000) // t.n AS frac_e6
+        FROM ov JOIN tot t ON t.source = ov.src_a),
+per AS (SELECT src_a,
+               MAX(CASE WHEN rn = 1 THEN src_b END) AS top_overlap_src,
+               MAX(frac_e6) AS top_containment_e6,
+               CAST(SUM(frac_e6) AS BIGINT) AS sum_containment_e6
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src_a
+                ORDER BY frac_e6 DESC, src_b ASC) AS rn FROM mat)
+        GROUP BY src_a)
+SELECT t.source AS src, t.n AS n_shingles, p.top_overlap_src,
+       COALESCE(p.top_containment_e6, 0) AS top_containment_e6,
+       COALESCE(p.sum_containment_e6, 0) AS sum_containment_e6,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY COALESCE(p.top_containment_e6, 0) ASC,
+                    COALESCE(p.sum_containment_e6, 0) ASC,
+                    t.source ASC) AS BIGINT) AS dedup_rank
+FROM tot t LEFT JOIN per p ON p.src_a = t.source
 """
 
 
@@ -1885,6 +1989,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "contamination_check": q_contamination_check,
     "source_overlap_census": q_source_overlap_census,
+    "dedup_order_plan": q_dedup_order_plan,
     "corpus_filter_pipeline": q_filter_pipeline,
     "stratified_sample": q_stratified_sample,
     "substring_dup_spans": q_substring_dup_spans,
@@ -1916,6 +2021,7 @@ ORACLES = {
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "contamination_check": ORACLE_CONTAMINATION,
     "source_overlap_census": ORACLE_SOURCE_OVERLAP,
+    "dedup_order_plan": ORACLE_DEDUP_ORDER,
     "mixture_epochs_plan": ORACLE_MIXTURE_EPOCHS,
     "corpus_filter_pipeline": ORACLE_FILTER_PIPELINE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
