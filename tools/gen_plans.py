@@ -203,6 +203,13 @@ SHOWCASE = {
         "candidate fan-out; the 64-d double arrays join for survivors "
         "only"
     ),
+    "dedup_order_plan": (
+        "keep-first dedup ordering from the containment matrix: the "
+        "corpus-sized work is the census's fixed-width distinct + "
+        "S-bounded collect_set; the argmax window rides the S²-row "
+        "matrix and the rank window S rows — exact-integer keys, so "
+        "the permutation is engine-independent"
+    ),
 }
 
 HEADER = '''# PLANS — physical plans of flagship queries (sf0.01, local[32])
