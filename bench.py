@@ -159,6 +159,12 @@ HEADLINE = HEADLINE + LATE_ADDITIONS
 # reference value is the round-11 boot's median; a normalized trend
 # that moves while the raw trend is flat (or vice versa) is the boot
 # band, not a plan change — no more idle-box re-runs to triage drift.
+# Round-13 three-run evidence sharpened this: the scan-shaped canary
+# can move 1.5x across boots while the suite moves ~1.06x the other
+# way (overhead-bound sub-second heads slow down as scan-heavy heads
+# speed up), so the executable gate (tests/test_bench_contract.py)
+# flags a regression only when RAW and NORMALIZED both exceed their
+# +5% bands — single-scalar normalization alone amplifies the band.
 CANARY_REF_SEC = 0.373
 
 
