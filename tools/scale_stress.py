@@ -58,6 +58,11 @@ QUERIES = (
     # (part, supplier) key space, so the ps min agg input grows 10x
     # while its output (and the query result) is bit-identical
     "q2_min_cost_supplier",
+    # round-13: the containment census + dedup-order planner — 10x
+    # documents over an unchanged source set, so the corpus-sized
+    # distinct grows 10x while the S²/S-bounded tails are unchanged
+    "source_overlap_census",
+    "dedup_order_plan",
     # round-6 second continuation: pair fan-out (skipgram), vocab-level
     # join (should be near-FLAT — the vocab doesn't grow with shards),
     # the join-free diversity identity, the wedge-join triangle census
