@@ -315,3 +315,28 @@ def test_later_batch_with_older_event_does_not_win(spark, dirs):
              read_upsert_state(spark, dirs["out"]).collect()}
     assert state[10]["last_event_id"] == 5
     assert state[10]["last_type"] == "purchase"
+
+
+def test_compaction_works_on_scheme_qualified_uris(spark, dirs):
+    """The compaction's directory surgery goes through the Hadoop
+    FileSystem API resolved from the path's scheme — pin that it works
+    on a scheme-qualified URI (file://...), not just bare POSIX paths,
+    since on a cluster the state table lives behind an HCFS scheme."""
+    from parallelutilities_jl_spark.streaming.sinks import (
+        compact_upsert_state,
+    )
+
+    out = "file://" + dirs["out"]
+    writer = upsert_batch_writer(out)
+    writer(_frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+    ]), 0)
+    writer(_frame(spark, [
+        (2, "2024-01-02 00:00:00", 20, "view", 2.0, None),
+    ]), 1)
+    before = _state_rows(spark, out)
+    assert compact_upsert_state(spark, out) == 2
+    assert _state_rows(spark, out) == before
+    parts = [d for d in os.listdir(dirs["out"])
+             if d.startswith("batch_id=")]
+    assert parts == ["batch_id=-1"]
