@@ -84,11 +84,11 @@ def test_no_scale_antipatterns_in_any_plan(spark, sf_dir):
     eager = []
     for name in sorted(qs):
         try:
-            plan = (
-                qs[name](spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
+            df = qs[name](spark, sf_dir)
+            # formatted details: audit_plan counts each node id once
+            # (the simple tree reprints cached subtrees per consumer)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
             )
         except Exception:
             eager.append(name)
