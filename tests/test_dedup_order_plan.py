@@ -75,3 +75,27 @@ def test_rank_is_a_permutation_and_ties_break_by_name(spark, tmp_path):
     )
     assert [r["dedup_rank"] for r in got] == [1, 2]
     assert [r["src"] for r in got] == ["src_x", "src_y"]
+
+
+def test_results_identical_across_cache_states(spark, sf_dir):
+    """The shared shingle frame is cache()d for its multi-consumer
+    reuse; results must be identical whether served from a fresh
+    build, the resident cache, or after an explicit clearCache —
+    the same hygiene the fit caches pin bit-identically."""
+    from parallelutilities_jl_spark.operators.pipeline import (
+        q_dedup_order_plan,
+        q_source_overlap_census,
+    )
+
+    def rows(fn):
+        return sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+
+    spark.catalog.clearCache()
+    cold_p, cold_c = rows(q_dedup_order_plan), rows(
+        q_source_overlap_census
+    )
+    warm_p = rows(q_dedup_order_plan)  # rides the resident cache
+    spark.catalog.clearCache()
+    again_p = rows(q_dedup_order_plan)
+    assert cold_p == warm_p == again_p and len(cold_p) > 0
+    assert len(cold_c) > 0
