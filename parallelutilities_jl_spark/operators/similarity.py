@@ -278,10 +278,10 @@ def _cos_band_entries(emb: Column) -> Column:
 # t_j = floor(e_j·2^10), before the verify join. Writing e_j·P = t_j +
 # f_j with f_j ∈ [0,1) and expanding Σ(ta+fa)(tb+fb) gives the EXACT
 # upper bound
-#     P²·Σ ea_j·eb_j  ≤  Σ ta·tb + Σ|ta| + Σ|tb| + 64
+#     P²·Σ ea_j·eb_j  ≤  Σ ta·tb + Σ|ta| + Σ|tb| + D
 # and the floor-quantized dot the exact filter runs on obeys
 # Dq = Σ floor(ea·eb·S) ≤ S·Σ ea·eb, so
-#     Dq  ≤  S/P² · (Σ ta·tb + l1a + l1b + 64).
+#     Dq  ≤  S/P² · (Σ ta·tb + l1a + l1b + D)   (D = dim).
 # Everything on the right is int64-exact from per-vector precomputed
 # columns (the 1e-12 slack factors at the comparison absorb the two
 # double roundings in the constant multiply), so pruning on it can
@@ -391,7 +391,10 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _preq_dot(F.col("a.pq"), F.col("b.pq"))
                 + F.col("a.pl1")
                 + F.col("b.pl1")
-                + F.lit(64)
+                # Σ fa·fb < D — derived from the sketch length, not a
+                # hardcoded 64, so the bound stays exact if the
+                # embedding dimension ever changes
+                + F.size(F.col("a.pq")).cast("long")
             ).cast("double")
             * F.lit(_PRE_TO_DOT * (1.0 + 1e-12))
             >= F.lit(COSINE_DUP_THRESHOLD * (1.0 - 1e-12))

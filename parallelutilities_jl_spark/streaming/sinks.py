@@ -161,10 +161,35 @@ def _read_winners(spark: SparkSession, out_dir: str) -> DataFrame:
     `_latest_winners` over the union of all raw events, however they
     were batched. Reads the snapshot partition (batch_id=-1) and the
     live batch partitions uniformly — superseded rows lose the window
-    either way."""
+    either way.
+
+    Fails LOUDLY instead of serving silently-wrong state in two
+    detectable situations: (a) a compaction crashed mid-commit and
+    left `_compact_aside` (the old snapshot's winners are not under
+    the batch_id=* glob until `compact_upsert_state` repairs the
+    directory); (b) the directory holds pre-full-precision partitions
+    (no `last_ts` column — written before the round-13 schema), whose
+    rows would otherwise read as NULL last_ts and lose every window to
+    any new-schema row."""
+    fs, hpath = _fs_ops(spark, out_dir)
+    if fs.exists(hpath(os.path.join(out_dir, _ASIDE))):
+        raise RuntimeError(
+            f"{out_dir} has a torn compaction ({_ASIDE} present): the "
+            "old snapshot's winners are outside the batch_id=* glob. "
+            "Run compact_upsert_state first — its entry repair "
+            "promotes or rolls back the staged snapshot."
+        )
     winners = spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "batch_id=*")
     )
+    if "last_ts" not in winners.columns:
+        raise RuntimeError(
+            f"{out_dir} holds pre-full-precision batch partitions "
+            "(no last_ts column). Rebuild the state directory by "
+            "replaying the stream (delete state + checkpoint), or "
+            "backfill last_ts from last_ts_s offline — mixing the two "
+            "schemas would silently mis-rank old winners."
+        )
     w = Window.partitionBy("user_id").orderBy(
         F.col("last_ts").desc_nulls_last(),
         F.col("last_event_id").desc_nulls_last(),

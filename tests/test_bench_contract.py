@@ -74,13 +74,17 @@ def test_bench_cli_emits_single_json_line():
 # plan change". The executable form of that policy: flag a regression
 # only when BOTH signals exceed their +5% bands — a real plan
 # regression inflates raw and normalized together; disagreement is the
-# boot band. References: round 12's full sf0.1 run (BENCH_r12.json /
-# BENCH_DETAIL.json at commit 49315f0). PROTOCOL: when a committed
-# full-run BENCH_DETAIL lands with lower totals, move the references
-# down (ratchet — never up without a verdict-visible justification in
-# the commit message).
-RAW_GATE_REF_SEC = 36.499
-NORM_GATE_REF_SEC = 27.559
+# boot band. PROTOCOL: the references are the LAST ACCEPTED full-run
+# BENCH_DETAIL's own (raw, norm) pair — update BOTH in the same commit
+# that lands a new artifact, ratcheting raw down whenever it improves;
+# a raw increase (or any norm movement, which is boot-coupled by
+# construction) needs a one-line justification in that commit message.
+# Current reference: the round-13 full run (raw 34.309 — DOWN from
+# r12's 36.499; norm 38.78 — up from r12's 27.559 only because this
+# boot's canary ran 1.5x faster while the suite barely moved, the
+# exact three-run divergence documented above).
+RAW_GATE_REF_SEC = 34.309
+NORM_GATE_REF_SEC = 38.78
 GATE_BAND = 1.05
 
 

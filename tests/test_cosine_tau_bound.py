@@ -8,7 +8,7 @@ fixture happens to exercise the losing pair); this pins the invariant
 on randomized + adversarial vectors directly.
 
 Derivation under test (similarity.py COS_PRESCALE):
-    Dq = Σ floor(ea·eb·S)  ≤  S/P² · (Σ ta·tb + l1a + l1b + 64)
+    Dq = Σ floor(ea·eb·S)  ≤  S/P² · (Σ ta·tb + l1a + l1b + D)
 with t = floor(e·P), P = 2^10, S = DOT_SCALE."""
 
 from __future__ import annotations
@@ -78,7 +78,8 @@ def test_bound_dominates_quantized_cosine_everywhere(spark):
     out = df.select(
         "pid",
         (
-            (_preq_dot(qa, qb) + l1(qa) + l1(qb) + F.lit(64)).cast(
+            (_preq_dot(qa, qb) + l1(qa) + l1(qb)
+             + F.size(F.col("ea")).cast("long")).cast(
                 "double"
             )
             * F.lit(_PRE_TO_DOT * (1.0 + 1e-12))

@@ -340,3 +340,53 @@ def test_compaction_works_on_scheme_qualified_uris(spark, dirs):
     parts = [d for d in os.listdir(dirs["out"])
              if d.startswith("batch_id=")]
     assert parts == ["batch_id=-1"]
+
+
+def test_read_fails_loudly_during_torn_compaction_window(spark, dirs):
+    """Between the snapshot-aside rename and the staging promotion,
+    batch_id=* is missing the old snapshot's winners — the read path
+    must refuse to serve that silently-partial state and point at the
+    compaction repair."""
+    from parallelutilities_jl_spark.streaming.sinks import (
+        compact_upsert_state,
+    )
+
+    writer = upsert_batch_writer(dirs["out"])
+    writer(_frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+    ]), 0)
+    assert compact_upsert_state(spark, dirs["out"]) == 1
+    writer(_frame(spark, [
+        (2, "2024-01-02 00:00:00", 20, "view", 2.0, None),
+    ]), 1)
+    want = _state_rows(spark, dirs["out"])
+    os.rename(
+        os.path.join(dirs["out"], "batch_id=-1"),
+        os.path.join(dirs["out"], "_compact_aside"),
+    )
+    with pytest.raises(RuntimeError, match="torn compaction"):
+        read_upsert_state(spark, dirs["out"]).collect()
+    # the repair restores readability (rolls the aside back)
+    compact_upsert_state(spark, dirs["out"])
+    assert _state_rows(spark, dirs["out"]) == want
+
+
+def test_read_fails_loudly_on_pre_full_precision_schema(spark, dirs):
+    """A state directory written by the pre-round-13 sink (second-
+    granular last_ts_s, no last_ts) must be rejected, not silently
+    mis-ranked (its rows would read as NULL last_ts and lose every
+    window to any new-schema row)."""
+    old = _frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+    ]).selectExpr(
+        "user_id",
+        "event_id AS last_event_id",
+        "unix_timestamp(ts) AS last_ts_s",
+        "event_type AS last_type",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS last_value_c",
+    )
+    old.write.mode("overwrite").parquet(
+        os.path.join(dirs["out"], "batch_id=0")
+    )
+    with pytest.raises(RuntimeError, match="pre-full-precision"):
+        read_upsert_state(spark, dirs["out"]).collect()

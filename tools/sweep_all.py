@@ -40,6 +40,11 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # same per-query isolation as bench.py/scale_stress.py: a
+        # resident-index query (ann_int8, the census's shared shingle
+        # frame) must not hold its cache over the remaining registry —
+        # the per-query secs land in SWEEP_LOCAL.json as evidence
+        spark.catalog.clearCache()
         sql = oracles.get(name)
         if name in SF_PINNED_ORACLES and "sf0.01" not in SF_DIR:
             sql = None
