@@ -79,12 +79,13 @@ def test_bench_cli_emits_single_json_line():
 # that lands a new artifact, ratcheting raw down whenever it improves;
 # a raw increase (or any norm movement, which is boot-coupled by
 # construction) needs a one-line justification in that commit message.
-# Current reference: the round-13 full run (raw 34.309 — DOWN from
-# r12's 36.499; norm 38.78 — up from r12's 27.559 only because this
-# boot's canary ran 1.5x faster while the suite barely moved, the
-# exact three-run divergence documented above).
-RAW_GATE_REF_SEC = 34.309
-NORM_GATE_REF_SEC = 38.78
+# Current reference: the round-13 closing full run (raw 32.999 — DOWN
+# from r12's 36.499 via the cosine τ-pushdown and the shared census
+# cache; norm 37.412 — above r12's 27.559 only because this boot's
+# canary ran 1.5x faster while the suite barely moved, the exact
+# three-run divergence documented above).
+RAW_GATE_REF_SEC = 32.999
+NORM_GATE_REF_SEC = 37.412
 GATE_BAND = 1.05
 
 
