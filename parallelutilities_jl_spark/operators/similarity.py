@@ -288,7 +288,7 @@ def _cos_band_entries(emb: Column) -> Column:
 # NEVER drop a true survivor — candidates failing the bound are
 # discarded on the compact int sketch before the 64-d double arrays
 # are ever joined or the floor-fold evaluated. The l1 slack costs
-# (l1a+l1b+64)/P²/(‖a‖‖b‖) ≈ 0.01 of cosine, so only candidates
+# (l1a+l1b+D)/P²/(‖a‖‖b‖) ≈ 0.01 of cosine, so only candidates
 # within ~0.01 of τ survive pruning without surviving the exact
 # filter.
 COS_PRESCALE = 1 << 10

@@ -164,31 +164,42 @@ def _read_winners(spark: SparkSession, out_dir: str) -> DataFrame:
     either way.
 
     Fails LOUDLY instead of serving silently-wrong state in two
-    detectable situations: (a) a compaction crashed mid-commit and
-    left `_compact_aside` (the old snapshot's winners are not under
-    the batch_id=* glob until `compact_upsert_state` repairs the
-    directory); (b) the directory holds pre-full-precision partitions
-    (no `last_ts` column — written before the round-13 schema), whose
-    rows would otherwise read as NULL last_ts and lose every window to
-    any new-schema row."""
+    detectable situations: (a) a compaction crashed BEFORE its commit
+    point and left the old snapshot in `_compact_aside` with no
+    `batch_id=-1` (those winners are not under the batch_id=* glob
+    until `compact_upsert_state` repairs the directory — aside
+    alongside a present snapshot is the harmless post-commit cleanup
+    window and reads fine); (b) the directory holds any
+    pre-full-precision partition (a persisted `last_ts_s` column, or
+    no `last_ts` at all — the pre-round-13 schema), whose rows would
+    otherwise read as NULL last_ts and lose every window to any
+    new-schema row. The mergeSchema read is what makes (b) detection
+    deterministic on MIXED directories — single-file inference would
+    see whichever schema Spark samples."""
     fs, hpath = _fs_ops(spark, out_dir)
-    if fs.exists(hpath(os.path.join(out_dir, _ASIDE))):
+    if fs.exists(hpath(os.path.join(out_dir, _ASIDE))) and not fs.exists(
+        hpath(os.path.join(out_dir, _SNAPSHOT_PART))
+    ):
         raise RuntimeError(
-            f"{out_dir} has a torn compaction ({_ASIDE} present): the "
-            "old snapshot's winners are outside the batch_id=* glob. "
-            "Run compact_upsert_state first — its entry repair "
-            "promotes or rolls back the staged snapshot."
+            f"{out_dir} has a torn compaction ({_ASIDE} present, no "
+            f"{_SNAPSHOT_PART}): the old snapshot's winners are "
+            "outside the batch_id=* glob. Run compact_upsert_state "
+            "first — its entry repair promotes or rolls back the "
+            "staged snapshot."
         )
-    winners = spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "batch_id=*")
+    winners = (
+        spark.read.option("basePath", out_dir)
+        .option("mergeSchema", "true")
+        .parquet(os.path.join(out_dir, "batch_id=*"))
     )
-    if "last_ts" not in winners.columns:
+    if "last_ts" not in winners.columns or "last_ts_s" in winners.columns:
         raise RuntimeError(
             f"{out_dir} holds pre-full-precision batch partitions "
-            "(no last_ts column). Rebuild the state directory by "
-            "replaying the stream (delete state + checkpoint), or "
-            "backfill last_ts from last_ts_s offline — mixing the two "
-            "schemas would silently mis-rank old winners."
+            "(persisted last_ts_s / missing last_ts). Rebuild the "
+            "state directory by replaying the stream (delete state + "
+            "checkpoint), or backfill last_ts from last_ts_s offline "
+            "— mixing the two schemas would silently mis-rank old "
+            "winners."
         )
     w = Window.partitionBy("user_id").orderBy(
         F.col("last_ts").desc_nulls_last(),

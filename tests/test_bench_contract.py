@@ -74,18 +74,21 @@ def test_bench_cli_emits_single_json_line():
 # plan change". The executable form of that policy: flag a regression
 # only when BOTH signals exceed their +5% bands — a real plan
 # regression inflates raw and normalized together; disagreement is the
-# boot band. PROTOCOL: the references are the LAST ACCEPTED full-run
-# BENCH_DETAIL's own (raw, norm) pair — update BOTH in the same commit
-# that lands a new artifact, ratcheting raw down whenever it improves;
-# a raw increase (or any norm movement, which is boot-coupled by
-# construction) needs a one-line justification in that commit message.
-# Current reference: the round-13 closing full run (raw 32.999 — DOWN
-# from r12's 36.499 via the cosine τ-pushdown and the shared census
-# cache; norm 37.412 — above r12's 27.559 only because this boot's
-# canary ran 1.5x faster while the suite barely moved, the exact
-# three-run divergence documented above).
+# boot band. PROTOCOL: BOTH references ratchet DOWN ONLY — each is
+# the minimum of its signal over all accepted full-run artifacts, so
+# each signal stays as sharp as the best boot that measured it. On a
+# fast-canary boot the norm signal legitimately sits above its ref
+# (norm_bad true) and the freshly-ratcheted RAW ref is the binding
+# signal; on a slow-canary boot raw floats inside its band and the
+# NORM ref (set on a slow-canary boot) binds. Raising a ref needs a
+# one-line justification in the commit message. Current references:
+# raw 32.999 (round-13 closing run — down from r12's 36.499 via the
+# cosine τ-pushdown and the shared census cache); norm 27.559 (r12's
+# run, still the best-normalized accepted artifact — r13's boot ran
+# the canary 1.5x faster than the suite, so its 37.412 is a worse
+# normalization point, not a regression).
 RAW_GATE_REF_SEC = 32.999
-NORM_GATE_REF_SEC = 37.412
+NORM_GATE_REF_SEC = 27.559
 GATE_BAND = 1.05
 
 

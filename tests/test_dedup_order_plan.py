@@ -94,8 +94,11 @@ def test_results_identical_across_cache_states(spark, sf_dir):
     cold_p, cold_c = rows(q_dedup_order_plan), rows(
         q_source_overlap_census
     )
-    warm_p = rows(q_dedup_order_plan)  # rides the resident cache
+    # both rides of the resident cache
+    warm_p = rows(q_dedup_order_plan)
+    warm_c = rows(q_source_overlap_census)
     spark.catalog.clearCache()
     again_p = rows(q_dedup_order_plan)
+    again_c = rows(q_source_overlap_census)
     assert cold_p == warm_p == again_p and len(cold_p) > 0
-    assert len(cold_c) > 0
+    assert cold_c == warm_c == again_c and len(cold_c) > 0

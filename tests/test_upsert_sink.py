@@ -390,3 +390,61 @@ def test_read_fails_loudly_on_pre_full_precision_schema(spark, dirs):
     )
     with pytest.raises(RuntimeError, match="pre-full-precision"):
         read_upsert_state(spark, dirs["out"]).collect()
+
+
+def test_read_serves_complete_state_post_commit_pre_cleanup(spark, dirs):
+    """Aside present WITH batch_id=-1 present is the harmless
+    post-commit cleanup window: the new snapshot already holds every
+    winner under the glob, so reads must serve complete state, not
+    over-fire the torn-compaction guard."""
+    from parallelutilities_jl_spark.streaming.sinks import (
+        compact_upsert_state,
+    )
+    import shutil
+
+    writer = upsert_batch_writer(dirs["out"])
+    writer(_frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+    ]), 0)
+    assert compact_upsert_state(spark, dirs["out"]) == 1
+    want = _state_rows(spark, dirs["out"])
+    # hand-build the post-commit crash state: snapshot committed, the
+    # aside copy not yet deleted
+    shutil.copytree(
+        os.path.join(dirs["out"], "batch_id=-1"),
+        os.path.join(dirs["out"], "_compact_aside"),
+    )
+    assert _state_rows(spark, dirs["out"]) == want  # no error, complete
+    # and a re-run finishes the cleanup
+    compact_upsert_state(spark, dirs["out"])
+    assert not os.path.exists(
+        os.path.join(dirs["out"], "_compact_aside")
+    )
+    assert _state_rows(spark, dirs["out"]) == want
+
+
+def test_read_rejects_mixed_schema_directories_deterministically(
+    spark, dirs
+):
+    """An old-schema partition MIXED with new-schema ones must be
+    rejected regardless of which file Spark would sample for
+    single-file inference — the mergeSchema read makes the persisted
+    last_ts_s column visible deterministically."""
+    old = _frame(spark, [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+    ]).selectExpr(
+        "user_id",
+        "event_id AS last_event_id",
+        "unix_timestamp(ts) AS last_ts_s",
+        "event_type AS last_type",
+        "CAST(floor(value * 100 + 0.5) AS LONG) AS last_value_c",
+    )
+    old.write.mode("overwrite").parquet(
+        os.path.join(dirs["out"], "batch_id=0")
+    )
+    # a new-schema partition written by the current sink
+    upsert_batch_writer(dirs["out"])(_frame(spark, [
+        (2, "2024-01-02 00:00:00", 20, "view", 2.0, None),
+    ]), 1)
+    with pytest.raises(RuntimeError, match="pre-full-precision"):
+        read_upsert_state(spark, dirs["out"]).collect()
