@@ -146,6 +146,12 @@ LATE_ADDITIONS = [
     "stream_upsert_state",
     # round-13: the dedup-order planner over the containment matrix
     "dedup_order_plan",
+    # round-13 continuation: the three config PLANNERS — per-source
+    # quality cut-off for a keep budget, count-tier vocab sizing, and
+    # the inter-event-gap census behind session-timeout choices
+    "quality_threshold_plan",
+    "vocab_coverage_plan",
+    "session_gap_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -1991,6 +1991,110 @@ FROM fin
 """
 
 
+# Global keep budget for the quality-threshold planner: keep the top
+# 30% of each source by quality score. Exact-integer ceil bound: the
+# n_docs * PPM product stays < 2^63 for any real per-source doc count
+# (< 9.2e12 docs).
+QUALITY_KEEP_PPM = 300_000
+
+
+def q_quality_threshold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold PLANNER that goes with `quality_curriculum`'s
+    scorer: given a global keep budget (top QUALITY_KEEP_PPM of each
+    source by quality score), find the per-source score CUT-OFF a
+    production filter should apply — the number quality-filter configs
+    are written from. Emits, per source: docs seen, the budgeted keep
+    target (exact-integer ceil), the highest score threshold whose
+    keep-count meets the target (ties at the threshold bucket kept
+    inclusively, so n_keep >= target_keep), and the realized keep rate.
+
+    Float-parity policy: the score is `quality_parts` — the exact
+    formula `text_quality_score` already hash-verifies across engines —
+    quantized once onto a milli grid (floor(score*1000), <= 1001
+    buckets); every step after that is int64 arithmetic.
+
+    Scale shape: one corpus scan into a (source x <=1001-bucket)
+    hash-agg histogram (map-side combinable), then windows and the
+    threshold pick run on the S x 1001-row histogram — the per-source
+    window sorts <= 1001 rows regardless of corpus size, and nothing
+    after the first agg touches the corpus."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    _, _, score = quality_parts(F.col("text"))
+    hist = (
+        docs.select(
+            "source",
+            F.floor(score * 1000).cast("long").alias("score_milli"),
+        )
+        .groupBy("source", "score_milli")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    w_desc = (
+        W.partitionBy("source")
+        .orderBy(F.col("score_milli").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "source",
+        "score_milli",
+        F.sum("n_b").over(w_desc).alias("cum"),
+        F.sum("n_b").over(W.partitionBy("source")).alias("n_docs"),
+    )
+    # keep docs with score_milli >= t; the threshold is the HIGHEST t
+    # whose cumulative count meets the budget (the min-score bucket's
+    # cum equals n_docs >= target, so a pick always exists)
+    eligible = cum.filter(
+        F.col("cum")
+        >= F.expr(f"(n_docs * {QUALITY_KEEP_PPM} + 999999) div 1000000")
+    )
+    pick = eligible.groupBy("source").agg(
+        F.max(F.struct("score_milli", "cum", "n_docs")).alias("p")
+    )
+    return pick.select(
+        "source",
+        F.col("p.n_docs").alias("n_docs"),
+        F.expr(
+            f"(p.n_docs * {QUALITY_KEEP_PPM} + 999999) div 1000000"
+        ).alias("target_keep"),
+        F.col("p.score_milli").alias("threshold_milli"),
+        F.col("p.cum").alias("n_keep"),
+        F.expr("(p.cum * 1000000) div p.n_docs").alias("keep_ppm"),
+    )
+
+
+def _oracle_quality_threshold() -> str:
+    return f"""
+WITH d AS (
+  SELECT source,
+         CAST(FLOOR(({dd_quality_score('text')}) * 1000) AS BIGINT)
+           AS score_milli
+  FROM documents WHERE text IS NOT NULL),
+h AS (SELECT source, score_milli, CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM d GROUP BY 1, 2),
+c AS (SELECT source, score_milli,
+             CAST(SUM(n_b) OVER (
+               PARTITION BY source ORDER BY score_milli DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(n_b) OVER (PARTITION BY source) AS BIGINT)
+               AS n_docs
+      FROM h),
+e AS (SELECT * FROM c
+      WHERE cum >= (n_docs * {QUALITY_KEEP_PPM} + 999999) // 1000000)
+SELECT source,
+       MAX(n_docs) AS n_docs,
+       (MAX(n_docs) * {QUALITY_KEEP_PPM} + 999999) // 1000000
+         AS target_keep,
+       MAX(score_milli) AS threshold_milli,
+       max_by(cum, score_milli) AS n_keep,
+       (max_by(cum, score_milli) * 1000000) // MAX(n_docs) AS keep_ppm
+FROM e GROUP BY source
+"""
+
+
 QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "pii_scrub_stats": q_pii_scrub_stats,
@@ -2014,6 +2118,7 @@ QUERIES = {
     "reservoir_sample_per_key": q_reservoir_sample_per_key,
     "split_drift_psi": q_split_drift_psi,
     "fuzzy_contamination": q_fuzzy_contamination,
+    "quality_threshold_plan": q_quality_threshold_plan,
 }
 
 ORACLES = {
@@ -2039,4 +2144,5 @@ ORACLES = {
     "reservoir_sample_per_key": ORACLE_RESERVOIR_SAMPLE,
     "split_drift_psi": _oracle_split_drift_psi(),
     "fuzzy_contamination": _oracle_fuzzy_contamination(),
+    "quality_threshold_plan": _oracle_quality_threshold(),
 }

@@ -988,6 +988,108 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# Gap-histogram cap for the session-gap planner: one week of minutes.
+# Gaps longer than this are one bucket — they are all "new session"
+# territory, the planner only needs resolution around the knee.
+_GAP_CAP_MIN = 10_080
+_GAP_QUANTILES_PPM = (500_000, 900_000, 950_000, 990_000)
+
+
+def q_session_gap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeout PLANNER that goes with `sessionize_events` /
+    `session_window_agg`: the distribution of per-user inter-event
+    gaps, reduced to the quantiles a session-gap (and streaming
+    watermark) config is chosen from. `sessionize_events` hardcodes
+    30 min; this measures what the corpus actually does and recommends
+    the p95 natural gap — sessions then split only on the tail beyond
+    typical within-session idling.
+
+    Exactness: gaps are whole seconds (Spark `unix_timestamp` diff ==
+    DuckDB `date_diff('second', ...)`, both count second-boundary
+    crossings), bucketed to minutes capped at one week, and each
+    quantile is the smallest bucket whose cumulative count meets the
+    exact-integer ceil target — int64 end-to-end.
+
+    Scale shape: the lag window is user-partitioned (hash exchange +
+    per-user local sort, the sessionize shape); everything after is a
+    <=10081-row histogram — the only unpartitioned window sorts that
+    bounded frame, never the events."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    hist = (
+        events.select(gap_s.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .select(
+            F.least(
+                F.lit(_GAP_CAP_MIN).cast("long"),
+                F.expr("gap_s div 60"),
+            ).alias("gap_min")
+        )
+        .groupBy("gap_min")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    # both windows share the constant partitioning spec, so the
+    # <=10081-row histogram crosses ONE SinglePartition exchange and
+    # both frames evaluate in the same WindowExec
+    w_one = W.partitionBy(F.lit(0))
+    w_asc = w_one.orderBy("gap_min").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = hist.select(
+        "gap_min",
+        F.sum("n_b").over(w_asc).alias("cum"),
+        F.sum("n_b").over(w_one).alias("n_gaps"),
+    )
+
+    def _q(ppm: int) -> Column:
+        tgt = F.expr(f"(n_gaps * {ppm} + 999999) div 1000000")
+        return F.min(F.when(F.col("cum") >= tgt, F.col("gap_min")))
+
+    picks = [
+        _q(ppm).alias(f"p{ppm // 10000}_gap_min")
+        for ppm in _GAP_QUANTILES_PPM
+    ]
+    return c.groupBy().agg(
+        F.max("n_gaps").alias("n_gaps"), *picks
+    ).withColumn(
+        "recommended_timeout_min", F.col("p95_gap_min")
+    )
+
+
+def _oracle_session_gap_plan() -> str:
+    qcols = ", ".join(
+        f"MIN(CASE WHEN cum >= (n_gaps * {ppm} + 999999) // 1000000"
+        f" THEN gap_min END) AS p{ppm // 10000}_gap_min"
+        for ppm in _GAP_QUANTILES_PPM
+    )
+    return f"""
+WITH g AS (
+  SELECT date_diff('second', LAG(ts) OVER w, ts) AS gap_s
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+h AS (
+  SELECT LEAST({_GAP_CAP_MIN}, gap_s // 60) AS gap_min,
+         CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT gap_min,
+         CAST(SUM(n_b) OVER (ORDER BY gap_min
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(n_b) OVER () AS BIGINT) AS n_gaps
+  FROM h)
+SELECT MAX(n_gaps) AS n_gaps, {qcols},
+       MIN(CASE WHEN cum >= (n_gaps * 950000 + 999999) // 1000000
+                THEN gap_min END) AS recommended_timeout_min
+FROM c
+"""
+
+
 def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) of order value per
     status — at scale, swap for percentile_approx with a t-digest."""
@@ -2922,6 +3024,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "sessionize_events": q_sessionize,
+    "session_gap_plan": q_session_gap_plan,
     "percentile_stats": q_percentile_stats,
     "above_segment_avg": q_above_segment_avg,
     "string_agg_nations": q_string_agg,
@@ -3009,6 +3112,7 @@ ORACLES = {
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "session_gap_plan": _oracle_session_gap_plan(),
     "q13_custdist": ORACLE_CUSTDIST,
     "q11_important_parts": ORACLE_IMPORTANT_PARTS,
     "q16_parts_supplier_cnt": ORACLE_PARTS_SUPPLIER_CNT,

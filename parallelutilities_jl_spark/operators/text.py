@@ -1505,6 +1505,147 @@ FROM per
 """
 
 
+# Coverage targets for the vocab planner (ppm of token occurrences a
+# rank-truncated vocabulary must cover). Overflow bound for the exact
+# ceil: total_tokens * ppm < 2^63, i.e. < ~9.7e12 tokens per source.
+COV95_PPM = 950_000
+COV99_PPM = 990_000
+
+
+def q_vocab_coverage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-sizing PLANNER: per source, the smallest
+    frequency-ranked vocabulary covering >=95% / >=99% of token
+    occurrences — the number a vocab-size / OOV-budget decision is made
+    from (`oov_rate_by_source` then audits the chosen vocab).
+
+    The scale trick is the COUNT-TIER histogram: ranking the vocabulary
+    directly is a vocab-sized per-source window sort (billions of rows
+    of hapax legomena at 100 TB). But every word in a tier (same
+    occurrence count c) contributes the same c tokens, so the minimal
+    rank is exact from the tier frame alone: walk tiers in c-desc
+    order, find the tier where the cumulative token count crosses the
+    target, and take full-tier words before it plus ceil((target -
+    tokens_before)/c) words inside it. Distinct counts c1 > c2 > ...
+    sum to <= total, so there are O(sqrt(total_tokens)) tiers — the
+    window after the two hash-aggs sorts a sqrt-sized frame, never the
+    vocabulary.
+
+    Float-parity: pure int64 arithmetic end-to-end (counts, products,
+    one exact-integer ceil per target)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wc = (
+        docs.select(
+            "source", F.explode(TH.words(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tiers = wc.groupBy("source", "n_w").agg(
+        F.count(F.lit(1)).alias("words")
+    ).withColumn("tokens", F.col("n_w") * F.col("words"))
+    w_desc = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_w").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    b = tiers.select(
+        "source",
+        "n_w",
+        "words",
+        "tokens",
+        F.sum("tokens").over(w_desc).alias("cum_t"),
+        F.sum("words").over(w_desc).alias("cum_w"),
+        F.sum("tokens").over(W.partitionBy("source")).alias("total"),
+        F.sum("words").over(W.partitionBy("source")).alias("n_vocab"),
+    ).select(
+        "source",
+        "n_w",
+        "cum_t",
+        "total",
+        "n_vocab",
+        (F.col("cum_w") - F.col("words")).alias("w_before"),
+        (F.col("cum_t") - F.col("tokens")).alias("t_before"),
+    )
+
+    def _pick(ppm: int) -> Column:
+        tgt = F.expr(f"(total * {ppm} + 999999) div 1000000")
+        return F.max(
+            F.when(
+                F.col("cum_t") >= tgt,
+                F.struct("n_w", "w_before", "t_before"),
+            )
+        )
+
+    def _vocab(p: str, ppm: int) -> Column:
+        return F.col(f"{p}.w_before") + F.expr(
+            f"((total_tokens * {ppm} + 999999) div 1000000"
+            f" - {p}.t_before + {p}.n_w - 1) div {p}.n_w"
+        )
+
+    return (
+        b.groupBy("source")
+        .agg(
+            F.max("total").alias("total_tokens"),
+            F.max("n_vocab").alias("distinct_words"),
+            _pick(COV95_PPM).alias("p95"),
+            _pick(COV99_PPM).alias("p99"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "distinct_words",
+            _vocab("p95", COV95_PPM).alias("vocab_p95"),
+            _vocab("p99", COV99_PPM).alias("vocab_p99"),
+        )
+    )
+
+
+def _oracle_vocab_coverage() -> str:
+    wsql = TH.dd_words("text")
+
+    def _vb(ppm: int) -> str:
+        flt = f"FILTER (WHERE cum_t >= (total * {ppm} + 999999) // 1000000)"
+        return (
+            f"max_by(w_before, n_w) {flt}"
+            f" + ((MAX(total) * {ppm} + 999999) // 1000000"
+            f"     - max_by(t_before, n_w) {flt}"
+            f"     + MAX(n_w) {flt} - 1) // MAX(n_w) {flt}"
+        )
+
+    return f"""
+WITH wc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_w
+  FROM (SELECT source, UNNEST({wsql}) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE w <> '' GROUP BY 1, 2),
+t AS (SELECT source, n_w, CAST(COUNT(*) AS BIGINT) AS words,
+             CAST(n_w * COUNT(*) AS BIGINT) AS tokens
+      FROM wc GROUP BY 1, 2),
+c AS (SELECT source, n_w, words, tokens,
+             CAST(SUM(tokens) OVER w1 AS BIGINT) AS cum_t,
+             CAST(SUM(words) OVER w1 AS BIGINT) AS cum_w,
+             CAST(SUM(tokens) OVER (PARTITION BY source) AS BIGINT)
+               AS total,
+             CAST(SUM(words) OVER (PARTITION BY source) AS BIGINT)
+               AS n_vocab
+      FROM t
+      WINDOW w1 AS (PARTITION BY source ORDER BY n_w DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+b AS (SELECT source, n_w, cum_t, total, n_vocab,
+             cum_w - words AS w_before, cum_t - tokens AS t_before
+      FROM c)
+SELECT source, MAX(total) AS total_tokens, MAX(n_vocab) AS distinct_words,
+       {_vb(COV95_PPM)} AS vocab_p95,
+       {_vb(COV99_PPM)} AS vocab_p99
+FROM b GROUP BY source
+"""
+
+
 QUERIES = {
     "ngram_novelty_rate": q_ngram_novelty_rate,
     "token_stats": q_token_stats,
@@ -1526,6 +1667,7 @@ QUERIES = {
     "lang_id_confusion": q_lang_id_confusion,
     "char_class_entropy": q_char_class_entropy,
     "zipf_slope_by_source": q_zipf_slope_by_source,
+    "vocab_coverage_plan": q_vocab_coverage_plan,
 }
 
 ORACLES = _oracles()
@@ -1540,6 +1682,7 @@ ORACLES["oov_rate_by_source"] = _oracle_oov_rate()
 ORACLES["bigram_pmi_top"] = _oracle_bigram_pmi()
 ORACLES["char_class_entropy"] = _oracle_char_entropy()
 ORACLES["zipf_slope_by_source"] = _oracle_zipf_slope()
+ORACLES["vocab_coverage_plan"] = _oracle_vocab_coverage()
 ORACLES["lang_id_confusion"] = f"""
 WITH per AS ({ORACLES["lang_id_ngram"]})
 SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,114 @@
+"""Semantic pins for the three round-13-continuation config planners
+(quality_threshold_plan, vocab_coverage_plan, session_gap_plan) beyond
+the oracle's engine-parity check: on hand-crafted corpora the emitted
+plan values must match the hand-derived configuration intent."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from parallelutilities_jl_spark.operators.pipeline import (
+    QUALITY_KEEP_PPM,
+    q_quality_threshold_plan,
+)
+from parallelutilities_jl_spark.operators.relational import (
+    q_session_gap_plan,
+)
+from parallelutilities_jl_spark.operators.text import (
+    q_vocab_coverage_plan,
+)
+
+assert QUALITY_KEEP_PPM == 300_000  # targets below are derived from 30%
+
+# a doc that maxes the quality score: >=100 words, stopword-heavy, no
+# punctuation -> len_score 1, stop term saturates, punct term 1 ->
+# score 1.0 -> milli bucket 1000
+_HI = "the a of and in " * 20
+# a doc that scores low: one non-stopword word, no punctuation ->
+# 0.5*0.01 + 0 + 0.2 = 0.205 -> milli bucket 205
+_LO = "zzz"
+
+
+def _docs(spark, tmp_path, rows):
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_quality_threshold_meets_budget_and_keeps_ties(spark, tmp_path):
+    rows = []
+    # srcA: 3 high + 7 low, target ceil(0.3*10)=3 -> the high bucket
+    # alone meets the budget: threshold 1000, n_keep 3
+    for i in range(3):
+        rows.append((i, _HI, "en", "srcA", len(_HI)))
+    for i in range(3, 10):
+        rows.append((i, _LO, "en", "srcA", len(_LO)))
+    # srcB: 2 high + 8 low, target 3 -> the high bucket undershoots, so
+    # the threshold falls to the low bucket and ALL its ties are kept
+    for i in range(10, 12):
+        rows.append((i, _HI, "en", "srcB", len(_HI)))
+    for i in range(12, 20):
+        rows.append((i, _LO, "en", "srcB", len(_LO)))
+    sf = _docs(spark, tmp_path, rows)
+    got = {r["source"]: r for r in q_quality_threshold_plan(spark, sf).collect()}
+    a, b = got["srcA"], got["srcB"]
+    assert (a["n_docs"], a["target_keep"]) == (10, 3)
+    assert (a["threshold_milli"], a["n_keep"], a["keep_ppm"]) == (
+        1000, 3, 300_000,
+    )
+    assert (b["n_docs"], b["target_keep"]) == (10, 3)
+    assert (b["threshold_milli"], b["n_keep"], b["keep_ppm"]) == (
+        205, 10, 1_000_000,
+    )
+
+
+def test_vocab_coverage_counts_partial_tier_exactly(spark, tmp_path):
+    # srcT counts: a=40 b=30 c=10 d=10 e=10 (total 100): the p95 target
+    # 95 lands INSIDE the 3-word count-10 tier -> 2 full-tier words +
+    # ceil((95-70)/10)=3 -> vocab 5; p99 the same tier -> 5
+    words = ["a"] * 40 + ["b"] * 30 + ["c"] * 10 + ["d"] * 10 + ["e"] * 10
+    t1 = " ".join(words)
+    # srcU counts: x=50 y=30 z=15 w=4 v=1 (total 100): p95 target 95 is
+    # met exactly at rank 3 (50+30+15); p99 needs w too -> 4
+    t2 = " ".join(["x"] * 50 + ["y"] * 30 + ["z"] * 15 + ["w"] * 4 + ["v"])
+    sf = _docs(
+        spark,
+        tmp_path,
+        [(0, t1, "en", "srcT", len(t1)), (1, t2, "en", "srcU", len(t2))],
+    )
+    got = {r["source"]: r for r in q_vocab_coverage_plan(spark, sf).collect()}
+    t, u = got["srcT"], got["srcU"]
+    assert (t["total_tokens"], t["distinct_words"]) == (100, 5)
+    assert (t["vocab_p95"], t["vocab_p99"]) == (5, 5)
+    assert (u["total_tokens"], u["distinct_words"]) == (100, 5)
+    assert (u["vocab_p95"], u["vocab_p99"]) == (3, 4)
+
+
+def test_session_gap_quantiles_hand_derived(spark, tmp_path):
+    # one user, gaps of [1, 1, 1, 2, 5, 30] minutes: n=6, p50 target 3
+    # -> bucket 1; p90/p95/p99 targets 6 -> bucket 30; the
+    # recommendation is the p95
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    offsets_min = [0, 1, 2, 3, 5, 10, 40]
+    rows = [
+        (i, base + dt.timedelta(minutes=m), 7, "click", 1.0, "{}")
+        for i, m in enumerate(offsets_min)
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    [r] = q_session_gap_plan(spark, str(tmp_path)).collect()
+    assert r["n_gaps"] == 6
+    assert r["p50_gap_min"] == 1
+    assert r["p90_gap_min"] == 30
+    assert r["p95_gap_min"] == 30
+    assert r["p99_gap_min"] == 30
+    assert r["recommended_timeout_min"] == 30
