@@ -125,6 +125,13 @@ QUERIES = (
     # eval bands broadcast; corpus-side bucket cap bounds the join —
     # the x10 corpus multiplies true eval near-copies ~10x
     "fuzzy_contamination",
+    # round-13 continuation planners: quality-threshold and session-gap
+    # are one corpus scan into a bounded histogram (=> ~linear scans,
+    # constant tails); vocab-coverage is the wordcount agg plus the
+    # O(sqrt(tokens)) count-tier frame (=> ~linear in tokens)
+    "quality_threshold_plan",
+    "vocab_coverage_plan",
+    "session_gap_plan",
 )
 
 
