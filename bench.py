@@ -152,6 +152,9 @@ LATE_ADDITIONS = [
     "quality_threshold_plan",
     "vocab_coverage_plan",
     "session_gap_plan",
+    # round-13 continuation: the tau-tuning census (all nine Jaccard
+    # deciles' pair/doc counts in one exact pass)
+    "dedup_threshold_sensitivity",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -685,6 +685,176 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# lowest Jaccard decile the sensitivity census studies — the pushdown
+# floor, so wall tracks pairs >= 0.1, not the raw candidate fan-out
+_SENS_NUM, _SENS_DEN = 1, 10
+
+
+def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The τ-TUNING census for near-dup dedup: for every Jaccard decile
+    τ ∈ {0.1..0.9}, how many pairs a dedup pass at that threshold would
+    merge and how many documents it would touch — the table the
+    JACCARD_THRESHOLD knob is chosen from (each decile row is what
+    `ngram_jaccard_pairs` would emit at that τ, pre-computed in one
+    pass instead of nine).
+
+    Same exact-count machinery as `ngram_jaccard_pairs` (cold-shingle
+    group counts + hot-array remainder, τ-pushdown on scalar columns),
+    with the pushdown at the LOWEST studied decile (1/10) — the census
+    is inherently output-bound at τ=0.1, the honest cost of asking
+    about τ=0.1. Each pair's decile is the exact integer
+    least(9, 10·|A∩B| div |A∪B|) — no float compare at any bucket
+    boundary — and the per-decile totals are cumulative counts over
+    the ≤9-row decile histogram, emitted for all nine τ values via a
+    generator over one aggregated row (no spine join).
+
+    Scale shape: identical to `ngram_jaccard_pairs` until the scored
+    frame; everything after is a ≤9-column aggregate. The doc census
+    explodes each surviving pair to its two endpoints (2× survivors)
+    into a doc-keyed max — bounded by the survivor count."""
+    per = shingle_arrays(spark, sf_dir).select(
+        "doc_id", "shs", F.size("shs").cast("long").alias("n")
+    ).localCheckpoint()
+    sh = per.select("doc_id", F.explode("shs").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    cold_keys = dfreq.filter(F.col("df") <= NGRAM_MAX_DF).select("sh")
+    hot_keys = dfreq.filter(F.col("df") > NGRAM_MAX_DF).select("sh")
+    sh_cold = sh.join(cold_keys, "sh", "left_semi")
+    hot_per_doc = (
+        sh.join(F.broadcast(hot_keys), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("hot_shs"))
+    )
+    sa = sh_cold.alias("sa")
+    sb = sh_cold.alias("sb")
+    pairs = (
+        sa.join(
+            sb,
+            (F.col("sa.sh") == F.col("sb.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni_cold"))
+    )
+    scal = per.select("doc_id", "n")
+    ha = hot_per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("hot_shs").alias("hot_a")
+    )
+    hb = hot_per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("hot_shs").alias("hot_b")
+    )
+    empty = F.array().cast("array<string>")
+    ni = F.col("ni_cold") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("hot_a"), empty),
+            F.coalesce(F.col("hot_b"), empty),
+        )
+    ).cast("long")
+    hcnt = hot_keys.agg(F.count(F.lit(1)).alias("hot_total"))
+    ni_ub = F.least(
+        F.col("ni_cold") + F.col("hot_total"), F.col("na"), F.col("nb")
+    )
+    scored = (
+        pairs.join(
+            scal.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n").alias("na")), "doc_a")
+        .join(
+            scal.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n").alias("nb")), "doc_b")
+        .crossJoin(F.broadcast(hcnt))
+        .filter(
+            (_SENS_DEN + _SENS_NUM) * ni_ub
+            >= _SENS_NUM * (F.col("na") + F.col("nb"))
+        )
+        .join(ha, "doc_a", "left")
+        .join(hb, "doc_b", "left")
+        .withColumn("ni", ni)
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("ni"))
+        .filter(F.col("ni") * _SENS_DEN >= F.col("un") * _SENS_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least(
+                F.lit(9).cast("long"), F.expr("(ni * 10) div un")
+            ).alias("d"),
+        )
+    )
+    doc_max = (
+        scored.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "d"
+        )
+        .groupBy("doc_id")
+        .agg(F.max("d").alias("dmax"))
+    )
+    zero = F.lit(0).cast("long")
+    prow = scored.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("d") >= t).cast("long")), zero
+            ).alias(f"p{t}")
+            for t in range(1, 10)
+        ]
+    )
+    drow = doc_max.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("dmax") >= t).cast("long")), zero
+            ).alias(f"q{t}")
+            for t in range(1, 10)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), p{t}, q{t}" for t in range(1, 10)
+    )
+    return prow.crossJoin(drow).selectExpr(
+        f"stack(9, {stack_args}) AS (tau_e1, n_pairs, n_docs_affected)"
+    )
+
+
+def _oracle_threshold_sensitivity() -> str:
+    return f"""
+WITH {_dd_shingle_cte()},
+cold AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {NGRAM_MAX_DF}),
+shf AS (SELECT sh.* FROM sh JOIN cold USING (sh)),
+cand AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+         FROM shf sa JOIN shf sb
+           ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+         GROUP BY 1, 2),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS ni
+          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+          GROUP BY doc_a, doc_b),
+scored AS (SELECT doc_a, doc_b,
+                  LEAST(CAST(9 AS BIGINT),
+                        (ni * 10) // (x.n + y.n - ni)) AS d
+           FROM inter JOIN sizes x ON x.doc_id = doc_a
+           JOIN sizes y ON y.doc_id = doc_b
+           WHERE ni * {_SENS_DEN} >= (x.n + y.n - ni) * {_SENS_NUM}),
+docmax AS (SELECT doc_id, MAX(d) AS dmax FROM (
+             SELECT doc_a AS doc_id, d FROM scored
+             UNION ALL SELECT doc_b AS doc_id, d FROM scored)
+           GROUP BY doc_id),
+-- <=9-row decile histograms, each referencing its source CTE exactly
+-- once (a correlated COUNT per tau re-evaluates the whole chain)
+ph AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY d),
+dh AS (SELECT dmax AS d, CAST(COUNT(*) AS BIGINT) AS c
+       FROM docmax GROUP BY dmax),
+taus AS (SELECT CAST(tau AS BIGINT) AS tau_e1 FROM range(1, 10) t(tau)),
+np AS (SELECT tau_e1, CAST(COALESCE(SUM(ph.c), 0) AS BIGINT) AS n_pairs
+       FROM taus LEFT JOIN ph ON ph.d >= tau_e1 GROUP BY tau_e1),
+nd AS (SELECT tau_e1,
+              CAST(COALESCE(SUM(dh.c), 0) AS BIGINT) AS n_docs_affected
+       FROM taus LEFT JOIN dh ON dh.d >= tau_e1 GROUP BY tau_e1)
+SELECT np.tau_e1, n_pairs, n_docs_affected FROM np JOIN nd USING (tau_e1)
+"""
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from 48-bit md5 term hashes: bit b of
     the fingerprint is the sign of Σ_tokens (±1 at bit b)."""
@@ -1780,6 +1950,7 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_signature": q_minhash_signature,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_threshold_sensitivity": q_dedup_threshold_sensitivity,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_components": q_dedup_components,
@@ -1788,6 +1959,7 @@ QUERIES = {
 
 ORACLES = _oracles()
 ORACLES["stream_sig_dedup"] = _oracle_stream_sig_dedup()
+ORACLES["dedup_threshold_sensitivity"] = _oracle_threshold_sensitivity()
 ORACLES["dedup_components"] = _oracle_components()
 ORACLES["link_graph_pagerank"] = _oracle_pagerank()
 ORACLES["triangle_count"] = _oracle_triangles()

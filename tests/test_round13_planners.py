@@ -112,3 +112,30 @@ def test_session_gap_quantiles_hand_derived(spark, tmp_path):
     assert r["p95_gap_min"] == 30
     assert r["p99_gap_min"] == 30
     assert r["recommended_timeout_min"] == 30
+
+
+def test_threshold_sensitivity_hand_derived(spark, tmp_path):
+    # 3-shingles: A {123, 234}; B {123, 23x}; C == A.
+    # jac(A,B) = jac(B,C) = 1/3 -> decile 3; jac(A,C) = 1 -> decile 9.
+    # So taus 1-3 see 3 pairs / 3 docs, taus 4-9 see 1 pair / 2 docs.
+    from parallelutilities_jl_spark.operators.dedup import (
+        q_dedup_threshold_sensitivity,
+    )
+
+    a = "w1 w2 w3 w4"
+    b = "w1 w2 w3 x"
+    rows = [
+        (0, a, "en", "src", len(a)),
+        (1, b, "en", "src", len(b)),
+        (2, a, "en", "src", len(a)),
+    ]
+    sf = _docs(spark, tmp_path, rows)
+    got = {
+        r["tau_e1"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in q_dedup_threshold_sensitivity(spark, sf).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for t in (1, 2, 3):
+        assert got[t] == (3, 3)
+    for t in range(4, 10):
+        assert got[t] == (1, 2)

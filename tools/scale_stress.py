@@ -132,6 +132,10 @@ QUERIES = (
     "quality_threshold_plan",
     "vocab_coverage_plan",
     "session_gap_plan",
+    # the tau-tuning census is output-bound at tau=0.1 BY DESIGN (it is
+    # asking about tau=0.1); compare its x10 wall against the x10
+    # survivor growth, like ngram_jaccard_pairs
+    "dedup_threshold_sensitivity",
 )
 
 
