@@ -153,8 +153,10 @@ LATE_ADDITIONS = [
     "vocab_coverage_plan",
     "session_gap_plan",
     # round-13 continuation: the tau-tuning census (all nine Jaccard
-    # deciles' pair/doc counts in one exact pass)
+    # deciles' pair/doc counts in one exact pass) and the LSH band-
+    # geometry cost/recall tradeoff table
     "dedup_threshold_sensitivity",
+    "lsh_banding_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -685,6 +685,108 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# band geometries the LSH-banding planner measures: every way to cut
+# the N_HASHES=16 signature into equal (bands x rows) grids
+_BANDING_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _banding_recall_e6(bands: int, rows: int) -> int:
+    """Analytic LSH detection probability 1-(1-τ^r)^b at the operating
+    threshold τ = JACCARD_THRESHOLD = 3/10, in exact rational
+    arithmetic floored to ppm — a LITERAL in both engines' plans, so
+    cross-engine float parity is a non-issue."""
+    from fractions import Fraction
+
+    t = Fraction(3, 10)
+    return int((1 - (1 - t**rows) ** bands) * 1_000_000)
+
+
+def q_lsh_banding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-GEOMETRY planner behind `minhash_near_dup`'s (bands,
+    rows) choice: for every equal cut of the 16-hash signature, the
+    MEASURED candidate cost on this corpus (bucket count, largest
+    bucket, distinct candidate pairs after the standard bucket cap)
+    next to the ANALYTIC benefit (detection probability at the
+    operating threshold τ=0.3, the AND-OR curve 1-(1-τ^r)^b as an
+    exact ppm literal). More bands → more recall AND more candidates;
+    this emits the actual tradeoff table instead of the folklore.
+
+    Scale shape: the signature frame is computed once (zero-shuffle
+    narrow map, localCheckpoint shared by all four geometries — the
+    explode/groupBy/self-join per config would otherwise recompute the
+    minhash folds 8x); per config it's the same banding explode +
+    (band, key) hash-agg + capped bucket self-join `minhash_near_dup`
+    runs, reduced to a 1-row aggregate — 4 configs, 4 rows out."""
+    sig = minhash_per_doc(spark, sf_dir).localCheckpoint()
+    out = None
+    for bands, rows in _BANDING_CONFIGS:
+        bdf = lsh_bands(sig, bands, rows)
+        bstats = (
+            bdf.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("sz").alias("max_bucket"),
+            )
+        )
+        cstats = candidate_pairs(bdf).agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs")
+        )
+        row = bstats.crossJoin(cstats).select(
+            F.lit(bands).cast("long").alias("bands"),
+            F.lit(rows).cast("long").alias("rows_per_band"),
+            "n_buckets",
+            "max_bucket",
+            "n_candidate_pairs",
+            F.lit(_banding_recall_e6(bands, rows))
+            .cast("long")
+            .alias("est_recall_tau03_e6"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_lsh_banding() -> str:
+    ctes, selects = [], []
+    for bands, rows in _BANDING_CONFIGS:
+        cases = " ".join(
+            f"WHEN {b} THEN md5(concat_ws('|', "
+            + ", ".join(f"h{b * rows + r}" for r in range(rows))
+            + "))"
+            for b in range(bands)
+        )
+        p = f"b{bands}"
+        ctes.append(
+            f"{p} AS (SELECT doc_id, CAST(t.b AS BIGINT) AS band, "
+            f"CASE t.b {cases} END AS key "
+            f"FROM sig, range(0, {bands}) t(b)), "
+            f"{p}s AS (SELECT band, key, COUNT(*) AS sz "
+            f"FROM {p} GROUP BY 1, 2), "
+            f"{p}f AS (SELECT {p}.* FROM {p} JOIN {p}s USING (band, key) "
+            f"WHERE sz <= {MAX_LSH_BUCKET}), "
+            f"{p}c AS (SELECT DISTINCT a.doc_id AS doc_a, "
+            f"b.doc_id AS doc_b FROM {p}f a JOIN {p}f b "
+            f"ON a.band = b.band AND a.key = b.key "
+            f"AND a.doc_id < b.doc_id)"
+        )
+        selects.append(
+            f"SELECT CAST({bands} AS BIGINT) AS bands, "
+            f"CAST({rows} AS BIGINT) AS rows_per_band, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {p}s) AS n_buckets, "
+            f"(SELECT CAST(MAX(sz) AS BIGINT) FROM {p}s) AS max_bucket, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {p}c) "
+            f"AS n_candidate_pairs, "
+            f"CAST({_banding_recall_e6(bands, rows)} AS BIGINT) "
+            f"AS est_recall_tau03_e6"
+        )
+    return (
+        f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, "
+        + ", ".join(ctes)
+        + " "
+        + " UNION ALL ".join(selects)
+    )
+
+
 # lowest Jaccard decile the sensitivity census studies — the pushdown
 # floor, so wall tracks pairs >= 0.1, not the raw candidate fan-out
 _SENS_NUM, _SENS_DEN = 1, 10
@@ -1951,6 +2053,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_threshold_sensitivity": q_dedup_threshold_sensitivity,
+    "lsh_banding_plan": q_lsh_banding_plan,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_components": q_dedup_components,
@@ -1960,6 +2063,7 @@ QUERIES = {
 ORACLES = _oracles()
 ORACLES["stream_sig_dedup"] = _oracle_stream_sig_dedup()
 ORACLES["dedup_threshold_sensitivity"] = _oracle_threshold_sensitivity()
+ORACLES["lsh_banding_plan"] = _oracle_lsh_banding()
 ORACLES["dedup_components"] = _oracle_components()
 ORACLES["link_graph_pagerank"] = _oracle_pagerank()
 ORACLES["triangle_count"] = _oracle_triangles()

@@ -139,3 +139,39 @@ def test_threshold_sensitivity_hand_derived(spark, tmp_path):
         assert got[t] == (3, 3)
     for t in range(4, 10):
         assert got[t] == (1, 2)
+
+
+def test_lsh_banding_plan_monotone_and_exact_recall(spark, tmp_path):
+    # Aligned band grids nest: an 8-row band match implies both its
+    # 4-row halves match, etc. — so the candidate set can only GROW as
+    # the signature is cut into more bands. And two identical docs
+    # share all 16 hashes, so they are a candidate under every cut.
+    from fractions import Fraction
+
+    from parallelutilities_jl_spark.operators.dedup import (
+        _BANDING_CONFIGS,
+        q_lsh_banding_plan,
+    )
+
+    a = "w1 w2 w3 w4 w5 w6"
+    b = "q1 q2 q3 q4 q5 q6"
+    rows = [
+        (0, a, "en", "src", len(a)),
+        (1, a, "en", "src", len(a)),
+        (2, b, "en", "src", len(b)),
+    ]
+    sf = _docs(spark, tmp_path, rows)
+    got = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in q_lsh_banding_plan(spark, sf).collect()
+    }
+    assert set(got) == set(_BANDING_CONFIGS)
+    cands = [got[c]["n_candidate_pairs"] for c in _BANDING_CONFIGS]
+    assert cands == sorted(cands, reverse=True)  # monotone in bands
+    assert all(c >= 1 for c in cands)  # the identical pair, every cut
+    for bands, rows_pb in _BANDING_CONFIGS:
+        t = Fraction(3, 10)
+        want = int((1 - (1 - t**rows_pb) ** bands) * 1_000_000)
+        assert got[(bands, rows_pb)]["est_recall_tau03_e6"] == want
+    assert got[(16, 1)]["est_recall_tau03_e6"] == 996_676
+    assert got[(2, 8)]["est_recall_tau03_e6"] == 131

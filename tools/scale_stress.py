@@ -136,6 +136,10 @@ QUERIES = (
     # asking about tau=0.1); compare its x10 wall against the x10
     # survivor growth, like ngram_jaccard_pairs
     "dedup_threshold_sensitivity",
+    # banding planner: 4x the minhash_near_dup candidate machinery,
+    # each config reduced to a 1-row aggregate — candidate-bound like
+    # its parent, bucket caps bound the hot geometries
+    "lsh_banding_plan",
 )
 
 
