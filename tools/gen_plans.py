@@ -210,6 +210,30 @@ SHOWCASE = {
         "matrix and the rank window S rows — exact-integer keys, so "
         "the permutation is engine-independent"
     ),
+    "quality_threshold_plan": (
+        "config planner shape: one corpus scan into a (source x "
+        "<=1001-bucket) hash-agg histogram, then every window and the "
+        "threshold struct-max ride the bounded frame — the per-source "
+        "sort is <=1001 rows at any corpus size"
+    ),
+    "vocab_coverage_plan": (
+        "the count-tier trick: wordcount hash-agg, then a second "
+        "hash-agg down to O(sqrt tokens) (count, words) tiers — the "
+        "coverage windows sort the sqrt-sized frame, never the "
+        "vocabulary; pure int64 ceil arithmetic end-to-end"
+    ),
+    "dedup_threshold_sensitivity": (
+        "nine Jaccard deciles in one pass: the ngram_jaccard candidate "
+        "subtree with the tau-pushdown at 0.1, then <=9-row decile "
+        "histograms feed a stack() generator — all nine rows from one "
+        "aggregate, no spine join, no second pass over candidates"
+    ),
+    "lsh_banding_plan": (
+        "one localCheckpointed signature frame fans into four band "
+        "geometries, each the minhash_near_dup explode + (band,key) agg "
+        "+ capped bucket self-join reduced to a 1-row aggregate; the "
+        "recall column is a literal (exact-rational ppm, no float)"
+    ),
 }
 
 HEADER = '''# PLANS — physical plans of flagship queries (sf0.01, local[32])
