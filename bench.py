@@ -157,6 +157,9 @@ LATE_ADDITIONS = [
     # geometry cost/recall tradeoff table
     "dedup_threshold_sensitivity",
     "lsh_banding_plan",
+    # round-13 continuation: the context-length truncation/padding
+    # tradeoff table (one aggregate row stacked per capacity)
+    "packing_capacity_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

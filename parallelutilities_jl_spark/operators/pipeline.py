@@ -1991,6 +1991,91 @@ FROM fin
 """
 
 
+# Context lengths the packing-capacity planner compares (tokens per
+# one-doc-per-window training example)
+_PACK_CAPACITIES = (128, 256, 512, 1024)
+
+
+def q_packing_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-length PLANNER for one-doc-per-window (BERT-style)
+    batching: for each candidate capacity, what fraction of corpus
+    tokens gets TRUNCATED away (doc longer than the window) versus
+    what fraction of window slots is PADDING (doc shorter) — the two
+    losses a context-length choice trades off. `padding_waste_buckets`
+    reports waste for dynamic power-of-two bucketing; this compares
+    FIXED capacities side by side, and `sequence_packing` is the
+    concat-packing alternative that pays neither cost.
+
+    Exactness: whitespace token counts (the packing ops' convention),
+    LEAST/GREATEST and exact-integer ppm divisions end-to-end; clamped
+    kept-tokens keep both numerators provably non-negative so Spark
+    `div` and DuckDB `//` agree on every reachable input.
+
+    Scale shape: ONE narrow token-count scan into ONE global aggregate
+    row (map-side combinable — every capacity's three sums are columns
+    of the same agg), then a stack() generator emits the 4 plan rows.
+    No shuffle wider than the 1-row aggregate at any corpus size."""
+    docs = load_table_parallel(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per = docs.select(
+        F.size(TH.words(F.col("text"))).cast("long").alias("n")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("real_tokens"),
+    ]
+    for c in _PACK_CAPACITIES:
+        aggs.append(
+            F.sum(F.least(F.col("n"), F.lit(c).cast("long"))).alias(
+                f"kept_{c}"
+            )
+        )
+    row = per.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({c} AS BIGINT), kept_{c}" for c in _PACK_CAPACITIES
+    )
+    n_caps = len(_PACK_CAPACITIES)
+    return row.selectExpr(
+        "n_docs",
+        "real_tokens",
+        f"stack({n_caps}, {stack_args}) AS (capacity, kept_tokens)",
+    ).selectExpr(
+        "capacity",
+        "n_docs",
+        "real_tokens",
+        "kept_tokens",
+        "(real_tokens - kept_tokens) * 1000000 div real_tokens"
+        " AS truncated_ppm",
+        "(n_docs * capacity - kept_tokens) * 1000000"
+        " div (n_docs * capacity) AS pad_waste_ppm",
+    )
+
+
+def _oracle_packing_capacity() -> str:
+    ws = TH.dd_words("text")
+    kept = ", ".join(
+        f"CAST(SUM(LEAST(len({ws}), {c})) AS BIGINT) AS kept_{c}"
+        for c in _PACK_CAPACITIES
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({c} AS BIGINT) AS capacity, n_docs, real_tokens, "
+        f"kept_{c} AS kept_tokens, "
+        f"(real_tokens - kept_{c}) * 1000000 // real_tokens"
+        f" AS truncated_ppm, "
+        f"(n_docs * {c} - kept_{c}) * 1000000 // (n_docs * {c})"
+        f" AS pad_waste_ppm FROM a"
+        for c in _PACK_CAPACITIES
+    )
+    return f"""
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({ws})) AS BIGINT) AS real_tokens, {kept}
+  FROM documents WHERE text IS NOT NULL)
+{selects}
+"""
+
+
 # Global keep budget for the quality-threshold planner: keep the top
 # 30% of each source by quality score. Exact-integer ceil bound: the
 # n_docs * PPM product stays < 2^63 for any real per-source doc count
@@ -2119,6 +2204,7 @@ QUERIES = {
     "split_drift_psi": q_split_drift_psi,
     "fuzzy_contamination": q_fuzzy_contamination,
     "quality_threshold_plan": q_quality_threshold_plan,
+    "packing_capacity_plan": q_packing_capacity_plan,
 }
 
 ORACLES = {
@@ -2145,4 +2231,5 @@ ORACLES = {
     "split_drift_psi": _oracle_split_drift_psi(),
     "fuzzy_contamination": _oracle_fuzzy_contamination(),
     "quality_threshold_plan": _oracle_quality_threshold(),
+    "packing_capacity_plan": _oracle_packing_capacity(),
 }

@@ -175,3 +175,37 @@ def test_lsh_banding_plan_monotone_and_exact_recall(spark, tmp_path):
         assert got[(bands, rows_pb)]["est_recall_tau03_e6"] == want
     assert got[(16, 1)]["est_recall_tau03_e6"] == 996_676
     assert got[(2, 8)]["est_recall_tau03_e6"] == 131
+
+
+def test_packing_capacity_hand_derived(spark, tmp_path):
+    # two docs of 100 and 300 whitespace tokens: at C=128 the long doc
+    # truncates 172 of 400 tokens (430000 ppm) and the windows carry
+    # 28/256 padding (109375 ppm); at C=512 nothing truncates and
+    # padding is 624/1024 (609375 ppm)
+    from parallelutilities_jl_spark.operators.pipeline import (
+        q_packing_capacity_plan,
+    )
+
+    t100 = " ".join(["w"] * 100)
+    t300 = " ".join(["w"] * 300)
+    sf = _docs(
+        spark,
+        tmp_path,
+        [(0, t100, "en", "src", len(t100)), (1, t300, "en", "src", len(t300))],
+    )
+    got = {
+        r["capacity"]: r for r in q_packing_capacity_plan(spark, sf).collect()
+    }
+    assert set(got) == {128, 256, 512, 1024}
+    for c in got:
+        assert (got[c]["n_docs"], got[c]["real_tokens"]) == (2, 400)
+    assert got[128]["kept_tokens"] == 228
+    assert got[128]["truncated_ppm"] == 430_000
+    assert got[128]["pad_waste_ppm"] == 109_375
+    assert got[256]["kept_tokens"] == 356
+    assert got[256]["truncated_ppm"] == 110_000
+    assert got[256]["pad_waste_ppm"] == 304_687
+    assert got[512]["kept_tokens"] == 400
+    assert got[512]["truncated_ppm"] == 0
+    assert got[512]["pad_waste_ppm"] == 609_375
+    assert got[1024]["pad_waste_ppm"] == 804_687
