@@ -158,8 +158,10 @@ LATE_ADDITIONS = [
     "dedup_threshold_sensitivity",
     "lsh_banding_plan",
     # round-13 continuation: the context-length truncation/padding
-    # tradeoff table (one aggregate row stacked per capacity)
+    # tradeoff table (one aggregate row stacked per capacity) and the
+    # embedding dimension-budget energy census
     "packing_capacity_plan",
+    "embedding_dim_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

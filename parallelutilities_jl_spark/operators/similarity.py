@@ -857,6 +857,122 @@ FROM f
 """
 
 
+def q_embedding_dim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension-BUDGET planner: per-coordinate variance energy of
+    the embedding space, reduced to how many top-energy coordinates
+    carry 90% / 99% of total variance — the cheap anisotropy read
+    (Ethayarajh, arXiv:1909.00512) behind a truncation / PQ-subspace /
+    storage-dtype decision. (Coordinate energy, not PCA — no rotation:
+    it bounds the variance any axis-aligned truncation keeps.)
+
+    Exactness: components quantized to int64 (floor(v·10⁶), the
+    diversity census's grid); each dimension's variance numerator is
+    the exact integer n·Σx² − (Σx)² (Cauchy-Schwarz ⇒ ≥ 0) accumulated
+    in decimal(38,0); ranking, cumulative shares, and both coverage
+    picks are integer/decimal comparisons — no float anywhere.
+
+    Scale shape: one narrow quantize map, one map-side-combinable
+    per-dim agg (64 rows out of the corpus-sized stream), then every
+    window rides the 64-row frame through one SinglePartition
+    exchange."""
+    from pyspark.sql.window import Window as W
+
+    emb = _emb_double(spark, sf_dir)
+    q = emb.select(
+        F.transform(
+            "emb",
+            lambda v: F.floor(v * F.lit(float(DIV_SCALE))).cast("long"),
+        ).alias("qv")
+    )
+    per_dim = (
+        q.select(F.posexplode("qv").alias("k", "x"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(
+                (F.col("x") * F.col("x")).cast("decimal(38,0)")
+            ).alias("sxx"),
+        )
+    )
+    var_num = F.col("n").cast("decimal(38,0)") * F.col("sxx") - F.col(
+        "sx"
+    ).cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    d = per_dim.select("k", "n", var_num.alias("v"))
+    w_one = W.partitionBy(F.lit(0))
+    w_rank = w_one.orderBy(F.col("v").desc(), F.col("k"))
+    w_cum = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select(
+        "k",
+        "n",
+        "v",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("v").over(w_cum).alias("cum"),
+        F.sum("v").over(w_one).alias("tot"),
+        F.count(F.lit(1)).over(w_one).alias("n_dims"),
+    )
+    return c.groupBy().agg(
+        F.max("n").alias("n_vecs"),
+        F.max("n_dims").cast("long").alias("n_dims"),
+        F.min(F.when(F.col("rnk") == 1, F.col("k")))
+        .cast("long")
+        .alias("top_dim"),
+        F.max(
+            F.when(
+                (F.col("rnk") == 1) & (F.col("tot") > 0),
+                F.expr("(v * 1000000) div tot"),
+            )
+        )
+        .cast("long")
+        .alias("top_share_ppm"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("tot") * 90, F.col("rnk"))
+        )
+        .cast("long")
+        .alias("dims_p90"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("tot") * 99, F.col("rnk"))
+        )
+        .cast("long")
+        .alias("dims_p99"),
+    )
+
+
+ORACLE_EMBEDDING_DIM_PLAN = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * {float(DIV_SCALE)})
+                     AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL),
+lf AS (SELECT UNNEST(generate_series(0, len(qv) - 1)) AS k,
+              UNNEST(qv) AS x
+       FROM q),
+pd AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+              SUM(x * x) AS sxx
+       FROM lf GROUP BY k),
+d AS (SELECT k, n, n * sxx - sx * sx AS v FROM pd),
+c AS (SELECT k, n, v,
+             ROW_NUMBER() OVER w AS rnk,
+             SUM(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(v) OVER () AS tot,
+             COUNT(*) OVER () AS n_dims
+      FROM d WINDOW w AS (ORDER BY v DESC, k))
+SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(MAX(n_dims) AS BIGINT) AS n_dims,
+       CAST(MIN(CASE WHEN rnk = 1 THEN k END) AS BIGINT) AS top_dim,
+       CAST(MAX(CASE WHEN rnk = 1 AND tot > 0
+                     THEN (v * 1000000) // tot END) AS BIGINT)
+         AS top_share_ppm,
+       CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN rnk END) AS BIGINT)
+         AS dims_p90,
+       CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN rnk END) AS BIGINT)
+         AS dims_p99
+FROM c
+"""
+
+
 ORACLE_EMBEDDING_NORM_STATS = f"""
 WITH lf AS (SELECT vec_id, label,
                    UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE)))
@@ -901,6 +1017,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "hard_negative_mining": q_hard_negative_mining,
     "embedding_diversity": q_embedding_diversity,
+    "embedding_dim_plan": q_embedding_dim_plan,
     "ann_int8_topk": q_ann_int8_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
@@ -908,3 +1025,4 @@ QUERIES = {
 
 ORACLES["embedding_norm_stats"] = ORACLE_EMBEDDING_NORM_STATS
 ORACLES["embedding_diversity"] = ORACLE_EMBEDDING_DIVERSITY
+ORACLES["embedding_dim_plan"] = ORACLE_EMBEDDING_DIM_PLAN

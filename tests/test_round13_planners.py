@@ -209,3 +209,26 @@ def test_packing_capacity_hand_derived(spark, tmp_path):
     assert got[512]["truncated_ppm"] == 0
     assert got[512]["pad_waste_ppm"] == 609_375
     assert got[1024]["pad_waste_ppm"] == 804_687
+
+
+def test_embedding_dim_plan_dominant_coordinate(spark, tmp_path):
+    # dim 0 alternates 0/1 (the only variance); dims 1-3 constant ->
+    # one coordinate carries ALL the energy
+    from parallelutilities_jl_spark.operators.similarity import (
+        q_embedding_dim_plan,
+    )
+
+    rows = [
+        (0, [0.0, 0.5, 0.5, 0.5], 0),
+        (1, [1.0, 0.5, 0.5, 0.5], 0),
+        (2, [0.0, 0.5, 0.5, 0.5], 1),
+        (3, [1.0, 0.5, 0.5, 0.5], 1),
+    ]
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    [r] = q_embedding_dim_plan(spark, str(tmp_path)).collect()
+    assert (r["n_vecs"], r["n_dims"]) == (4, 4)
+    assert r["top_dim"] == 0
+    assert r["top_share_ppm"] == 1_000_000
+    assert (r["dims_p90"], r["dims_p99"]) == (1, 1)
