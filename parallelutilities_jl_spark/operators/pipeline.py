@@ -2040,15 +2040,19 @@ def q_packing_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "real_tokens",
         f"stack({n_caps}, {stack_args}) AS (capacity, kept_tokens)",
+    ).filter(
+        # no docs -> no plan (and the nullif below keeps any other
+        # zero-denominator from becoming an ANSI divide-by-zero)
+        F.col("n_docs") > 0
     ).selectExpr(
         "capacity",
         "n_docs",
         "real_tokens",
         "kept_tokens",
-        "(real_tokens - kept_tokens) * 1000000 div real_tokens"
-        " AS truncated_ppm",
+        "(real_tokens - kept_tokens) * 1000000"
+        " div nullif(real_tokens, 0) AS truncated_ppm",
         "(n_docs * capacity - kept_tokens) * 1000000"
-        " div (n_docs * capacity) AS pad_waste_ppm",
+        " div nullif(n_docs * capacity, 0) AS pad_waste_ppm",
     )
 
 
@@ -2061,10 +2065,10 @@ def _oracle_packing_capacity() -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({c} AS BIGINT) AS capacity, n_docs, real_tokens, "
         f"kept_{c} AS kept_tokens, "
-        f"(real_tokens - kept_{c}) * 1000000 // real_tokens"
+        f"(real_tokens - kept_{c}) * 1000000 // nullif(real_tokens, 0)"
         f" AS truncated_ppm, "
-        f"(n_docs * {c} - kept_{c}) * 1000000 // (n_docs * {c})"
-        f" AS pad_waste_ppm FROM a"
+        f"(n_docs * {c} - kept_{c}) * 1000000 // nullif(n_docs * {c}, 0)"
+        f" AS pad_waste_ppm FROM a WHERE n_docs > 0"
         for c in _PACK_CAPACITIES
     )
     return f"""

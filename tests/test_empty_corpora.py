@@ -32,6 +32,13 @@ def _doc_tier_queries():
 
 # census frames over zero docs also legitimately emit summary rows
 NONEMPTY_ON_EMPTY |= {"dedup_eval_confusion", "triangle_count"}
+# the round-13 planner censuses emit their full config spine (nine tau
+# deciles / four band geometries) with zero counts over zero docs —
+# mirrored exactly by their oracles' spine constructions
+NONEMPTY_ON_EMPTY |= {"dedup_threshold_sensitivity", "lsh_banding_plan"}
+# global-aggregate planner frames (groupBy().agg) emit one NULL-valued
+# summary row over zero input in BOTH engines
+NONEMPTY_ON_EMPTY |= {"session_gap_plan", "embedding_dim_plan"}
 
 
 @pytest.fixture(scope="module")

@@ -55,6 +55,7 @@ EMB_QUERIES = [
     "embedding_power_iteration",
     "knn_components",
     "embedding_abtt_census",
+    "embedding_dim_plan",
 ]
 
 

@@ -56,6 +56,7 @@ EVENTS_QUERIES = [
     "stateful_topk",
     "stateful_ewma",
     "stateful_sessions",
+    "session_gap_plan",
 ]
 
 
