@@ -162,6 +162,8 @@ LATE_ADDITIONS = [
     # embedding dimension-budget energy census
     "packing_capacity_plan",
     "embedding_dim_plan",
+    # round-13 continuation: the oracle-checked nprobe recall/cost curve
+    "ann_nprobe_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -1101,6 +1101,225 @@ WHERE rnk <= 3
 """
 
 
+NPROBE_PLAN_MAX = 4  # probe counts the nprobe planner measures (1..4)
+
+
+def q_ann_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe PLANNER: the measured recall/cost curve behind
+    `ann_ivf_multiprobe_topk`'s nprobe choice — for every probe count
+    1..{NPROBE_PLAN_MAX}, the candidate volume the probing generates
+    and the top-3 recall against the EXACT brute-force baseline,
+    oracle-checked end to end (the RECALL.md floors are offline
+    evidence; this makes the curve itself a driver-gated query).
+
+    One shared candidate pass serves all probe counts: corpus cells are
+    disjoint, so each (query, candidate) pair enters through exactly
+    ONE probe rank p — candidates are scored once with p carried, and
+    probe-count np simply filters p <= np (an explode of [p..max], <=4x
+    the candidate rows). The exact baseline is the standard broadcast
+    queries x corpus scan (Q bounded). Recall arithmetic is
+    exact-integer ppm; the cosine ordering is the pre-validated
+    quantized-dot / tie-to-lowest-cid rule every ANN tier uses.
+
+    Scale shape: fit + assignment are the memoized IVF path; candidate
+    generation is the same O(nprobe x cell) equi-join as multiprobe;
+    every aggregate after it is per-np bounded (4 rows out)."""
+    from pyspark.sql.window import Window as W
+
+    from parallelutilities_jl_spark.operators.similarity import dot, norm
+
+    emb, centroids = _fit_state(spark, sf_dir, K, IVF_FIT_ITERS)
+    if not centroids:  # empty corpus: no model, empty plan, same schema
+        z = F.lit(0).cast("long")
+        return (
+            spark.range(0)
+            .select(
+                z.alias("nprobe"),
+                z.alias("n_candidates"),
+                z.alias("topk_hits"),
+                z.alias("n_exact"),
+                z.alias("recall_e6"),
+            )
+        )
+    assign = _assign(emb, centroids)
+    corpus = emb.join(assign, "vec_id").select(
+        F.col("vec_id").alias("cid"),
+        F.col("cluster").alias("cell"),
+        F.col("emb").alias("ce"),
+    )
+    entries = [
+        F.struct(
+            _sq_dist(c).alias("d"), F.lit(cid).cast("long").alias("cell")
+        )
+        for cid, c in sorted(centroids.items())
+    ]
+    queries = emb.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    # the _sq_dist entries reference the source `emb` column, so the
+    # probe explode must project straight off the embedding frame
+    probes = (
+        emb.filter(F.col("vec_id") < IVF_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qe"),
+            F.posexplode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.array(*entries)), 1, NPROBE_PLAN_MAX
+                    ),
+                    lambda s: s.getField("cell"),
+                )
+            ).alias("pz", "cell"),
+        )
+        .select("qid", "qe", (F.col("pz") + 1).alias("p"), "cell")
+    )
+    cand = (
+        probes.join(corpus, "cell")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            "p",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (norm(F.col("qe")) * norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    npc = cand.select(
+        "qid",
+        "cid",
+        "cos",
+        F.explode(
+            F.sequence(F.col("p"), F.lit(NPROBE_PLAN_MAX))
+        ).alias("np"),
+    )
+    w = W.partitionBy("np", "qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    approx3 = npc.select(
+        "np", "qid", "cid", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+    exact_scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus.select("cid", "ce"))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot(F.col("qe"), F.col("ce"))
+                / (norm(F.col("qe")) * norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    we = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    exact3 = (
+        exact_scored.select(
+            "qid", "cid", F.row_number().over(we).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid")
+    )
+    n_exact = exact3.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        approx3.join(exact3, ["qid", "cid"], "left_semi")
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).alias("topk_hits"))
+    )
+    cands_per_np = npc.groupBy("np").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    joined = (
+        cands_per_np.join(hits, "np", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .withColumn(
+            "topk_hits",
+            F.coalesce(F.col("topk_hits"), F.lit(0).cast("long")),
+        )
+    )
+    return joined.select(
+        F.col("np").cast("long").alias("nprobe"),
+        "n_candidates",
+        "topk_hits",
+        "n_exact",
+        F.expr("(topk_hits * 1000000) div nullif(n_exact, 0)").alias(
+            "recall_e6"
+        ),
+    )
+
+
+def _oracle_nprobe_plan() -> str:
+    from parallelutilities_jl_spark.operators.similarity import (
+        _DD_DOT,
+        _DD_LF,
+    )
+
+    ctes, cfin = _kmeans_ctes(K, IVF_FIT_ITERS)
+    qd = _QD.format(c="c", v="cval")
+    ctes.append(
+        f"probes AS (SELECT vec_id AS qid, cid AS cell, rn AS p FROM ("
+        f"SELECT e.vec_id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
+        f"FROM e JOIN {cfin} c ON e.idx = c.idx "
+        f"WHERE e.vec_id < {IVF_N_QUERIES} "
+        f"GROUP BY e.vec_id, c.cid) WHERE rn <= {NPROBE_PLAN_MAX})"
+    )
+    ctes.append(
+        f"asg AS (SELECT vec_id, cid AS cluster FROM ("
+        f"SELECT e.vec_id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn "
+        f"FROM e JOIN {cfin} c ON e.idx = c.idx "
+        f"GROUP BY e.vec_id, c.cid) WHERE rn = 1)"
+    )
+    fit = ",\n".join(c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes)
+    return f"""
+WITH {fit},
+{_DD_LF},
+cdots AS (SELECT p.qid, b.vec_id AS cid, MIN(p.p) AS p, {_DD_DOT} AS dot
+          FROM probes p
+          JOIN asg sb ON sb.cluster = p.cell
+          JOIN lf b ON b.vec_id = sb.vec_id
+          JOIN lf a ON a.vec_id = p.qid AND a.k = b.k
+          WHERE b.vec_id <> p.qid
+          GROUP BY 1, 2),
+cscored AS (SELECT qid, cid, p,
+                   CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+            FROM cdots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = cid),
+npc AS (SELECT qid, cid, cos, t.np AS np
+        FROM cscored, range(1, {NPROBE_PLAN_MAX + 1}) t(np)
+        WHERE p <= t.np),
+approx3 AS (SELECT np, qid, cid FROM (
+  SELECT np, qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY np, qid
+                            ORDER BY cos DESC, cid) AS rnk
+  FROM npc) WHERE rnk <= 3),
+edots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, {_DD_DOT} AS dot
+          FROM lf a JOIN lf b ON a.k = b.k
+           AND a.vec_id < {IVF_N_QUERIES} AND b.vec_id <> a.vec_id
+          GROUP BY 1, 2),
+escored AS (SELECT qid, cid,
+                   CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+            FROM edots JOIN norms nq ON nq.vec_id = qid
+            JOIN norms nc ON nc.vec_id = cid),
+exact3 AS (SELECT qid, cid FROM (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid) AS rnk
+  FROM escored) WHERE rnk <= 3),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact3),
+cn AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       FROM npc GROUP BY np),
+ht AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS topk_hits
+       FROM approx3 JOIN exact3 USING (qid, cid) GROUP BY np)
+SELECT CAST(cn.np AS BIGINT) AS nprobe, n_candidates,
+       CAST(COALESCE(topk_hits, 0) AS BIGINT) AS topk_hits, n_exact,
+       (COALESCE(topk_hits, 0) * 1000000) // nullif(n_exact, 0)
+         AS recall_e6
+FROM cn LEFT JOIN ht USING (np) CROSS JOIN ne
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-index ANN scale path
 # ---------------------------------------------------------------------------
@@ -2453,6 +2672,7 @@ QUERIES = {
     "ivf_trained_census": q_ivf_trained_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained,
     "ann_ivf_multiprobe_topk": q_ann_ivf_multiprobe,
+    "ann_nprobe_plan": q_ann_nprobe_plan,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rerank_topk": q_ann_pq_rerank_topk,
     "semantic_dedup": q_semantic_dedup,
@@ -2470,6 +2690,7 @@ ORACLES = {
     "ivf_trained_census": _oracle_ivf_census(),
     "ann_ivf_trained_topk": _oracle_ivf_trained(),
     "ann_ivf_multiprobe_topk": _oracle_ivf_multiprobe(),
+    "ann_nprobe_plan": _oracle_nprobe_plan(),
     "ann_pq_topk": _oracle_pq(),
     "ann_pq_rerank_topk": _oracle_pq_rerank(),
     "semantic_dedup": _oracle_semantic_dedup(),

@@ -56,6 +56,7 @@ EMB_QUERIES = [
     "knn_components",
     "embedding_abtt_census",
     "embedding_dim_plan",
+    "ann_nprobe_plan",
 ]
 
 

@@ -232,3 +232,24 @@ def test_embedding_dim_plan_dominant_coordinate(spark, tmp_path):
     assert r["top_dim"] == 0
     assert r["top_share_ppm"] == 1_000_000
     assert (r["dims_p90"], r["dims_p99"]) == (1, 1)
+
+
+def test_ann_nprobe_plan_monotone(spark, sf_dir):
+    # probing more cells can only add candidates, and recall against
+    # the fixed exact top-3 can only grow with the candidate set
+    from parallelutilities_jl_spark.operators.clustering import (
+        NPROBE_PLAN_MAX,
+        q_ann_nprobe_plan,
+    )
+
+    rows = {r["nprobe"]: r for r in q_ann_nprobe_plan(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, NPROBE_PLAN_MAX + 1))
+    cands = [rows[np]["n_candidates"] for np in sorted(rows)]
+    hits = [rows[np]["topk_hits"] for np in sorted(rows)]
+    assert cands == sorted(cands)
+    assert hits == sorted(hits)
+    n_exact = {rows[np]["n_exact"] for np in rows}
+    assert len(n_exact) == 1  # one shared exact baseline
+    for np, r in rows.items():
+        assert 0 <= r["topk_hits"] <= r["n_exact"]
+        assert r["recall_e6"] == (r["topk_hits"] * 1_000_000) // r["n_exact"]

@@ -140,6 +140,10 @@ QUERIES = (
     # each config reduced to a 1-row aggregate — candidate-bound like
     # its parent, bucket caps bound the hot geometries
     "lsh_banding_plan",
+    # nprobe recall/cost curve: memoized fit + one probe-rank-carrying
+    # candidate pass (<=4x multiprobe candidates) + Q-bounded exact
+    # baseline — expected ~linear in corpus rows at fixed Q
+    "ann_nprobe_plan",
 )
 
 
