@@ -44,6 +44,20 @@ BNLJ_ALLOWED = {
     "embedding_power_iteration",  # 1-row norm frame crossed per round
     "embedding_abtt_census",  # inherits the power-iteration norm crosses
 
+    # round-13 continuation planners: every BNLJ is a 1-row aggregate
+    # frame crossed onto another bounded frame —
+    #  - dedup_threshold_sensitivity: the inherited 1-row hot-key-count
+    #    cross (τ-pushdown bound) + the 1-row pair/doc decile aggregate
+    #    rows crossed before the stack() generator
+    #  - lsh_banding_plan: per band geometry, the 1-row bucket-stats
+    #    frame crossed with the 1-row candidate count
+    #  - ann_nprobe_plan: the 1-row exact-baseline count crossed onto
+    #    the 4-row curve + the broadcast-query-side exact baseline
+    #    (same shape as ann_cosine_topk)
+    "dedup_threshold_sensitivity",
+    "lsh_banding_plan",
+    "ann_nprobe_plan",
+
     "mixture_weighted_sample",
     "quality_curriculum",
     "sequence_packing",

@@ -234,6 +234,12 @@ SHOWCASE = {
         "+ capped bucket self-join reduced to a 1-row aggregate; the "
         "recall column is a literal (exact-rational ppm, no float)"
     ),
+    "ann_nprobe_plan": (
+        "recall/cost curve in one candidate pass: the multiprobe "
+        "equi-join with the probe rank carried, an explode of [p..4] "
+        "per candidate (never a per-np re-join), per-np windows on the "
+        "bounded frame, and the Q-bounded broadcast exact baseline"
+    ),
 }
 
 HEADER = '''# PLANS — physical plans of flagship queries (sf0.01, local[32])
