@@ -87,6 +87,18 @@ def test_bench_cli_emits_single_json_line():
 # run, still the best-normalized accepted artifact — r13's boot ran
 # the canary 1.5x faster than the suite, so its 37.412 is a worse
 # normalization point, not a regression).
+# Round-13 continuation evidence: the drift is INTRA-boot too, and can
+# exceed both bands without any plan change. Three same-boot full runs
+# ~40 min apart measured canary 0.372 / 0.402 / 0.504 s (vs the 0.329
+# closing run on the same code lineage) with common-63 raw 39.9 / 45.1
+# — a UNIFORM per-query inflation (90/90 heads slower by a similar
+# factor, max single-query delta ~1.4 s on the largest head, no step
+# change anywhere; plans unchanged per AUDIT). A degraded-box artifact
+# is a bad measurement, not a regression: per the down-only ratchet it
+# was discarded and the accepted artifact retained. Triage recipe when
+# this gate fires: diff per-query medians against the committed
+# artifact — a real regression is a step change in specific heads, the
+# box band is a uniform multiplier tracking canary_sec.
 RAW_GATE_REF_SEC = 32.999
 NORM_GATE_REF_SEC = 27.559
 GATE_BAND = 1.05

@@ -144,6 +144,9 @@ QUERIES = (
     # candidate pass (<=4x multiprobe candidates) + Q-bounded exact
     # baseline — expected ~linear in corpus rows at fixed Q
     "ann_nprobe_plan",
+    # one-scan one-row-aggregate planners (expected ~flat to ~linear)
+    "packing_capacity_plan",
+    "embedding_dim_plan",
 )
 
 
