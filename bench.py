@@ -164,6 +164,9 @@ LATE_ADDITIONS = [
     "embedding_dim_plan",
     # round-13 continuation: the oracle-checked nprobe recall/cost curve
     "ann_nprobe_plan",
+    # round-13 continuation: the hamming threshold tuning table over
+    # the simhash band candidates
+    "simhash_hamming_census",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

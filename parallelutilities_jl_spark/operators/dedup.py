@@ -1045,6 +1045,83 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIMHASH_HAM_MAX tuning table: the hamming-distance histogram
+    of the banded candidate pairs, with a cumulative column — row h's
+    `cum_pairs` is exactly how many pairs a near-dup pass at threshold
+    h would accept (`simhash_near_dup` is the cum row at h={SIMHASH_HAM_MAX}).
+    Scoped to DETECTED candidates, stated as such: banding recall is
+    exact only at hamming <= 1 here, so high-h rows are a lower bound —
+    still the number the threshold knob is turned by, since the same
+    banding serves every threshold.
+
+    Scale shape: identical to `simhash_near_dup` through the capped
+    band self-join; the histogram is <= 25 rows (candidates agree on an
+    8-bit band, so hamming <= 24) and the cumulative window rides that
+    bounded frame through one SinglePartition exchange. Rows derive
+    from the data (no fixed spine), so an empty corpus yields an empty
+    census in both engines."""
+    from pyspark.sql.window import Window as W
+
+    fp = _simhash_df(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .cast("long")
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band", "e.key")
+    bands = (
+        bands.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+        )
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .drop("bsz")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sha"),
+            F.col("b.simhash").alias("shb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
+    hist = (
+        cands.select(ham.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w_cum = (
+        W.partitionBy(F.lit(0))
+        .orderBy("hamming")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return hist.select(
+        "hamming", "n_pairs", F.sum("n_pairs").over(w_cum).alias("cum_pairs")
+    )
+
+
 def _simhash_df(
     spark: SparkSession, sf_dir: str, with_n_tokens: bool = False
 ) -> DataFrame:
@@ -1250,6 +1327,38 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sha, shb)) <= {SIMHASH_HAM_MAX}
+""",
+        "simhash_hamming_census": f"""
+WITH toks AS (SELECT DISTINCT doc_id, UNNEST({TH.dd_words('text')}) AS w
+              FROM documents),
+th AS (SELECT doc_id, {TH.dd_md5_int48('w')} AS h FROM toks),
+bits AS (SELECT doc_id, t.b AS b,
+                SUM(((h >> t.b) & 1) * 2 - 1) AS s
+         FROM th, range(0, 32) t(b) GROUP BY doc_id, t.b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id),
+bands0 AS (SELECT doc_id, simhash, t.band AS band,
+                  (simhash >> (8 * t.band)) & 255 AS key
+           FROM fp, range(0, {SIMHASH_BANDS}) t(band)),
+bands AS (SELECT * FROM (
+            SELECT doc_id, simhash, band, key,
+                   COUNT(*) OVER (PARTITION BY band, key) AS bsz
+            FROM bands0)
+          WHERE bsz <= {MAX_LSH_BUCKET}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sha, b.simhash AS shb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+hist AS (SELECT CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming,
+                COUNT(*) AS n_pairs
+         FROM cand GROUP BY 1)
+SELECT hamming, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY hamming
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_pairs
+FROM hist
 """,
     }
 
@@ -2056,6 +2165,7 @@ QUERIES = {
     "lsh_banding_plan": q_lsh_banding_plan,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_near_dup": q_simhash_near_dup,
+    "simhash_hamming_census": q_simhash_hamming_census,
     "dedup_components": q_dedup_components,
     "quality_canonical_dedup": q_quality_canonical_dedup,
 }

@@ -24,6 +24,8 @@ def test_round13_queries_partition_count_invariant(spark, sf_dir):
         "dedup_order_plan",
         # full-precision winner reduction (sink's batch-parity query)
         "stream_upsert_state",
+        # new: hamming histogram + SinglePartition cumulative window
+        "simhash_hamming_census",
     )
     spark.catalog.clearCache()
     base = {n: _rows(qs[n](spark, sf_dir)) for n in names}

@@ -38,6 +38,10 @@ QUERIES = (
     # the capped simhash band join, and the store-probe ingest screen
     "ngram_jaccard_pairs",
     "simhash_near_dup",
+    # round-13 continuation: the hamming tuning census rides the same
+    # capped band join; its tail is a <=25-row histogram, so its x10
+    # wall must track simhash_near_dup's, not the output row count
+    "simhash_hamming_census",
     "incremental_dedup",
     "embedding_cosine_dups",
     "sequence_packing",
