@@ -167,6 +167,10 @@ LATE_ADDITIONS = [
     # round-13 continuation: the hamming threshold tuning table over
     # the simhash band candidates
     "simhash_hamming_census",
+    # round-13 continuation: positional winnowing (SIGMOD 2003) — the
+    # zero-exchange fingerprint scan and the df-capped overlap screen
+    "winnowing_fingerprints",
+    "winnowing_overlap",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

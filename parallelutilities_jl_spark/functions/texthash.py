@@ -110,3 +110,14 @@ def md5_int48(c: Column) -> Column:
 
 def dd_md5_int48(c: str) -> str:
     return f"('0x' || substr(md5({c}), 1, 12))::BIGINT"
+
+
+def md5_int32(c: Column) -> Column:
+    """First 32 bits of md5 as a non-negative BIGINT — narrow enough
+    that `h * 2^20 - pos` (the winnowing argmin key) stays inside
+    int64."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def dd_md5_int32(c: str) -> str:
+    return f"('0x' || substr(md5({c}), 1, 8))::BIGINT"

@@ -181,6 +181,125 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003): word k-grams,
+# window of w consecutive k-gram hashes; any shared run of k+w-1 words
+# is GUARANTEED to share a selected fingerprint (the local-selection
+# theorem the global-min `doc_fingerprint` sketch cannot offer).
+WINNOW_K = 3
+WINNOW_W = 4
+# positional argmin key space: key = h*C - pos encodes (min hash,
+# rightmost tie-break) as one int64 — h is 32-bit so h*2^20 stays well
+# under 2^63; docs longer than 2^20 k-grams would need a wider C (and
+# a 64-bit key would then demand a narrower hash; at that length,
+# winnow per chunk).
+WINNOW_C = 1 << 20
+# fingerprints shared by more docs than this are boilerplate — drop
+# them before the overlap self-join (same df-cap role as NGRAM_MAX_DF)
+WINNOW_MAX_DF = 64
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL winnowing fingerprints (Schleimer et al., SIGMOD
+    2003 — the MOSS selection rule): over each document's word
+    {WINNOW_K}-gram hash sequence, every window of {WINNOW_W}
+    consecutive hashes selects its minimum (rightmost occurrence on
+    ties), and the fingerprint set is the distinct selected
+    (position, hash) pairs. Guarantee: two documents sharing any run
+    of k+w-1 = {WINNOW_K + WINNOW_W - 1} words share at least one
+    selected hash — the local-coverage property the global-min
+    `doc_fingerprint` sketch lacks, and what makes this the standard
+    substring-level contamination/plagiarism screen.
+
+    Zero-shuffle: the whole selection is in-row higher-order-function
+    algebra — the (min hash, rightmost pos) argmin of a window is the
+    plain integer MIN of `h*C - pos` keys (C = {WINNOW_C} bounds pos),
+    so each doc's fingerprint set is `array_distinct` over per-window
+    `array_min`s, exploded. No window function, no per-doc shuffle;
+    identical integer arithmetic in DuckDB decodes the same keys.
+    Cost is O(tokens · w) per row with w = {WINNOW_W}."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= WINNOW_K + WINNOW_W - 1)
+        .select(
+            "doc_id",
+            F.transform(
+                TH.shingles(F.col("ws"), WINNOW_K),
+                lambda sh: TH.md5_int32(sh),
+            ).alias("hs"),
+        )
+    )
+    keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    F.sequence(s, s + (WINNOW_W - 1)),
+                    lambda p: F.element_at(F.col("hs"), p)
+                    * F.lit(WINNOW_C)
+                    - p,
+                )
+            ),
+        )
+    )
+    return base.select(
+        "doc_id", F.explode(keys).alias("k")
+    ).select(
+        "doc_id",
+        F.expr(f"(k + {WINNOW_C - 1}) div {WINNOW_C}").alias("fp"),
+        F.expr(
+            f"((k + {WINNOW_C - 1}) div {WINNOW_C}) * {WINNOW_C} - k"
+        ).alias("pos"),
+    )
+
+
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document contamination screen on the winnowing
+    fingerprints: document pairs sharing >= {WINNOW_MIN_SHARED}
+    distinct selected hashes, with the shared count. By the winnowing
+    guarantee this catches EVERY pair sharing two disjoint runs of
+    k+w-1 words — substring-level overlap the shingle-set screens
+    (Jaccard/containment) only catch once the overlap dominates the
+    doc.
+
+    Scale shape: the fingerprint frame is ~2·tokens/w rows; hashes
+    held by more than {WINNOW_MAX_DF} docs are boilerplate and are
+    dropped BEFORE the self-join (the same df-cap every LSH family
+    here uses), bounding per-hash fan-out at {WINNOW_MAX_DF}²/2 pairs.
+    One fp-keyed exchange feeds cap + join; the pair count is a
+    map-side-combinable agg."""
+    from pyspark.sql.window import Window as W
+
+    fps = (
+        q_winnowing_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fps = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("fp"))
+        )
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .drop("df")
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 # Gopher-style repetition thresholds (Rae et al. 2021 use per-n-gram
 # caps of this magnitude; exact values matter less than the mechanism)
 TOP_BIGRAM_MAX_FRAC = 0.2
@@ -943,6 +1062,28 @@ def q_vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fp_cte(raw_ws: str) -> str:
+    """The winnowing selection as a DuckDB CTE chain ending in
+    `fps(doc_id, fp, pos)` — identical integer key algebra to the
+    Spark HOF path (key = h*C - pos; decode by ceil-div)."""
+    c = WINNOW_C
+    return f"""w AS (SELECT doc_id, {raw_ws} AS ws FROM documents),
+sh AS (SELECT doc_id, {TH.dd_shingles('ws', WINNOW_K)} AS shs
+       FROM w WHERE len(ws) >= {WINNOW_K + WINNOW_W - 1}),
+hl AS (SELECT doc_id,
+              list_transform(shs, x -> {TH.dd_md5_int32('x')}) AS hs
+       FROM sh),
+ks AS (SELECT doc_id, UNNEST(list_distinct(list_transform(
+              generate_series(1, len(hs) - {WINNOW_W - 1}),
+              s -> list_min(list_transform(
+                   generate_series(s, s + {WINNOW_W - 1}),
+                   p -> hs[p] * {c} - p))))) AS k
+       FROM hl),
+fps AS (SELECT doc_id, (k + {c - 1}) // {c} AS fp,
+               ((k + {c - 1}) // {c}) * {c} - k AS pos
+        FROM ks)"""
+
+
 def _oracle_vocab_fuzzy() -> str:
     raw_ws = TH.dd_words("text")
     d = FUZZY_MAX_DIST
@@ -1021,6 +1162,21 @@ sh AS (SELECT doc_id,
 SELECT doc_id, MIN(md5(sh)) AS fingerprint,
        COUNT(DISTINCT sh) AS n_shingles
 FROM sh GROUP BY doc_id
+""",
+        "winnowing_fingerprints": f"""
+WITH {_winnow_fp_cte(raw_ws)}
+SELECT doc_id, fp, pos FROM fps
+""",
+        "winnowing_overlap": f"""
+WITH {_winnow_fp_cte(raw_ws)},
+d AS (SELECT DISTINCT doc_id, fp FROM fps),
+cold AS (SELECT fp FROM d GROUP BY fp
+         HAVING COUNT(*) <= {WINNOW_MAX_DF}),
+df AS (SELECT d.* FROM d JOIN cold USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM df a JOIN df b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 """,
         "repetition_stats": f"""
 WITH w AS (SELECT doc_id, {raw_ws} AS ws FROM documents),
@@ -1652,6 +1808,8 @@ QUERIES = {
     "text_quality_score": q_text_quality,
     "lang_id_ngram": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnowing_overlap": q_winnowing_overlap,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_bigrams": q_vocab_top_bigrams,

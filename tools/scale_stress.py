@@ -43,6 +43,11 @@ QUERIES = (
     # wall must track simhash_near_dup's, not the output row count
     "simhash_hamming_census",
     "incremental_dedup",
+    # round-13 continuation: the positional winnowing screen — the
+    # fingerprint scan is zero-exchange (must be ~linear); the overlap
+    # self-join is df-capped like every LSH family
+    "winnowing_fingerprints",
+    "winnowing_overlap",
     "embedding_cosine_dups",
     "sequence_packing",
     "corpus_shuffle",
