@@ -171,6 +171,9 @@ LATE_ADDITIONS = [
     # zero-exchange fingerprint scan and the df-capped overlap screen
     "winnowing_fingerprints",
     "winnowing_overlap",
+    # round-13 continuation: right-to-be-forgotten cascade through the
+    # dedup canonical state
+    "forget_cascade_plan",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

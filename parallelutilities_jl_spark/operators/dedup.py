@@ -1637,6 +1637,90 @@ def q_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic stand-in for a tombstone table: the "forget" request
+# set is every 13th doc_id. In production the predicate is a broadcast
+# anti/semi-join against the actual tombstone ids — same plan shape
+# (the tombstone set is request-sized, never corpus-sized).
+FORGET_MOD = 13
+# argmax-with-tiebreak as ONE int64: key = score_q6 * 2^40 - doc_id
+# (score_q6 <= 1e6, so the product tops out ~1.1e18 < 2^63; doc_id
+# must stay under 2^40 — the x10 stress ids reach ~1e8)
+_FC_KEYSPACE = 1 << 40
+
+
+def q_forget_cascade_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten CASCADE through dedup state: when a
+    forget request deletes documents, every dup cluster whose
+    QUALITY-CANONICAL representative is deleted must elect a new
+    canonical from the surviving members (the derived keep/canonical
+    artifacts are state that must be repaired, not recomputed from
+    scratch). Emits, per affected component (>= 1 forgotten member):
+    member/forgotten counts, the old canonical, the re-elected
+    canonical over survivors (NULL when the whole cluster is
+    forgotten), and whether the canonical changed.
+
+    The re-election reuses the exact integer argmax of
+    `quality_canonical_dedup` — (score_q6 DESC, doc_id ASC) encoded as
+    the single int64 key score_q6*2^40 - doc_id, so MAX(key) over the
+    survivors is the new canonical and both engines decode the same
+    winner by ceil-div.
+
+    Scale shape: everything above the final agg is the LSH + component
+    machinery this plan repairs; the cascade itself adds ONE
+    component-keyed map-side-combinable aggregation over the per-doc
+    frame — no new corpus-sized shuffle, no window."""
+    base = q_quality_canonical_dedup(spark, sf_dir)
+    forgotten = (F.col("doc_id") % FORGET_MOD) == 0
+    key = F.col("score_q6") * F.lit(_FC_KEYSPACE) - F.col("doc_id")
+    agg = (
+        base.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(forgotten.cast("long")).alias("n_forgotten"),
+            # canonical_doc_id is constant within a component; MAX is
+            # just the cheapest way to carry it through the agg
+            F.max("canonical_doc_id").alias("old_canonical"),
+            F.max(F.when(~forgotten, key)).alias("nk"),
+        )
+        .filter(F.col("n_forgotten") >= 1)
+    )
+    new_canon = F.expr(
+        f"((nk + {_FC_KEYSPACE - 1}) div {_FC_KEYSPACE})"
+        f" * {_FC_KEYSPACE} - nk"
+    ).cast("long")
+    return agg.select(
+        "component_id",
+        "n_members",
+        "n_forgotten",
+        "old_canonical",
+        new_canon.alias("new_canonical"),
+        (F.col("nk").isNull() | (new_canon != F.col("old_canonical"))).alias(
+            "canonical_changed"
+        ),
+    )
+
+
+def _oracle_forget_cascade() -> str:
+    k = _FC_KEYSPACE
+    return f"""
+WITH base AS ({_oracle_quality_canonical()}),
+agg AS (SELECT component_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN doc_id % {FORGET_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_forgotten,
+               MAX(canonical_doc_id) AS old_canonical,
+               MAX(CASE WHEN doc_id % {FORGET_MOD} <> 0
+                        THEN score_q6 * {k} - doc_id END) AS nk
+        FROM base GROUP BY 1)
+SELECT component_id, n_members, n_forgotten, old_canonical,
+       CAST(((nk + {k - 1}) // {k}) * {k} - nk AS BIGINT) AS new_canonical,
+       (nk IS NULL)
+         OR (((nk + {k - 1}) // {k}) * {k} - nk) <> old_canonical
+         AS canonical_changed
+FROM agg WHERE n_forgotten >= 1
+"""
+
+
 def _oracle_components() -> str:
     """Recursive transitive closure reaches the same unique fixpoint the
     propagation loop converges to."""
@@ -2168,6 +2252,7 @@ QUERIES = {
     "simhash_hamming_census": q_simhash_hamming_census,
     "dedup_components": q_dedup_components,
     "quality_canonical_dedup": q_quality_canonical_dedup,
+    "forget_cascade_plan": q_forget_cascade_plan,
 }
 
 ORACLES = _oracles()
@@ -2180,6 +2265,7 @@ ORACLES["triangle_count"] = _oracle_triangles()
 ORACLES["dedup_eval_confusion"] = _oracle_eval_confusion()
 ORACLES["dedup_rate_by_source"] = _oracle_dedup_rate_by_source()
 ORACLES["quality_canonical_dedup"] = _oracle_quality_canonical()
+ORACLES["forget_cascade_plan"] = _oracle_forget_cascade()
 ORACLES["containment_dups"] = (
     f"WITH {_dd_shingle_cte()}, {_dd_sig_cte()}, {_dd_bands_cte()}, "
     f"bok AS (SELECT band, key FROM bands GROUP BY band, key "

@@ -53,6 +53,9 @@ QUERIES = (
     "corpus_shuffle",
     "tfidf_top_terms",
     "quality_canonical_dedup",
+    # round-13 continuation: deletion cascade = the canonical machinery
+    # plus ONE component-keyed agg; wall must track its parent
+    "forget_cascade_plan",
     # SemDeDup: k scales with N (constant cell size), so within-cell
     # pair work must stay ~linear; the kmeans fit itself is 2 fixed
     # rounds over N rows
