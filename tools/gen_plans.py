@@ -240,6 +240,30 @@ SHOWCASE = {
         "per candidate (never a per-np re-join), per-np windows on the "
         "bounded frame, and the Q-bounded broadcast exact baseline"
     ),
+    "simhash_hamming_census": (
+        "threshold tuning table: the capped simhash band self-join "
+        "feeds a pair-distinct then a <=25-row hamming histogram; the "
+        "cumulative window's SinglePartition exchange moves <=25 rows "
+        "— candidate-bound by design, tail bounded by the 8-bit band"
+    ),
+    "winnowing_fingerprints": (
+        "ZERO exchanges: the SIGMOD-2003 per-window (min, rightmost) "
+        "selection is in-row HOF algebra — integer keys h*2^20 - pos "
+        "under array_min/array_distinct, then one explode; no window "
+        "function, nothing shuffles, the scan IS the plan"
+    ),
+    "winnowing_overlap": (
+        "substring-level contamination screen: the zero-exchange "
+        "fingerprint scan, one fp-keyed exchange shared by the df-cap "
+        "count and the self-join, boilerplate hashes (df > 64) dead "
+        "before the join, pair counts map-side combined"
+    ),
+    "forget_cascade_plan": (
+        "deletion cascade: the quality-canonical subtree unchanged, "
+        "plus ONE component-keyed partial/final agg whose MAX over "
+        "the int64 argmax key re-elects the canonical — no window, "
+        "no new corpus-sized exchange, tombstones a pure predicate"
+    ),
 }
 
 HEADER = '''# PLANS — physical plans of flagship queries (sf0.01, local[32])
