@@ -171,6 +171,7 @@ LATE_ADDITIONS = [
     # zero-exchange fingerprint scan and the df-capped overlap screen
     "winnowing_fingerprints",
     "winnowing_overlap",
+    "winnowing_contamination",
     # round-13 continuation: right-to-be-forgotten cascade through the
     # dedup canonical state
     "forget_cascade_plan",

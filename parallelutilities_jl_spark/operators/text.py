@@ -300,6 +300,84 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-benchmark contamination screen with the WINNOWING
+    GUARANTEE: a corpus doc sharing ANY verbatim run of k+w-1 =
+    {WINNOW_K + WINNOW_W - 1} words with an eval doc (source =
+    EVAL_SOURCE) is certain to share a selected fingerprint — the
+    exact case (a benchmark answer string quoted inside a training
+    document) that Jaccard/containment screens only catch once the
+    quote dominates the doc (`fuzzy_contamination` needs whole-doc
+    similarity >= tau; `contamination_check` needs the exact shingle
+    to survive its cap). Emits, per flagged corpus doc: how many eval
+    docs it shares fingerprints with, the total shared-fingerprint
+    count, and the largest single-eval-doc overlap.
+
+    Scale shape: the winnowing scans are zero-exchange; the eval
+    fingerprint frame is benchmark-sized and BROADCAST; corpus-side
+    fingerprints held by more than {WINNOW_MAX_DF} corpus docs are
+    boilerplate and drop before the join (documented miss-mode: a
+    quote that is ALSO corpus boilerplate is suppressed); the per-doc
+    tails are two map-side-combinable aggs."""
+    from parallelutilities_jl_spark.operators.pipeline import EVAL_SOURCE
+    from pyspark.sql.window import Window as W
+
+    fps = (
+        q_winnowing_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    src = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    fps = fps.join(src, "doc_id")
+    ev = F.broadcast(
+        fps.filter(F.col("source") == EVAL_SOURCE).select(
+            F.col("doc_id").alias("eval_doc"), "fp"
+        )
+    )
+    cb = (
+        fps.filter(F.col("source") != EVAL_SOURCE)
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("doc_id", "fp")
+    )
+    pair = (
+        cb.join(ev, "fp")
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pair.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+        F.sum("shared").alias("n_shared_fps"),
+        F.max("shared").alias("max_shared"),
+    )
+
+
+def _oracle_winnowing_contamination() -> str:
+    from parallelutilities_jl_spark.operators.pipeline import EVAL_SOURCE
+
+    raw_ws = TH.dd_words("text")
+    return f"""
+WITH {_winnow_fp_cte(raw_ws)},
+d AS (SELECT DISTINCT doc_id, fp FROM fps),
+s AS (SELECT d.doc_id, d.fp, documents.source
+      FROM d JOIN documents USING (doc_id)),
+ev AS (SELECT doc_id AS eval_doc, fp FROM s
+       WHERE source = '{EVAL_SOURCE}'),
+cold AS (SELECT fp FROM s WHERE source <> '{EVAL_SOURCE}'
+         GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF}),
+cb AS (SELECT s.doc_id, s.fp FROM s JOIN cold USING (fp)
+       WHERE source <> '{EVAL_SOURCE}'),
+pair AS (SELECT cb.doc_id, ev.eval_doc, COUNT(*) AS shared
+         FROM cb JOIN ev USING (fp) GROUP BY 1, 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+       CAST(SUM(shared) AS BIGINT) AS n_shared_fps,
+       CAST(MAX(shared) AS BIGINT) AS max_shared
+FROM pair GROUP BY doc_id
+"""
+
+
 # Gopher-style repetition thresholds (Rae et al. 2021 use per-n-gram
 # caps of this magnitude; exact values matter less than the mechanism)
 TOP_BIGRAM_MAX_FRAC = 0.2
@@ -1810,6 +1888,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_overlap": q_winnowing_overlap,
+    "winnowing_contamination": q_winnowing_contamination,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_bigrams": q_vocab_top_bigrams,
@@ -1841,6 +1920,7 @@ ORACLES["bigram_pmi_top"] = _oracle_bigram_pmi()
 ORACLES["char_class_entropy"] = _oracle_char_entropy()
 ORACLES["zipf_slope_by_source"] = _oracle_zipf_slope()
 ORACLES["vocab_coverage_plan"] = _oracle_vocab_coverage()
+ORACLES["winnowing_contamination"] = _oracle_winnowing_contamination()
 ORACLES["lang_id_confusion"] = f"""
 WITH per AS ({ORACLES["lang_id_ngram"]})
 SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

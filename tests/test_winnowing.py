@@ -90,6 +90,43 @@ def test_match_guarantee_on_shared_run(spark, tmp_path):
     assert pairs[(1, 2)] >= 2
 
 
+def test_contamination_guarantee_and_miss_mode(
+    spark, tmp_path, monkeypatch
+):
+    """A corpus doc quoting a k+w-1-word run from an eval doc (source
+    src0) MUST be flagged; a doc with no 6-word overlap must not be.
+    Miss-mode: with the corpus-side df-cap monkeypatched below the
+    quote's df, the boilerplate quote is suppressed — the documented
+    trade, pinned so it stays documented."""
+    from parallelutilities_jl_spark.operators import text as T
+    from parallelutilities_jl_spark.operators.pipeline import EVAL_SOURCE
+
+    quote = "question seven answer is forty two"  # 6 words
+    eval_doc = f"benchmark header {quote} benchmark footer words"
+    contaminated = f"train text aa bb {quote} cc dd more train text"
+    clean = "entirely different training words nothing shared at all"
+    rows = [
+        (1, eval_doc, "en", EVAL_SOURCE, 100),
+        (2, contaminated, "en", "src5", 100),
+        (3, clean, "en", "src5", 100),
+        # two more quoting docs so the quote's corpus df is 3
+        (4, f"other intro {quote} other outro padding words", "en",
+         "src6", 100),
+        (5, f"third context {quote} third closing filler words", "en",
+         "src7", 100),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    flagged = {
+        r["doc_id"]: r
+        for r in T.q_winnowing_contamination(spark, d).collect()
+    }
+    assert {2, 4, 5} <= set(flagged) and 3 not in flagged
+    assert all(flagged[i]["n_eval_docs"] >= 1 for i in (2, 4, 5))
+    # miss-mode: cap below the quote's corpus df suppresses it
+    monkeypatch.setattr(T, "WINNOW_MAX_DF", 2)
+    assert T.q_winnowing_contamination(spark, d).count() == 0
+
+
 def test_overlap_df_cap_drops_boilerplate(spark, tmp_path, monkeypatch):
     """Three identical docs: every hash has df=3; capping df at 2 must
     empty the overlap output in BOTH engines (oracle re-rendered after

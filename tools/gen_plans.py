@@ -258,6 +258,12 @@ SHOWCASE = {
         "count and the self-join, boilerplate hashes (df > 64) dead "
         "before the join, pair counts map-side combined"
     ),
+    "winnowing_contamination": (
+        "train-vs-eval screen: two zero-exchange winnow scans, the "
+        "benchmark-sized eval fingerprint frame broadcast, corpus "
+        "boilerplate (df > 64) dead before the join, two map-side "
+        "combined per-doc aggs — nothing corpus-sized shuffles twice"
+    ),
     "forget_cascade_plan": (
         "deletion cascade: the quality-canonical subtree unchanged, "
         "plus ONE component-keyed partial/final agg whose MAX over "

@@ -48,6 +48,7 @@ QUERIES = (
     # self-join is df-capped like every LSH family
     "winnowing_fingerprints",
     "winnowing_overlap",
+    "winnowing_contamination",
     "embedding_cosine_dups",
     "sequence_packing",
     "corpus_shuffle",
