@@ -175,6 +175,8 @@ LATE_ADDITIONS = [
     # round-13 continuation: right-to-be-forgotten cascade through the
     # dedup canonical state
     "forget_cascade_plan",
+    # round-13 continuation: the k-anonymity release-gating census
+    "k_anonymity_census",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -319,7 +319,7 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate and drop before the join (documented miss-mode: a
     quote that is ALSO corpus boilerplate is suppressed); the per-doc
     tails are two map-side-combinable aggs."""
-    from parallelutilities_jl_spark.operators.pipeline import EVAL_SOURCE
+    from parallelutilities_jl_spark.sources.fixtures import EVAL_SOURCE
     from pyspark.sql.window import Window as W
 
     fps = (
@@ -355,7 +355,7 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_winnowing_contamination() -> str:
-    from parallelutilities_jl_spark.operators.pipeline import EVAL_SOURCE
+    from parallelutilities_jl_spark.sources.fixtures import EVAL_SOURCE
 
     raw_ws = TH.dd_words("text")
     return f"""

@@ -49,6 +49,13 @@ def sf_of(sf_dir: str) -> float:
 BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
 
 
+# the held-out "benchmark" slice of the documents fixture — the eval
+# side of every contamination screen (lives here, with the fixture
+# loaders, so text.py and pipeline.py can both use it without a
+# circular import)
+EVAL_SOURCE = "src0"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; one of {TABLES}")

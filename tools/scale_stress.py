@@ -145,6 +145,8 @@ QUERIES = (
     "quality_threshold_plan",
     "vocab_coverage_plan",
     "session_gap_plan",
+    # k-anonymity census: one QI-keyed hash agg + per-type tail
+    "k_anonymity_census",
     # the tau-tuning census is output-bound at tau=0.1 BY DESIGN (it is
     # asking about tau=0.1); compare its x10 wall against the x10
     # survivor growth, like ngram_jaccard_pairs
