@@ -177,6 +177,8 @@ LATE_ADDITIONS = [
     "forget_cascade_plan",
     # round-13 continuation: the k-anonymity release-gating census
     "k_anonymity_census",
+    # round-13 continuation: the per-source dataset-card composition
+    "dataset_card_report",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -1130,6 +1130,78 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD — the one-table summary a data team
+    publishes with a corpus release, composed from five already-
+    verified per-source censuses: language diversity
+    (`lang_mix_entropy`), near-dup redundancy (`dedup_rate_by_source`),
+    tokenizer fit (`oov_rate_by_source`), distributional health
+    (`zipf_slope_by_source`), and the quality cut the keep budget
+    implies (`quality_threshold_plan`). One row per source; every
+    column is the exact-integer statistic of its component query, so
+    the card inherits each component's oracle.
+
+    Scale shape: each component is its own audited corpus pass (see
+    their SCALING.md rows); the card adds only four S-row equi-joins
+    on `source` — at any corpus size the join inputs are
+    source-cardinality aggregates, so the composition is free. The
+    card is the showcase that the per-source statistics compose
+    WITHOUT a new corpus pass."""
+    from parallelutilities_jl_spark.operators.dedup import (
+        q_dedup_rate_by_source,
+    )
+    from parallelutilities_jl_spark.operators.text import (
+        q_lang_mix_entropy,
+        q_oov_rate_by_source,
+        q_zipf_slope_by_source,
+    )
+
+    lang = q_lang_mix_entropy(spark, sf_dir).select(
+        "source", "n_docs", "n_langs", "entropy_q"
+    )
+    dup = q_dedup_rate_by_source(spark, sf_dir).select(
+        "source", "n_redundant", "dup_rate_e6"
+    )
+    oov = q_oov_rate_by_source(spark, sf_dir).select(
+        "source", "n_tokens", "oov_rate_e6"
+    )
+    zipf = q_zipf_slope_by_source(spark, sf_dir).select(
+        "source", F.col("slope_e6").alias("zipf_slope_e6")
+    )
+    qual = q_quality_threshold_plan(spark, sf_dir).select(
+        "source", "threshold_milli", "keep_ppm"
+    )
+    return (
+        lang.join(dup, "source")
+        .join(oov, "source")
+        .join(zipf, "source")
+        .join(qual, "source")
+    )
+
+
+def _oracle_dataset_card() -> str:
+    from parallelutilities_jl_spark.operators import dedup as D
+    from parallelutilities_jl_spark.operators import text as T
+
+    return f"""
+WITH lang AS (SELECT source, n_docs, n_langs, entropy_q
+              FROM ({T.ORACLES["lang_mix_entropy"]})),
+dup AS (SELECT source, n_redundant, dup_rate_e6
+        FROM ({D.ORACLES["dedup_rate_by_source"]})),
+oov AS (SELECT source, n_tokens, oov_rate_e6
+        FROM ({T.ORACLES["oov_rate_by_source"]})),
+zipf AS (SELECT source, slope_e6 AS zipf_slope_e6
+         FROM ({T.ORACLES["zipf_slope_by_source"]})),
+qual AS (SELECT source, threshold_milli, keep_ppm
+         FROM ({_oracle_quality_threshold()}))
+SELECT lang.source, n_docs, n_langs, entropy_q, n_redundant,
+       dup_rate_e6, n_tokens, oov_rate_e6, zipf_slope_e6,
+       threshold_milli, keep_ppm
+FROM lang JOIN dup USING (source) JOIN oov USING (source)
+JOIN zipf USING (source) JOIN qual USING (source)
+"""
+
+
 # k-anonymity threshold: groups of quasi-identifier values carrying
 # fewer than this many distinct users are re-identification risks
 K_ANON = 5
@@ -2255,6 +2327,7 @@ QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "pii_scrub_stats": q_pii_scrub_stats,
     "k_anonymity_census": q_k_anonymity_census,
+    "dataset_card_report": q_dataset_card_report,
     "boilerplate_scrub_stats": q_boilerplate_scrub_stats,
     "hash_split_documents": q_hash_split,
     "paragraph_dedup": q_paragraph_dedup,
@@ -2285,6 +2358,7 @@ ORACLES = {
     "doc_chunk_windows": ORACLE_DOC_CHUNKS,
     "pii_scrub_stats": ORACLE_PII_SCRUB,
     "k_anonymity_census": ORACLE_K_ANONYMITY,
+    "dataset_card_report": _oracle_dataset_card(),
     "boilerplate_scrub_stats": ORACLE_BOILERPLATE_SCRUB,
     "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
     "mixture_weighted_sample": ORACLE_MIXTURE_SAMPLE,

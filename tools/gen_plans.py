@@ -258,6 +258,11 @@ SHOWCASE = {
         "count and the self-join, boilerplate hashes (df > 64) dead "
         "before the join, pair counts map-side combined"
     ),
+    "dataset_card_report": (
+        "composition showcase: five audited per-source censuses meet "
+        "in four S-row equi-joins on source — the card adds zero "
+        "corpus-sized work to its components at any scale"
+    ),
     "winnowing_contamination": (
         "train-vs-eval screen: two zero-exchange winnow scans, the "
         "benchmark-sized eval fingerprint frame broadcast, corpus "

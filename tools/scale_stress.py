@@ -147,6 +147,8 @@ QUERIES = (
     "session_gap_plan",
     # k-anonymity census: one QI-keyed hash agg + per-type tail
     "k_anonymity_census",
+    # dataset card: composition of 5 audited censuses + S-row joins
+    "dataset_card_report",
     # the tau-tuning census is output-bound at tau=0.1 BY DESIGN (it is
     # asking about tau=0.1); compare its x10 wall against the x10
     # survivor growth, like ngram_jaccard_pairs
