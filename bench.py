@@ -179,6 +179,8 @@ LATE_ADDITIONS = [
     "k_anonymity_census",
     # round-13 continuation: the per-source dataset-card composition
     "dataset_card_report",
+    # round-13 continuation: perceptual dHash image near-dup screen
+    "multimodal_dhash_near_dup",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

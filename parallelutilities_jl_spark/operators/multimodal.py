@@ -783,6 +783,162 @@ FROM placed GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual near-dup (dHash) over the image-modality assets
+# ---------------------------------------------------------------------------
+
+# dHash geometry: an 8x8 "luma" grid sampled at fixed strides across
+# the payload, 7 horizontal gradients per row -> 56 bits. 56 (not the
+# classic 64) keeps every shifted bit weight inside a non-negative
+# int64 so both engines do identical integer arithmetic.
+DHASH_GRID = 8
+DHASH_BITS = DHASH_GRID * (DHASH_GRID - 1)  # 56
+DHASH_BANDS = 4  # 4 x 14-bit bands
+DHASH_HAM_MAX = 6
+DHASH_MIN_LEN = 64  # assets shorter than one grid of samples skip
+
+
+def q_multimodal_dhash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual near-duplicate screen for the image modality —
+    difference-hash (dHash), the standard cheap image near-dup
+    fingerprint: sample a {DHASH_GRID}x{DHASH_GRID} luma grid, keep
+    the sign of each horizontal gradient, band the resulting
+    {DHASH_BITS}-bit fingerprint for LSH, verify candidates by exact
+    hamming distance <= {DHASH_HAM_MAX}. Two lightly-edited copies of
+    an image keep most gradient signs, so they collide in a band and
+    verify close — the semantics exercised end-to-end here.
+
+    DECODE IS THE DOCUMENTED DETERMINISTIC FAKE (multimodal policy,
+    module header): no image codec ships in this container, so "luma"
+    is the character code at {DHASH_GRID}² fixed stride positions of
+    the payload text — deterministic, locality-preserving (a small
+    edit moves few samples), and computable identically in DuckDB,
+    which is what lets the WHOLE pipeline — grid, gradient bit-pack,
+    banding, bucket cap, hamming verify — be oracle-checked. A real
+    deployment swaps ONLY the grid column for a mapInArrow decode
+    (the `multimodal_decode` path); everything downstream is
+    unchanged.
+
+    Scale shape: fingerprints are one zero-shuffle projection;
+    banding + bucket-capped self-join + bit_count verify is exactly
+    the audited simhash_near_dup plan with a 14-bit key space (4x
+    fewer hot buckets than the 8-bit simhash bands)."""
+    from parallelutilities_jl_spark.operators.dedup import MAX_LSH_BUCKET
+    from pyspark.sql.window import Window as W
+
+    g = DHASH_GRID
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    hs = (
+        f"transform(sequence(0, {g * g - 1}), i -> CAST(ascii(substr("
+        f"text, CAST(1 + (i * (length(text) - 1)) DIV {g * g - 1} AS INT)"
+        f", 1)) AS BIGINT))"
+    )
+    li = f"CAST(b DIV {g - 1} AS INT) * {g} + CAST(b % {g - 1} AS INT)"
+    dh = (
+        f"aggregate(sequence(0, {DHASH_BITS - 1}), 0L, (acc, b) -> "
+        f"acc + IF(element_at(hs, {li} + 1) < element_at(hs, {li} + 2), "
+        f"shiftleft(1L, CAST(b AS INT)), 0L))"
+    )
+    fp = (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % 3 == 0)
+            & (F.length("text") >= DHASH_MIN_LEN)
+        )
+        .select(F.col("doc_id").alias("asset_id"), F.expr(hs).alias("hs"))
+        .select("asset_id", F.expr(dh).alias("dhash"))
+    )
+    bands = fp.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.shiftright(F.col("dhash"), 14 * b)
+                        .bitwiseAND(F.lit(16383))
+                        .cast("long")
+                        .alias("key"),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("asset_id", "dhash", "e.band", "e.key")
+    bands = (
+        bands.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+        )
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .drop("bsz")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.dhash").alias("da"),
+            F.col("b.dhash").alias("db"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("da").bitwiseXOR(F.col("db"))).cast("long")
+    return cands.select(
+        "asset_a", "asset_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= DHASH_HAM_MAX)
+
+
+def _oracle_dhash_near_dup() -> str:
+    from parallelutilities_jl_spark.operators.dedup import MAX_LSH_BUCKET
+
+    g = DHASH_GRID
+    li = f"(b // {g - 1}) * {g} + (b % {g - 1})"
+    return f"""
+WITH base AS (SELECT doc_id AS asset_id, text FROM documents
+              WHERE text IS NOT NULL AND doc_id % 3 = 0
+                AND length(text) >= {DHASH_MIN_LEN}),
+grid AS (SELECT asset_id,
+                list_transform(generate_series(0, {g * g - 1}),
+                  i -> ord(substr(text,
+                       CAST(1 + (i * (length(text) - 1)) // {g * g - 1}
+                            AS INT), 1))) AS hs
+         FROM base),
+fp AS (SELECT asset_id,
+              list_sum(list_transform(
+                generate_series(0, {DHASH_BITS - 1}),
+                b -> CASE WHEN hs[{li} + 1] < hs[{li} + 2]
+                          THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+                AS dhash
+       FROM grid),
+bands0 AS (SELECT asset_id, dhash, t.band AS band,
+                  (dhash >> (14 * t.band)) & 16383 AS key
+           FROM fp, range(0, {DHASH_BANDS}) t(band)),
+bands AS (SELECT * FROM (
+            SELECT asset_id, dhash, band, key,
+                   COUNT(*) OVER (PARTITION BY band, key) AS bsz
+            FROM bands0)
+          WHERE bsz <= {MAX_LSH_BUCKET}),
+cand AS (SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                a.dhash AS da, b.dhash AS db
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key
+          AND a.asset_id < b.asset_id)
+SELECT asset_a, asset_b,
+       CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(da, db)) <= {DHASH_HAM_MAX}
+"""
+
+
 QUERIES = {
     "multimodal_arrow_hist": q_multimodal_arrow_hist,
     "multimodal_dedup_census": q_multimodal_dedup_census,
@@ -793,7 +949,9 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_shard_manifest": q_multimodal_shard_manifest,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
 }
 
 ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
 ORACLES["multimodal_shard_manifest"] = ORACLE_SHARD_MANIFEST
+ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()

@@ -49,6 +49,9 @@ QUERIES = (
     "winnowing_fingerprints",
     "winnowing_overlap",
     "winnowing_contamination",
+    # perceptual dHash near-dup: the simhash band-join shape on the
+    # image modality with 14-bit keys; perturbed replicas are TRUE pairs
+    "multimodal_dhash_near_dup",
     "embedding_cosine_dups",
     "sequence_packing",
     "corpus_shuffle",
