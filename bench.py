@@ -181,6 +181,8 @@ LATE_ADDITIONS = [
     "dataset_card_report",
     # round-13 continuation: perceptual dHash image near-dup screen
     "multimodal_dhash_near_dup",
+    # round-13 continuation: real-codec frame-energy feature extraction
+    "multimodal_wav_energy_env",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

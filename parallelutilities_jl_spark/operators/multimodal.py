@@ -60,6 +60,62 @@ ASSET_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
+def _wav_fmt_data(
+    content: bytes,
+) -> tuple[tuple[int, int, int, int, int, int], bytes] | None:
+    """The strict RIFF chunk walk shared by `_decode_wav` and
+    `_wav_pcm16`: returns (fmt fields, data chunk bytes) or None if
+    `content` is not a structurally valid container. Spec order
+    enforced (one fmt chunk BEFORE the one data chunk), first chunk
+    of each kind wins, and the walk STOPS at the data chunk so
+    duplicate chunks or trailing RIFF-shaped bytes can't rewrite the
+    result."""
+    import struct
+
+    if (
+        len(content) < 44
+        or content[0:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return None
+    fmt = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (sz,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            return None  # truncated chunk: not a valid container
+        if cid == b"fmt " and sz >= 16 and fmt is None:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            # data before fmt is out-of-spec → reject
+            if fmt is None:
+                return None
+            return fmt, body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    return None
+
+
+def _wav_pcm16(content: bytes):
+    """REAL sample extraction for mono PCM16 WAV: the same strict walk
+    as `_decode_wav`, returning the little-endian int16 samples as a
+    numpy array (None if the container is invalid or not PCM16). The
+    decode layer under `multimodal_wav_energy_env`."""
+    import numpy as np
+
+    fd = _wav_fmt_data(content)
+    if fd is None:
+        return None
+    fmt, data = fd
+    audio_format, _ch, _sr, _br, block_align, bits = fmt
+    if audio_format != 1 or block_align == 0 or bits != 16:
+        return None
+    return np.frombuffer(
+        data[: len(data) - (len(data) % 2)], dtype="<i2"
+    )
+
+
 def _decode_wav(content: bytes) -> dict | None:
     """REAL decoder for RIFF/WAVE PCM: strict header parse + chunk walk
     + PCM16 sample stats, pure stdlib/numpy — no external codec needed
@@ -76,38 +132,10 @@ def _decode_wav(content: bytes) -> dict | None:
     peak_abs = max |sample| over the PCM16 data (little-endian by
     spec — explicit '<i2' dtype, widened to int32 so |−32768| doesn't
     overflow), None when there are no whole samples."""
-    import struct
-
-    if (
-        len(content) < 44
-        or content[0:4] != b"RIFF"
-        or content[8:12] != b"WAVE"
-    ):
+    fd = _wav_fmt_data(content)
+    if fd is None:
         return None
-    fmt = None
-    data = None
-    pos = 12
-    while pos + 8 <= len(content):
-        cid = content[pos : pos + 4]
-        (sz,) = struct.unpack("<I", content[pos + 4 : pos + 8])
-        body = content[pos + 8 : pos + 8 + sz]
-        if len(body) < sz:
-            return None  # truncated chunk: not a valid container
-        if cid == b"fmt " and sz >= 16 and fmt is None:
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            # spec order: one fmt chunk BEFORE the one data chunk.
-            # First-wins + break makes the walk deterministic on
-            # non-canonical files (duplicate chunks, trailing
-            # RIFF-shaped bytes can't silently overwrite the stats);
-            # data before fmt is out-of-spec → reject.
-            if fmt is None:
-                return None
-            data = body
-            break
-        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
-    if fmt is None or data is None:
-        return None
+    fmt, data = fd
     audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
     if audio_format != 1 or block_align == 0:  # PCM only
         return None
@@ -294,6 +322,139 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(decode, out_schema)
+
+
+# energy envelope geometry: the PCM stream splits into this many
+# equal integer-boundary frames; 3 gradient-sign bits fingerprint the
+# envelope shape
+WAV_ENV_FRAMES = 4
+
+
+def q_multimodal_wav_energy_env(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL DSP feature extraction on the real WAV codec path: decode
+    each synthesized PCM16 container with the strict RIFF walk
+    (`_wav_pcm16`), split the sample stream into {WAV_ENV_FRAMES}
+    equal integer-boundary frames, and emit the exact int64 energy
+    (sum of squared samples) per frame, plus the envelope-shape
+    fingerprint (gradient-sign bits e1>e0, e2>e1, e3>e2) and the peak
+    frame (argmax energy, earliest on ties) — the
+    decode→feature-extract composition a media curation pipeline runs,
+    with a feature an oracle can still predict from first principles
+    (the DuckDB side reconstructs every sample from the UTF-8 hex like
+    the `multimodal_wav_decode` oracle, then does the same integer
+    frame algebra — a misdecoded sample or frame boundary
+    hash-mismatches).
+
+    Frame f covers samples (f·n div {WAV_ENV_FRAMES},
+    (f+1)·n div {WAV_ENV_FRAMES}] (1-based); short streams leave
+    leading frames empty with energy 0. Energies are exact: n <= 64
+    samples × 32768² < 2^37 per frame. Scale shape: one mapInPandas
+    pass after the synthesizer, zero shuffles — the per-blob decode
+    shape at any corpus size."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_wav_assets(spark, sf_dir)
+    nf = WAV_ENV_FRAMES
+
+    out_schema = "asset_id long, n_samples long, " + ", ".join(
+        f"e{f} long" for f in range(nf)
+    )
+
+    def env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                s = _wav_pcm16(bytes(c))
+                if s is None:
+                    raise ValueError(
+                        f"invalid WAV payload for asset {aid}"
+                    )
+                n = len(s)
+                s64 = s.astype(np.int64)
+                es = []
+                for f in range(nf):
+                    lo, hi = f * n // nf, (f + 1) * n // nf
+                    seg = s64[lo:hi]
+                    es.append(int((seg * seg).sum()))
+                rows.append((int(aid), n, *es))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples"]
+                + [f"e{f}" for f in range(nf)],
+            )
+
+    feats = assets.mapInPandas(env, out_schema)
+    fp = sum(
+        (F.col(f"e{f + 1}") > F.col(f"e{f}")).cast("long") * (1 << f)
+        for f in range(nf - 1)
+    )
+    emax = F.greatest(*[F.col(f"e{f}") for f in range(nf)])
+    peak = F.coalesce(
+        *[
+            F.when(F.col(f"e{f}") == emax, F.lit(f).cast("long"))
+            for f in range(nf)
+        ]
+    )
+    return feats.select(
+        "asset_id",
+        "n_samples",
+        *[f"e{f}" for f in range(nf)],
+        fp.alias("env_fp"),
+        peak.alias("peak_frame"),
+    )
+
+
+def _oracle_wav_energy_env() -> str:
+    nf = WAV_ENV_FRAMES
+    e_cols = ", ".join(
+        f"CAST(COALESCE(SUM(s * s) FILTER (WHERE i > {f} * n // {nf} "
+        f"AND i <= {f + 1} * n // {nf}), 0) AS BIGINT) AS e{f}"
+        for f in range(nf)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN e{f + 1} > e{f} THEN {1 << f} ELSE 0 END)"
+        for f in range(nf - 1)
+    )
+    gr = ", ".join(f"e{f}" for f in range(nf))
+    peak = "CASE " + " ".join(
+        f"WHEN e{f} = GREATEST({gr}) THEN {f}" for f in range(nf)
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS hx,
+         LEAST(octet_length(encode(text)), {WAV_DATA_CAP}) AS rawlen
+  FROM documents WHERE text IS NOT NULL),
+dims AS (
+  SELECT asset_id, rawlen, (rawlen + rawlen % 2) // 2 AS n FROM base),
+samp AS (
+  SELECT d.asset_id, d.n, UNNEST(generate_series(1, d.n)) AS i
+  FROM dims d WHERE d.n >= 1),
+vals AS (
+  SELECT s.asset_id, s.n, s.i,
+         (SELECT u16 - CASE WHEN u16 >= 32768 THEN 65536 ELSE 0 END
+          FROM (SELECT ('0x' || substring(b.hx, 4 * s.i - 3, 2))::INT
+                + 256 * (CASE WHEN 2 * s.i <= b.rawlen
+                         THEN ('0x' || substring(b.hx, 4 * s.i - 1, 2))::INT
+                         ELSE 0 END) AS u16)) AS s
+  FROM samp s JOIN base b USING (asset_id)),
+es AS (
+  SELECT asset_id, MAX(n) AS n, {e_cols}
+  FROM vals GROUP BY asset_id),
+full_es AS (
+  SELECT d.asset_id, CAST(d.n AS BIGINT) AS n_samples,
+         {", ".join(f"COALESCE(e.e{f}, 0) AS e{f}" for f in range(nf))}
+  FROM dims d LEFT JOIN es e USING (asset_id))
+SELECT asset_id, n_samples, {gr},
+       CAST({fp} AS BIGINT) AS env_fp,
+       CAST({peak} AS BIGINT) AS peak_frame
+FROM full_es
+"""
 
 
 def decode_assets(assets: DataFrame) -> DataFrame:
@@ -950,8 +1111,10 @@ QUERIES = {
     "multimodal_shard_manifest": q_multimodal_shard_manifest,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
+    "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
 }
 
 ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
 ORACLES["multimodal_shard_manifest"] = ORACLE_SHARD_MANIFEST
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
+ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()

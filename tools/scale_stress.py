@@ -52,6 +52,8 @@ QUERIES = (
     # perceptual dHash near-dup: the simhash band-join shape on the
     # image modality with 14-bit keys; perturbed replicas are TRUE pairs
     "multimodal_dhash_near_dup",
+    # real-codec decode -> frame-energy features, zero shuffles
+    "multimodal_wav_energy_env",
     "embedding_cosine_dups",
     "sequence_packing",
     "corpus_shuffle",
