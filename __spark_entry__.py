@@ -80,78 +80,83 @@ def _registries():
 # maximum number of rows before any cut-off. Names missing from this
 # list (new queries not yet re-measured) sort after it in module order.
 _CHEAP_FIRST = [
-    "product_scan", "child_index_shifted", "drop_leading_dim",
-    "product_scan_float", "product_section", "zip_split",
-    "linear_to_multidim", "pmapbatch_map", "pmapreduce_sum_squares",
-    "product_split", "topk_orders", "unpivot_part_metrics",
-    "product_getindex", "partition_bounds", "dict_merge_reduce",
-    "multimodal_binary_stats", "elementwise_max_arrays", "join_semi",
-    "lang_id_ngram", "scalar_functions", "stream_upsert_state",
-    "elementwise_min_arrays", "ordered_reduce_sum", "stateful_topk",
-    "stratified_sample", "token_stats", "doc_chunk_windows",
-    "elementwise_product_arrays", "hash_split_documents", "split_length",
-    "stateful_ewma", "text_quality_score", "dict_merge_ordered",
-    "string_agg_nations", "which_partition", "date_breakdown",
-    "embedding_norm_stats", "join_anti", "ordered_hcat_matrices",
-    "boilerplate_scrub_stats", "doc_fingerprint", "elementwise_sum_arrays",
-    "skew_profile_events", "agg_cube", "ordered_stack_arrays",
-    "zorder_cell_stats", "pii_scrub_stats", "pivot_status", "skyline_parts",
-    "stateful_running_count", "sliding_window_avg", "extrema_all_dims",
-    "incremental_agg_merge", "percentile_stats", "q13_custdist",
-    "q4_order_priority", "anomaly_daily_counts", "corpus_shuffle",
-    "dedup_exact", "json_props_stats", "reduce_with_init",
-    "trimmed_robust_stats", "join_full_outer", "phrase_match_docs",
-    "rolling_active_users", "stream_dedup_events", "windowed_event_counts",
-    "q11_important_parts", "embedding_diversity", "interval_islands",
-    "q14_promo_revenue", "stateful_running_sum", "above_segment_avg",
-    "broadcast_stack_overlap", "grouping_sets_customer", "agg_rollup",
-    "join_broadcast_dim", "q12_priority_lines", "retention_cohorts",
-    "approx_percentile_check", "mixture_weighted_sample",
-    "pmapreduce_bigsum", "char_class_entropy", "lang_mix_entropy",
-    "minhash_signature", "q1_pricing_summary", "table_column_stats",
-    "corpus_filter_pipeline", "hard_negative_mining",
-    "padding_waste_buckets", "partition_and_index", "q17_small_qty_revenue",
-    "q19_bracketed_revenue", "stateful_sessions", "window_lag_lead",
-    "elementwise_zip_add", "lang_id_confusion", "min_dim",
-    "window_running_sum", "ann_ivf_topk", "diversified_topk",
-    "ordered_concat", "runtime_filtered_join", "max_dim",
-    "q16_parts_supplier_cnt", "multimodal_dedup_census", "nelements_dim",
-    "set_ops", "user_behavior_similarity", "distinct_agg", "extrema_dim",
-    "funnel_conversion", "window_rolling_7d", "q3_shipping_priority",
-    "reservoir_sample_per_key", "sessionize_events", "ann_cosine_topk",
-    "index_in_product", "multimodal_shard_manifest", "q18_large_orders",
-    "q20_promo_suppliers", "session_window_agg", "split_first_last",
-    "asof_join", "kmeans_assign", "q10_returned_items", "split_membership",
-    "ann_lsh_bucket", "productsplit_partition_agg", "q8_market_share",
-    "q9_profit_by_nation", "range_join", "salted_join_orders",
-    "vocab_fuzzy_pairs", "q7_volume_shipping", "local_index",
-    "vocab_top_bigrams", "multimodal_arrow_hist", "multimodal_frame_sample",
-    "median_mad_stats", "pmapbatch_partitions", "ann_index_delta",
-    "lateral_topk_per_nation", "skipgram_pairs", "window_rank_functions",
-    "sequence_packing", "partition_recast", "triangle_count",
-    "embedding_cosine_exact", "scd2_status_history", "multimodal_decode",
-    "oov_rate_by_source", "q21_waiting_suppliers", "quality_curriculum",
-    "cms_heavy_hitters", "join_left_outer", "window_topk_per_group",
-    "paragraph_dedup", "approx_distinct_check", "q22_idle_rich_customers",
-    "unigram_logppl", "q5_local_supplier_volume", "worker_rank",
-    "link_graph_pagerank", "q6_forecast_revenue", "contamination_check",
-    "mixture_epochs_plan", "ivf_trained_census", "repetition_stats",
-    "zipf_slope_by_source", "q15_top_supplier", "fk_orphan_census",
-    "tfidf_top_terms", "split_drift_psi", "stream_join_attribution",
-    "q2_min_cost_supplier", "simhash_fingerprint", "bm25_topk",
-    "substring_dup_spans", "ann_ivf_trained_topk", "ann_int8_topk",
-    "extrema_lastdim", "minhash_near_dup", "multimodal_wav_decode",
-    "semantic_dedup", "bpe_apply_fertility", "source_overlap_census",
-    "dsir_importance_weights", "ngram_novelty_rate", "embedding_cosine_dups",
-    "bigram_pmi_top", "ann_ivf_multiprobe_topk", "dedup_eval_confusion",
-    "multimodal_resize", "embedding_power_iteration", "simhash_near_dup",
-    "containment_dups", "bpe_merges", "embedding_abtt_census",
-    "fuzzy_contamination", "ngram_jaccard_pairs", "training_order_packing",
-    "stream_sig_dedup", "dedup_components", "pmapreduce_dense_elsum",
-    "leakage_safe_split", "multimodal_features", "dedup_rate_by_source",
-    "quality_canonical_dedup", "incremental_dedup", "ann_pq_rerank_topk",
-    "kmeans_assign_two_level", "semantic_dedup_scaled", "knn_mutual_graph",
-    "ann_pq_topk", "knn_components", "dedup_order_plan",
+    "zip_split", "child_index_shifted", "product_scan", "linear_to_multidim",
+    "product_scan_float", "drop_leading_dim", "product_section",
+    "product_split", "pmapbatch_map", "product_getindex", "split_length",
+    "partition_bounds", "pmapreduce_sum_squares", "unpivot_part_metrics",
+    "index_in_product", "multimodal_binary_stats", "reduce_with_init",
+    "stratified_sample", "worker_rank", "hash_split_documents", "join_semi",
+    "ordered_reduce_sum", "skew_profile_events", "split_membership",
+    "topk_orders", "dict_merge_reduce", "join_anti", "split_first_last",
+    "stateful_topk", "elementwise_min_arrays", "lang_id_ngram",
+    "stream_join_attribution", "scalar_functions", "dict_merge_ordered",
+    "elementwise_sum_arrays", "sliding_window_avg", "text_quality_score",
+    "which_partition", "boilerplate_scrub_stats", "elementwise_max_arrays",
+    "elementwise_product_arrays", "stateful_ewma", "stream_upsert_state",
+    "doc_chunk_windows", "embedding_norm_stats", "join_left_outer",
+    "json_props_stats", "ordered_stack_arrays", "string_agg_nations",
+    "token_stats", "date_breakdown", "window_topk_per_group",
+    "ordered_hcat_matrices", "q11_important_parts", "q4_order_priority",
+    "q6_forecast_revenue", "join_full_outer", "pii_scrub_stats",
+    "skyline_parts", "doc_fingerprint", "extrema_all_dims",
+    "incremental_agg_merge", "stateful_running_count", "above_segment_avg",
+    "packing_capacity_plan", "padding_waste_buckets", "phrase_match_docs",
+    "anomaly_daily_counts", "stateful_running_sum", "zorder_cell_stats",
+    "embedding_diversity", "retention_cohorts", "trimmed_robust_stats",
+    "corpus_shuffle", "minhash_signature", "broadcast_stack_overlap",
+    "interval_islands", "lang_mix_entropy", "ann_ivf_topk",
+    "q14_promo_revenue", "rolling_active_users", "char_class_entropy",
+    "corpus_filter_pipeline", "lang_id_confusion", "max_dim", "set_ops",
+    "table_column_stats", "windowed_event_counts", "approx_percentile_check",
+    "grouping_sets_customer", "hard_negative_mining", "agg_cube",
+    "ann_cosine_topk", "extrema_dim", "q20_promo_suppliers",
+    "window_running_sum", "dedup_exact", "k_anonymity_census", "min_dim",
+    "multimodal_dedup_census", "nelements_dim", "partition_and_index",
+    "ordered_concat", "q16_parts_supplier_cnt", "q19_bracketed_revenue",
+    "q3_shipping_priority", "stateful_sessions", "diversified_topk",
+    "funnel_conversion", "q12_priority_lines", "runtime_filtered_join",
+    "window_lag_lead", "window_rolling_7d", "elementwise_zip_add",
+    "percentile_stats", "q1_pricing_summary", "reservoir_sample_per_key",
+    "user_behavior_similarity", "agg_rollup", "pivot_status",
+    "stream_dedup_events", "pmapbatch_partitions", "q17_small_qty_revenue",
+    "salted_join_orders", "session_window_agg", "ann_lsh_bucket",
+    "local_index", "distinct_agg", "sessionize_events",
+    "multimodal_arrow_hist", "productsplit_partition_agg",
+    "vocab_fuzzy_pairs", "median_mad_stats", "q13_custdist",
+    "quality_threshold_plan", "mixture_epochs_plan", "q10_returned_items",
+    "skipgram_pairs", "q18_large_orders", "multimodal_shard_manifest",
+    "vocab_top_bigrams", "triangle_count", "join_broadcast_dim",
+    "q7_volume_shipping", "q9_profit_by_nation", "asof_join",
+    "extrema_lastdim", "pmapreduce_bigsum", "ann_index_delta",
+    "window_rank_functions", "mixture_weighted_sample", "kmeans_assign",
+    "multimodal_decode", "quality_curriculum", "scd2_status_history",
+    "sequence_packing", "cms_heavy_hitters", "partition_recast",
+    "q8_market_share", "range_join", "embedding_cosine_exact",
+    "paragraph_dedup", "multimodal_frame_sample", "q21_waiting_suppliers",
+    "winnowing_fingerprints", "lateral_topk_per_nation", "oov_rate_by_source",
+    "q5_local_supplier_volume", "split_drift_psi", "contamination_check",
+    "zipf_slope_by_source", "session_gap_plan", "ivf_trained_census",
+    "repetition_stats", "approx_distinct_check", "unigram_logppl",
+    "link_graph_pagerank", "q15_top_supplier", "embedding_dim_plan",
+    "ann_int8_topk", "multimodal_dhash_near_dup", "multimodal_features",
+    "tfidf_top_terms", "q2_min_cost_supplier", "q22_idle_rich_customers",
+    "kmeans_assign_two_level", "multimodal_wav_decode", "vocab_coverage_plan",
+    "multimodal_resize", "simhash_fingerprint", "substring_dup_spans",
+    "containment_dups", "minhash_near_dup", "ann_ivf_trained_topk",
+    "winnowing_overlap", "winnowing_contamination", "dsir_importance_weights",
+    "fk_orphan_census", "bigram_pmi_top", "bm25_topk",
+    "ann_ivf_multiprobe_topk", "embedding_power_iteration",
+    "ngram_novelty_rate", "semantic_dedup", "bpe_apply_fertility",
+    "stream_sig_dedup", "simhash_near_dup", "fuzzy_contamination",
+    "dedup_eval_confusion", "embedding_abtt_census", "source_overlap_census",
+    "embedding_cosine_dups", "ngram_jaccard_pairs", "training_order_packing",
+    "dedup_rate_by_source", "leakage_safe_split", "pmapreduce_dense_elsum",
+    "dedup_components", "ann_pq_topk", "quality_canonical_dedup",
+    "simhash_hamming_census", "incremental_dedup", "bpe_merges",
+    "semantic_dedup_scaled", "dedup_threshold_sensitivity",
+    "lsh_banding_plan", "dataset_card_report", "multimodal_wav_energy_env",
+    "ann_nprobe_plan", "ann_pq_rerank_topk", "forget_cascade_plan",
+    "knn_mutual_graph", "dedup_order_plan", "knn_components",
 ]
 
 

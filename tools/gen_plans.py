@@ -258,6 +258,11 @@ SHOWCASE = {
         "count and the self-join, boilerplate hashes (df > 64) dead "
         "before the join, pair counts map-side combined"
     ),
+    "multimodal_wav_energy_env": (
+        "real-codec feature plan: synthesize + decode + frame-energy "
+        "algebra fused into one mapInPandas chain over the scan — "
+        "zero exchanges, the per-blob shape a media corpus needs"
+    ),
     "dataset_card_report": (
         "composition showcase: five audited per-source censuses meet "
         "in four S-row equi-joins on source — the card adds zero "
