@@ -2985,7 +2985,74 @@ FROM daily d JOIN st USING (event_type)
 """
 
 
+# k-anonymity threshold: groups of quasi-identifier values carrying
+# fewer than this many distinct users are re-identification risks
+K_ANON = 5
+
+
+def q_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk census over the event log's quasi-identifiers
+    (the release-gating governance table next to the PII scrub): a QI
+    group is the (event_type, hour-of-day, integer value band) tuple —
+    attributes an attacker plausibly knows — and any group carrying
+    fewer than {K_ANON} distinct users is a re-identification risk
+    (Sweeney's k-anonymity, the standard release criterion). Emits,
+    per event_type: group counts, risky-group counts, the event volume
+    sitting in risky groups, and the exposed user-memberships (summed
+    per group — a user in two risky groups counts twice, since each
+    group is a separate disclosure channel).
+
+    Scale shape: one QI-keyed hash agg (the distinct-user count rides
+    the same shuffle as a partial-aggregable approx at production
+    scale; exact here for the oracle) and a tiny per-type tail —
+    the same two-level shape as the quality histogram planners."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.floor("value").cast("long").alias("val_band"),
+            "user_id",
+        )
+        .groupBy("event_type", "hour_of_day", "val_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    risky = F.col("n_users") < K_ANON
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(risky.cast("long")).alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("n_events")).otherwise(0)).alias(
+            "n_risky_events"
+        ),
+        F.sum(F.when(risky, F.col("n_users")).otherwise(0)).alias(
+            "n_exposed"
+        ),
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH g AS (SELECT event_type,
+                  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                  CAST(FLOOR(value) AS BIGINT) AS val_band,
+                  CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events GROUP BY 1, 2, 3)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_users < {K_ANON} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN n_users < {K_ANON} THEN n_events ELSE 0 END)
+            AS BIGINT) AS n_risky_events,
+       CAST(SUM(CASE WHEN n_users < {K_ANON} THEN n_users ELSE 0 END)
+            AS BIGINT) AS n_exposed
+FROM g GROUP BY 1
+"""
+
+
 QUERIES = {
+    "k_anonymity_census": q_k_anonymity_census,
     "q1_pricing_summary": q_pricing_summary,
     "skyline_parts": q_skyline_parts,
     "interval_islands": q_interval_islands,
@@ -3054,6 +3121,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "k_anonymity_census": ORACLE_K_ANONYMITY,
     "skyline_parts": ORACLE_SKYLINE_PARTS,
     "interval_islands": ORACLE_INTERVAL_ISLANDS,
     "anomaly_daily_counts": ORACLE_ANOMALY_DAILY,

@@ -99,6 +99,12 @@ def test_bench_cli_emits_single_json_line():
 # this gate fires: diff per-query medians against the committed
 # artifact — a real regression is a step change in specific heads, the
 # box band is a uniform multiplier tracking canary_sec.
+# A fourth same-boot run ~6 h later (after the 9 continuation queries
+# landed) re-confirmed: canary 0.425, common-63 raw 37.6 / norm 33.0
+# (both over band), median per-query ratio 1.20 vs the accepted
+# artifact with NO step change attributable to a plan (AUDIT: zero
+# shape changes; none of the new queries are in the common subset) —
+# discarded the same way (/tmp copy retained in the round log).
 RAW_GATE_REF_SEC = 32.999
 NORM_GATE_REF_SEC = 27.559
 GATE_BAND = 1.05

@@ -8,7 +8,7 @@ import datetime as dt
 
 
 def test_k_anonymity_hand_derived(spark, tmp_path):
-    from parallelutilities_jl_spark.operators import pipeline as P
+    from parallelutilities_jl_spark.operators import relational as P
 
     assert P.K_ANON == 5  # rows below are derived for k=5
     t0 = dt.datetime(2024, 1, 1, 9, 30)  # hour_of_day 9
