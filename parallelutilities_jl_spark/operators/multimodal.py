@@ -1059,13 +1059,14 @@ def q_multimodal_dhash_near_dup(
     ).filter(F.col("hamming") <= DHASH_HAM_MAX)
 
 
-def _oracle_dhash_near_dup() -> str:
-    from parallelutilities_jl_spark.operators.dedup import MAX_LSH_BUCKET
-
+def _dhash_fp_sql() -> str:
+    """The base/grid/fp CTE chain (documents -> per-image-asset 56-bit
+    dhash) shared by the oracle, the recall tool, and the banding-
+    recall test — one definition so the fingerprint algebra cannot
+    drift between the comparison sides."""
     g = DHASH_GRID
     li = f"(b // {g - 1}) * {g} + (b % {g - 1})"
-    return f"""
-WITH base AS (SELECT doc_id AS asset_id, text FROM documents
+    return f"""base AS (SELECT doc_id AS asset_id, text FROM documents
               WHERE text IS NOT NULL AND doc_id % 3 = 0
                 AND length(text) >= {DHASH_MIN_LEN}),
 grid AS (SELECT asset_id,
@@ -1080,7 +1081,14 @@ fp AS (SELECT asset_id,
                 b -> CASE WHEN hs[{li} + 1] < hs[{li} + 2]
                           THEN (1::BIGINT << b) ELSE 0::BIGINT END))
                 AS dhash
-       FROM grid),
+       FROM grid)"""
+
+
+def _oracle_dhash_near_dup() -> str:
+    from parallelutilities_jl_spark.operators.dedup import MAX_LSH_BUCKET
+
+    return f"""
+WITH {_dhash_fp_sql()},
 bands0 AS (SELECT asset_id, dhash, t.band AS band,
                   (dhash >> (14 * t.band)) & 16383 AS key
            FROM fp, range(0, {DHASH_BANDS}) t(band)),

@@ -20,14 +20,21 @@ OTHER = (
 )
 
 
-def test_banding_recall_equals_exact_on_editped_corpus(tmp_path):
-    """Banding must not LOSE pairs the exact all-pairs hamming scan
-    accepts: on a corpus of base docs plus light edits (the dup shape
-    the screen exists for), banded-candidates ∩ hamming<=max ==
-    exact all-pairs hamming<=max. Measured the same way on the x10
-    stress corpus: 6598/6598 pairs, recall 1.0 (SCALING.md row).
-    Pure-DuckDB (both sides run the committed oracle algebra), no
-    Spark session needed."""
+def test_banding_guarantee_and_measured_high_regime_recall(tmp_path):
+    """The honest banding claims, asserted in the regime where loss is
+    POSSIBLE: with 4 bands, pigeonhole guarantees a clean shared band
+    at hamming <= 3 — those pairs must ALL be found (exact claim);
+    above that the banding is probabilistic (same AND-OR dial as
+    simhash), so the 4-6 regime gets a measured-recall FLOOR on a
+    fixture built to stress it (5 spread word edits per doc flip
+    gradient bits across bands; the corpus is verified to contain
+    dozens of hamming 4-6 pairs before asserting — an easy corpus
+    would make the check vacuous; measured here: 83/84). Both sides
+    run the SAME committed fingerprint algebra (_dhash_fp_sql), so
+    the comparison isolates the banding step. The x10 stress-corpus
+    measurement (6598/6598, recall 1.0 — replica edits concentrate
+    differing bits) is reproducible via tools/dhash_recall.py.
+    Pure-DuckDB, no Spark session needed."""
     import duckdb
     import pandas as pd
 
@@ -37,51 +44,41 @@ def test_banding_recall_equals_exact_on_editped_corpus(tmp_path):
     rows = []
     for k in range(30):
         body = " ".join(words[(i + k) % 40] for i in range(40))
-        rows.append((k * 3, body, "en", "s", len(body)))  # image ids
-        edited = body.replace(f"w{(7 + k) % 40:03d}", "zz")
-        rows.append((k * 3 + 30 * 3, edited, "en", "s", len(edited)))
+        rows.append((k * 3, body))
+        ed = body.split(" ")
+        for j in range(5):  # spread edits -> differing bits hit many bands
+            ed[(3 + j * 37 // 4 + k) % 40] = "zqx"
+        rows.append((k * 3 + 90, " ".join(ed)))
     pd.DataFrame(
-        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
     ).to_parquet(str(tmp_path / "documents.parquet"))
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{tmp_path}/documents.parquet'"
     )
+    exact = con.execute(f"""
+WITH {M._dhash_fp_sql()}
+SELECT a.asset_id, b.asset_id, bit_count(xor(a.dhash, b.dhash)) AS h
+FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {M.DHASH_HAM_MAX}
+""").fetchall()
     banded = set(
         (a, b) for a, b, _ in con.execute(
             M._oracle_dhash_near_dup()
         ).fetchall()
     )
-    g = M.DHASH_GRID
-    li = f"(b // {g - 1}) * {g} + (b % {g - 1})"
-    exact = set(
-        tuple(r)
-        for r in con.execute(f"""
-WITH base AS (SELECT doc_id AS asset_id, text FROM documents
-              WHERE text IS NOT NULL AND doc_id % 3 = 0
-                AND length(text) >= {M.DHASH_MIN_LEN}),
-grid AS (SELECT asset_id,
-                list_transform(generate_series(0, {g * g - 1}),
-                  i -> ord(substr(text,
-                       CAST(1 + (i * (length(text) - 1)) // {g * g - 1}
-                            AS INT), 1))) AS hs
-         FROM base),
-fp AS (SELECT asset_id,
-              list_sum(list_transform(
-                generate_series(0, {M.DHASH_BITS - 1}),
-                b -> CASE WHEN hs[{li} + 1] < hs[{li} + 2]
-                          THEN (1::BIGINT << b) ELSE 0::BIGINT END))
-                AS dhash
-       FROM grid)
-SELECT a.asset_id, b.asset_id FROM fp a JOIN fp b
-ON a.asset_id < b.asset_id
-WHERE bit_count(xor(a.dhash, b.dhash)) <= {M.DHASH_HAM_MAX}
-""").fetchall()
-    )
     con.close()
-    assert exact, "fixture must produce at least one true pair"
-    assert banded == exact
+    low = {(a, b) for a, b, h in exact if h <= 3}
+    high = {(a, b) for a, b, h in exact if h >= 4}
+    assert len(high) >= 20, "fixture must reach the hamming 4-6 regime"
+    # the pigeonhole GUARANTEE: every hamming<=3 pair shares a band
+    assert low <= banded
+    # the probabilistic regime: measured 83/84 here; floor at 0.9
+    assert len(high & banded) / len(high) >= 0.9
+    # no false accepts: banding+verify never emits a pair exact rejects
+    assert banded <= {(a, b) for a, b, _ in exact}
 
 
 def test_dhash_perceptual_property(spark, tmp_path):
