@@ -205,15 +205,30 @@ def lsh_bands(
     )
 
 
+_CAP_DEFAULT = object()  # sentinel: resolve MAX_LSH_BUCKET at CALL time
+# (a def-time default would freeze the module constant, breaking the
+# cap-override tests and any runtime re-tuning of the cap)
+
+
 def candidate_pairs(
-    bands_df: DataFrame, max_bucket: int | None = MAX_LSH_BUCKET
+    bands_df: DataFrame,
+    max_bucket=_CAP_DEFAULT,
+    carry: tuple = (),
 ) -> DataFrame:
-    """Docs sharing any band bucket (doc_a < doc_b), deduped.
+    """Docs sharing any band bucket (doc_a < doc_b), deduped. Columns
+    named in `carry` ride along as {c}_a / {c}_b (the fingerprint
+    families carry their hash for the hamming verify), entering the
+    pair distinct — same cardinality, since a carried fingerprint is
+    functionally determined by its doc id. `max_bucket=None` disables
+    the cap; the default resolves the module's MAX_LSH_BUCKET when the
+    function runs.
 
     Buckets larger than `max_bucket` are dropped before the self-join —
     a giant bucket is C(size, 2) pairs and would dominate the shuffle; a
     near-dup group that large is better handled by exact dedup upstream.
     The size count rides the same (band, key) shuffle the join needs."""
+    if max_bucket is _CAP_DEFAULT:
+        max_bucket = MAX_LSH_BUCKET
     if max_bucket is not None:
         from pyspark.sql.window import Window as W
 
@@ -236,7 +251,10 @@ def candidate_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
         )
         .distinct()
     )
@@ -990,7 +1008,6 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a wider fingerprint (64-bit simhash, 4×16-bit bands → 2¹⁶ keys)
     plus this same cap; the 32-bit width here keeps the per-bit vote
     oracle exactly cross-engine-checkable."""
-    from pyspark.sql.window import Window as W
 
     fp = _simhash_df(spark, sf_dir)
     bands = fp.select(
@@ -1011,33 +1028,9 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "simhash", "e.band", "e.key")
-    # bucket cap rides the same (band, key) shuffle the self-join needs
-    bands = (
-        bands.withColumn(
-            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
-        )
-        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
-        .drop("bsz")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sha"),
-            F.col("b.simhash").alias("shb"),
-        )
-        .distinct()
-    )
+    cands = candidate_pairs(bands, carry=("simhash",))
     ham = F.bit_count(
-        F.col("sha").bitwiseXOR(F.col("shb"))
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
     ).cast("long")
     return (
         cands.select("doc_a", "doc_b", ham.alias("hamming"))
@@ -1082,31 +1075,10 @@ def q_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "simhash", "e.band", "e.key")
-    bands = (
-        bands.withColumn(
-            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
-        )
-        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
-        .drop("bsz")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sha"),
-            F.col("b.simhash").alias("shb"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
+    cands = candidate_pairs(bands, carry=("simhash",))
+    ham = F.bit_count(
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    ).cast("long")
     hist = (
         cands.select(ham.alias("hamming"))
         .groupBy("hamming")

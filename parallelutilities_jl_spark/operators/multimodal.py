@@ -108,8 +108,11 @@ def _wav_pcm16(content: bytes):
     if fd is None:
         return None
     fmt, data = fd
-    audio_format, _ch, _sr, _br, block_align, bits = fmt
-    if audio_format != 1 or block_align == 0 or bits != 16:
+    audio_format, n_ch, _sr, _br, block_align, bits = fmt
+    # mono PCM16 only, as documented: a stereo container would hand
+    # back the interleaved L/R stream as one sequence, silently mixing
+    # channels into the frame energies
+    if audio_format != 1 or block_align == 0 or bits != 16 or n_ch != 1:
         return None
     return np.frombuffer(
         data[: len(data) - (len(data) % 2)], dtype="<i2"
@@ -986,9 +989,6 @@ def q_multimodal_dhash_near_dup(
     banding + bucket-capped self-join + bit_count verify is exactly
     the audited simhash_near_dup plan with a 14-bit key space (4x
     fewer hot buckets than the 8-bit simhash bands)."""
-    from parallelutilities_jl_spark.operators.dedup import MAX_LSH_BUCKET
-    from pyspark.sql.window import Window as W
-
     g = DHASH_GRID
     docs = load_table_parallel(spark, sf_dir, "documents")
     hs = (
@@ -1029,33 +1029,18 @@ def q_multimodal_dhash_near_dup(
             )
         ).alias("e"),
     ).select("asset_id", "dhash", "e.band", "e.key")
-    bands = (
-        bands.withColumn(
-            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
-        )
-        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
-        .drop("bsz")
+    from parallelutilities_jl_spark.operators.dedup import candidate_pairs
+
+    cands = candidate_pairs(
+        bands.withColumnRenamed("asset_id", "doc_id"), carry=("dhash",)
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
-        )
-        .select(
-            F.col("a.asset_id").alias("asset_a"),
-            F.col("b.asset_id").alias("asset_b"),
-            F.col("a.dhash").alias("da"),
-            F.col("b.dhash").alias("db"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("da").bitwiseXOR(F.col("db"))).cast("long")
+    ham = F.bit_count(
+        F.col("dhash_a").bitwiseXOR(F.col("dhash_b"))
+    ).cast("long")
     return cands.select(
-        "asset_a", "asset_b", ham.alias("hamming")
+        F.col("doc_a").alias("asset_a"),
+        F.col("doc_b").alias("asset_b"),
+        ham.alias("hamming"),
     ).filter(F.col("hamming") <= DHASH_HAM_MAX)
 
 

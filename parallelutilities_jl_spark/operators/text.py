@@ -219,11 +219,29 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer arithmetic in DuckDB decodes the same keys.
     Cost is O(tokens · w) per row with w = {WINNOW_W}."""
     docs = load_table_parallel(spark, sf_dir, "documents")
+    return _winnow_fp_frame(docs)
+
+
+def _winnow_fp_frame(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """The winnowing selection over a documents frame, carrying any
+    `extra_cols` (e.g. `source`) through the in-row algebra — callers
+    that need doc attributes on the fingerprint rows get them for
+    free from the SAME scan instead of re-joining the corpus."""
+    extra = list(extra_cols)
     base = (
-        docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
-        .filter(F.size("ws") >= WINNOW_K + WINNOW_W - 1)
+        docs.select("doc_id", *extra, TH.words(F.col("text")).alias("ws"))
+        # lower bound: at least one full window; upper bound: the
+        # integer argmin key encodes pos in [1, C) — docs beyond C-1
+        # k-grams would silently corrupt the decode, so they are
+        # EXCLUDED (mirrored in the oracle; winnow per chunk at that
+        # length in production, cf. the WINNOW_C comment)
+        .filter(
+            (F.size("ws") >= WINNOW_K + WINNOW_W - 1)
+            & (F.size("ws") <= WINNOW_C + WINNOW_K - 2)
+        )
         .select(
             "doc_id",
+            *extra,
             F.transform(
                 TH.shingles(F.col("ws"), WINNOW_K),
                 lambda sh: TH.md5_int32(sh),
@@ -244,9 +262,10 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.select(
-        "doc_id", F.explode(keys).alias("k")
+        "doc_id", *extra, F.explode(keys).alias("k")
     ).select(
         "doc_id",
+        *extra,
         F.expr(f"(k + {WINNOW_C - 1}) div {WINNOW_C}").alias("fp"),
         F.expr(
             f"((k + {WINNOW_C - 1}) div {WINNOW_C}) * {WINNOW_C} - k"
@@ -322,15 +341,14 @@ def q_winnowing_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelutilities_jl_spark.sources.fixtures import EVAL_SOURCE
     from pyspark.sql.window import Window as W
 
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    # source rides the fingerprint scan itself (_winnow_fp_frame), so
+    # no corpus-sized doc_id re-join — the scans stay zero-exchange
     fps = (
-        q_winnowing_fingerprints(spark, sf_dir)
-        .select("doc_id", "fp")
+        _winnow_fp_frame(docs, extra_cols=("source",))
+        .select("doc_id", "source", "fp")
         .distinct()
     )
-    src = load_table_parallel(spark, sf_dir, "documents").select(
-        "doc_id", "source"
-    )
-    fps = fps.join(src, "doc_id")
     ev = F.broadcast(
         fps.filter(F.col("source") == EVAL_SOURCE).select(
             F.col("doc_id").alias("eval_doc"), "fp"
@@ -1147,7 +1165,8 @@ def _winnow_fp_cte(raw_ws: str) -> str:
     c = WINNOW_C
     return f"""w AS (SELECT doc_id, {raw_ws} AS ws FROM documents),
 sh AS (SELECT doc_id, {TH.dd_shingles('ws', WINNOW_K)} AS shs
-       FROM w WHERE len(ws) >= {WINNOW_K + WINNOW_W - 1}),
+       FROM w WHERE len(ws) >= {WINNOW_K + WINNOW_W - 1}
+         AND len(ws) <= {WINNOW_C + WINNOW_K - 2}),
 hl AS (SELECT doc_id,
               list_transform(shs, x -> {TH.dd_md5_int32('x')}) AS hs
        FROM sh),

@@ -107,3 +107,41 @@ def test_dhash_perceptual_property(spark, tmp_path):
     # unrelated content and the audio-modality asset never appear
     flat = {i for pair in got for i in pair}
     assert 9 not in flat and 4 not in flat
+
+
+def test_dhash_parity_on_non_ascii_text(spark, tmp_path):
+    """Spark `ascii()` and DuckDB `ord()` both return the Unicode
+    CODEPOINT of the first character (verified empirically on Spark
+    4.1 — not the leading UTF-8 byte), so the luma sampling agrees on
+    multi-byte text. Pin it: image docs saturated with multi-byte
+    chars at every sampled position must hash-match the oracle."""
+    import duckdb
+
+    from parallelutilities_jl_spark.operators import multimodal as M
+
+    base = "é好ü " * 40  # >= 64 chars, multibyte at most positions
+    rows = [
+        (0, base + "alpha", "en", "s", 100),
+        (3, base + "alphb", "en", "s", 100),
+        (6, base + "omega tail words", "en", "s", 100),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in M.q_multimodal_dhash_near_dup(
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        M._oracle_dhash_near_dup()
+    ).fetchall())
+    con.close()
+    assert got == want
+    assert got, "multibyte docs sharing most samples must pair up"

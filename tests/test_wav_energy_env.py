@@ -43,6 +43,12 @@ def test_pcm16_extraction_and_envelope_math():
     bad_bits = bytearray(_wav(8000, samples))
     bad_bits[34] = 8  # bits-per-sample field -> 8
     assert M._wav_pcm16(bytes(bad_bits)) is None
+    # stereo refuses too: interleaved L/R must not flatten into one
+    # stream (the frame energies would silently mix channels)
+    stereo = bytearray(_wav(8000, samples))
+    stereo[22] = 2  # n_channels field
+    stereo[32] = 4  # block_align field
+    assert M._wav_pcm16(bytes(stereo)) is None
 
 
 def test_envelope_query_consistent_with_decode(spark):

@@ -46,6 +46,10 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {M.DHASH_HAM_MAX}
     low = {(a, b) for a, b, h in exact if h <= M.DHASH_BANDS - 1}
     high = {(a, b) for a, b, h in exact if h >= M.DHASH_BANDS}
     allp = {(a, b) for a, b, _ in exact}
+    # banding + verify can only SUBSET the exact pair set (same
+    # fingerprints, same hamming gate) — assert the invariant instead
+    # of reporting a structurally-always-zero "false accepts" count
+    assert banded <= allp, "banded pairs must be a subset of exact"
     out = {
         "sf_dir": SF_DIR,
         "exact_pairs": len(allp),
@@ -59,7 +63,6 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {M.DHASH_HAM_MAX}
             "pairs": len(high),
             "found": len(high & banded),
         },
-        "false_accepts": len(banded - allp),
     }
     print(json.dumps(out))
 
