@@ -245,23 +245,41 @@ def main() -> None:
         creps.append(round(time.perf_counter() - t0, 3))
     canary = round(statistics.median(creps), 3)
 
+    from parallelutilities_jl_spark.session import release_cached_blocks
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    canary_before: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        # isolate: drop caches left by EARLIER queries so each entry is
-        # measured from its own state only (its warm run below re-creates
-        # any cache the query itself maintains — the resident-index case),
-        # and force a JVM GC so the previous query's garbage (e.g. the
+        # isolate: drop EVERYTHING left by EARLIER queries so each entry
+        # is measured from its own state only (its warm run below
+        # re-creates any cache the query itself maintains — the
+        # resident-index case). `release_cached_blocks` clears the
+        # module-level fit caches AND unpersists every persistent RDD —
+        # catalog.clearCache alone left the 49 localCheckpoint/persist
+        # sites' blocks pinned, and over a 90-head roster that
+        # accumulation degraded the round-13 driver run progressively
+        # (heavy heads 5-8x) while per-head isolation showed ~1x. Then
+        # force a JVM GC so the previous query's garbage (e.g. the
         # dense-elsum numpy batches) is not collected mid-rep of THIS
-        # query — the round-5 unigram_logppl 2.5x spread had exactly that
-        # signature (min == previous round's median, fat right tail)
-        spark.catalog.clearCache()
+        # query — the round-5 unigram_logppl 2.5x spread had exactly
+        # that signature (min == previous round's median, fat right
+        # tail)
+        release_cached_blocks(spark)
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.2)
+        # per-head canary (round-13 verdict item 7): one rep of the
+        # pinned scan-agg immediately before each head, so the artifact
+        # can discriminate a step-change in one head (plan regression)
+        # from box-state drift growing across the roster (the r13
+        # failure mode a single start-of-run canary cannot see)
+        t0 = time.perf_counter()
+        _canary_df(spark).write.mode("overwrite").format("noop").save()
+        canary_before[name] = round(time.perf_counter() - t0, 3)
         # warm once (Catalyst planning + whole-stage codegen compile +
         # parquet footers), measure the next REPS runs — the reference's
         # published numbers are likewise post-precompilation
@@ -330,6 +348,7 @@ def main() -> None:
     if detail_path:
         with open(detail_path, "w") as f:
             json.dump({**summary, "median": timings, "spread": spread,
+                       "canary_before": canary_before,
                        "reps": REPS}, f, indent=1, sort_keys=True)
             f.write("\n")
     spark.stop()

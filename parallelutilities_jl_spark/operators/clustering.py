@@ -2701,3 +2701,21 @@ ORACLES = {
     "knn_components": _oracle_knn_components(),
     "embedding_abtt_census": _oracle_abtt_census(),
 }
+
+
+def _clear_fit_caches() -> None:
+    """Drop every module-level fit/edge cache (session block-lifetime
+    policy, session.release_cached_blocks): each holds a
+    localCheckpoint'ed DataFrame whose blocks are about to be
+    unpersisted — a surviving handle would be unrecomputable (truncated
+    lineage). The caches rebuild lazily on next use."""
+    for cache in (_FLAT_FIT_CACHE, _PQ_FIT_CACHE, _FIT_CACHE, _PI_CACHE,
+                  _EDGE_CACHE):
+        cache.clear()
+
+
+from parallelutilities_jl_spark.session import (  # noqa: E402
+    register_cache_cleaner as _register_cache_cleaner,
+)
+
+_register_cache_cleaner(_clear_fit_caches)

@@ -123,3 +123,57 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
             pass  # a cluster may pin some confs immutable; keep going
     spark._pu_tuned = True
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Cached-block lifetime policy (round-13 verdict items 1/4)
+# ---------------------------------------------------------------------------
+#
+# The engine pins blocks two ways: per-call `localCheckpoint()` /
+# `persist()` inside individual queries (freed only when the RDD handle
+# is GC'd AND the ContextCleaner runs), and module-level fit caches
+# (clustering.py `_FIT_CACHE` and peers) that intentionally keep a
+# checkpointed frame alive for reuse within a session. Neither is freed
+# by `spark.catalog.clearCache()` (which only drops catalog-cached
+# relations), so a long-lived session running the full 234-query roster
+# accumulates storage-memory blocks without bound — the round-13 driver
+# bench degraded progressively (heavy heads 5-8x) with exactly that
+# signature. The policy: after a query's result has been fully
+# materialized (written/collected), the caller may release EVERYTHING —
+# module caches first (so no dict keeps a handle to a frame whose
+# checkpoint blocks are about to vanish; a localCheckpoint has no
+# lineage to recompute from), then every persistent RDD in the context.
+
+_CACHE_CLEANERS: list = []
+
+
+def register_cache_cleaner(fn) -> None:
+    """Register a zero-arg callable that drops a module-level cache of
+    DataFrame handles (fit caches etc.). Called by
+    `release_cached_blocks` BEFORE blocks are unpersisted so no cache
+    survives holding a frame whose checkpoint blocks were freed."""
+    _CACHE_CLEANERS.append(fn)
+
+
+def release_cached_blocks(spark: SparkSession) -> int:
+    """Release every cached/checkpointed block in the session: clear
+    registered module caches, the catalog cache, and unpersist every
+    persistent RDD (which is where `localCheckpoint()` blocks live).
+    Returns the number of RDDs unpersisted.
+
+    SAFE only between queries — i.e. after the previous query's result
+    was fully materialized and before the next one builds its plan. A
+    localCheckpointed RDD has truncated lineage, so unpersisting it
+    makes any still-held handle unrecomputable; clearing the module
+    caches first guarantees the engine itself holds none. This is the
+    100x-scale fix: a resident service running thousands of queries per
+    session otherwise leaks storage memory linearly in query count."""
+    for fn in list(_CACHE_CLEANERS):
+        fn()
+    spark.catalog.clearCache()
+    n = 0
+    # py4j maps java.util.Map to a dict-like JavaMap
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(False)
+        n += 1
+    return n

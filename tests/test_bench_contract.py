@@ -53,6 +53,13 @@ def test_bench_cli_emits_single_json_line():
     assert detail["median"] == d["queries"]
     assert set(detail["spread"]) == set(d["queries"])
     assert detail["reps"] == 1
+    # round-14: the per-head canary column (one pinned scan-agg rep
+    # timed immediately before each head) — lets the artifact
+    # discriminate a one-head step change (plan regression) from box
+    # drift growing across the roster (the r13 failure mode a single
+    # start-of-run canary cannot see)
+    assert set(detail["canary_before"]) == set(d["queries"])
+    assert all(v > 0 for v in detail["canary_before"].values())
 
 
 # --- common-total performance gate (round-12 verdict item 5) ---
