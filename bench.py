@@ -183,6 +183,9 @@ LATE_ADDITIONS = [
     "multimodal_dhash_near_dup",
     # round-13 continuation: real-codec frame-energy feature extraction
     "multimodal_wav_energy_env",
+    # round-14: the real 24-bit BMP encode->decode round trip (the
+    # image analog of multimodal_wav_decode; also feeds the dHash grid)
+    "multimodal_bmp_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

