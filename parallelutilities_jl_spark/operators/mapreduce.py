@@ -340,6 +340,77 @@ def pmapreduce_dense_elsum(
     return np.concatenate([p[1][1] for p in parts]).reshape(shape)
 
 
+def pmapreduce_dense_elsum_long(
+    spark: SparkSession,
+    n_tasks: int,
+    make_array,
+    *,
+    num_partitions: int | None = None,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Sink twin of `pmapreduce_dense_elsum` (round-13 verdict item 5):
+    the same generate → in-partition in-place accumulate → chunk-
+    parallel reduce, but the reduced array leaves the job as a
+    DISTRIBUTED long-form DataFrame of (idx, value) rows — flat
+    row-major index, elementwise sum — instead of a driver collect.
+    Each reduced chunk becomes ONE (start_offset, values) row (a
+    single pickle frame per chunk, never per element) and posexplode
+    unrolls it JVM-side, so driver memory is O(1) in the array size
+    and the result can flow straight to a parquet sink
+    (`df.write.parquet(...)`) or any downstream plan. This is the
+    100x path: the collect twin is faithful to the reference's
+    return-to-caller semantics (reference docs/src/index.md:22-46)
+    but bounds the result by driver memory; this one does not."""
+    import numpy as np
+
+    sc = spark.sparkContext
+    n_parts = num_partitions or min(n_tasks, sc.defaultParallelism)
+    n_chunks = n_chunks or n_parts
+
+    def part_chunks(it):
+        acc = None
+        for i in it:
+            m = make_array(i)
+            acc = np.asarray(m) if acc is None else np.add(acc, m, out=acc)
+        if acc is None:
+            return
+        flat = acc.reshape(-1)
+        bounds = np.linspace(0, flat.size, n_chunks + 1, dtype=np.int64)
+        for k in range(n_chunks):
+            piece = flat[bounds[k] : bounds[k + 1]]
+            if piece.size:
+                yield (int(k), (int(bounds[k]), piece))
+
+    def fold_chunks(it):
+        acc = {}
+        for k, (start, v) in it:
+            prev = acc.get(k)
+            if prev is None:
+                acc[k] = (start, v)
+            else:
+                pv = prev[1]
+                out = pv if pv.flags.writeable else v
+                acc[k] = (start, np.add(pv, v, out=out))
+        return iter(acc.items())
+
+    folded = (
+        sc.range(0, n_tasks, numSlices=n_parts)
+        .mapPartitions(part_chunks)
+        .partitionBy(n_chunks, partitionFunc=lambda k: k)
+        .mapPartitions(fold_chunks, preservesPartitioning=True)
+        # one row PER CHUNK crosses the Python->JVM boundary
+        .map(lambda kv: (int(kv[1][0]), kv[1][1].tolist()))
+    )
+    chunk_df = spark.createDataFrame(
+        folded, "start long, vals array<double>"
+    )
+    return chunk_df.select(
+        "start", F.posexplode("vals").alias("pos", "value")
+    ).select(
+        (F.col("start") + F.col("pos")).cast("long").alias("idx"), "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle-checked queries (SURVEY §2.4/§2.5 qnames)
 # ---------------------------------------------------------------------------
@@ -504,6 +575,35 @@ def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "n_rows long, n_cols long, corner double, total double",
+    )
+
+
+def q_dense_elsum_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable long-form sink twin of `pmapreduce_dense_elsum`:
+    32 tasks × a value-varying dense array (element j of task i is
+    (i·j) mod 13 — exact small integers, so float64 sums are exact in
+    both engines), elementwise-summed and emitted as distributed
+    (idx, value) rows with NO driver collect. At bench scale (sf ≥
+    0.1) the per-task array is the reference's published 10_000×1_000
+    shape; the sf0.01 correctness sweep uses 100×100 (the driver
+    contract pins oracle runs to sf=0.01, and the oracle below matches
+    that shape)."""
+    import numpy as np
+
+    full = _sf_of(sf_dir) >= 0.1
+    shape = (10_000, 1_000) if full else (100, 100)
+    npix = shape[0] * shape[1]
+    par = spark.sparkContext.defaultParallelism
+    return pmapreduce_dense_elsum_long(
+        spark,
+        32,
+        lambda i: (
+            ((i * np.arange(npix, dtype=np.int64)) % 13)
+            .astype(np.float64)
+            .reshape(shape)
+        ),
+        num_partitions=max(2, min(32, par // 8)) if full else None,
+        n_chunks=16 if full else 8,
     )
 
 
@@ -680,6 +780,13 @@ def _mapreduce_oracles() -> dict[str, str]:
             "SELECT CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_cols, "
             "CAST(32.0 AS DOUBLE) AS corner, CAST(32000000.0 AS DOUBLE) AS total"
         ),
+        # long-form brute force: every (task, element) product term,
+        # summed per flat index — 320k oracle rows at the sf0.01 shape
+        "dense_elsum_sink": (
+            "SELECT CAST(t.j AS BIGINT) AS idx, "
+            "CAST(SUM((s.i * t.j) % 13) AS DOUBLE) AS value "
+            "FROM range(0, 10000) t(j), range(0, 32) s(i) GROUP BY t.j"
+        ),
     }
 
 
@@ -693,6 +800,7 @@ QUERIES = {
     "pmapbatch_partitions": q_pmapbatch_partitions,
     "pmapreduce_bigsum": q_pmapreduce_bigsum,
     "pmapreduce_dense_elsum": q_dense_elsum,
+    "dense_elsum_sink": q_dense_elsum_sink,
     "dict_merge_reduce": q_dict_merge_reduce,
     "ordered_stack_arrays": q_ordered_stack_arrays,
     "ordered_hcat_matrices": q_ordered_hcat_matrices,

@@ -105,6 +105,56 @@ def q_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_product_halve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplittablesBase.halve as an executable query (round-13 verdict
+    item 6; reference src/productsplit.jl:221-233): every (np, p) split
+    of PROD3 halved at mid = (first0 + last0) ÷ 2 into two partition
+    descriptors — closed-form (drop, take) block bounds plus mixed-radix
+    first/last coordinates per half, no scan of the product anywhere.
+    The oracle brute-forces the same halves from the ntile assignment
+    and looks the boundary coordinates up in the enumerated product."""
+    g = _grid_with_bounds(spark)
+    f0 = F.col("drop")
+    l0 = F.col("drop") + F.col("take") - 1
+    mid = idiv(f0 + l0, F.lit(2))
+    halves = g.select(
+        "np",
+        "p",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("half"),
+                    f0.cast("long").alias("lo"),
+                    mid.cast("long").alias("hi"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("half"),
+                    (mid + 1).cast("long").alias("lo"),
+                    l0.cast("long").alias("hi"),
+                ),
+            )
+        ).alias("h"),
+    ).select("np", "p", "h.half", "h.lo", "h.hi")
+    firsts = [
+        c.alias(f"first_c{k + 1}")
+        for k, c in enumerate(pdf.coord_exprs(PROD3, F.col("lo")))
+    ]
+    lasts = [
+        c.alias(f"last_c{k + 1}")
+        for k, c in enumerate(pdf.coord_exprs(PROD3, F.col("hi")))
+    ]
+    return halves.select(
+        "np",
+        "p",
+        "half",
+        "lo",
+        "hi",
+        (F.col("hi") - F.col("lo") + 1).cast("long").alias("n_el"),
+        *firsts,
+        *lasts,
+    )
+
+
 def q_worker_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranks visible to worker code (reference workerrank/nworkers,
     src/productsplit.jl:169-170)."""
@@ -397,6 +447,22 @@ def oracle_queries() -> dict[str, str]:
         "worker_rank": (
             f"SELECT DISTINCT p AS rnk, CAST({SPLIT_NP} AS BIGINT) AS nworkers FROM ({a5})"
         ),
+        "product_halve": (
+            f"WITH a AS ({a_multi}), "
+            f"b AS (SELECT np, p, MIN(i) AS f0, MAX(i) AS l0 "
+            f"      FROM a GROUP BY np, p), "
+            f"h AS (SELECT np, p, 1 AS half, f0 AS lo, (f0 + l0) // 2 AS hi "
+            f"      FROM b "
+            f"      UNION ALL "
+            f"      SELECT np, p, 2, (f0 + l0) // 2 + 1, l0 FROM b) "
+            f"SELECT h.np, h.p, CAST(h.half AS BIGINT) AS half, "
+            f"CAST(h.lo AS BIGINT) AS lo, CAST(h.hi AS BIGINT) AS hi, "
+            f"CAST(h.hi - h.lo + 1 AS BIGINT) AS n_el, "
+            f"fa.c1 AS first_c1, fa.c2 AS first_c2, fa.c3 AS first_c3, "
+            f"la.c1 AS last_c1, la.c2 AS last_c2, la.c3 AS last_c3 "
+            f"FROM h JOIN a fa ON fa.np = h.np AND fa.i = h.lo "
+            f"JOIN a la ON la.np = h.np AND la.i = h.hi"
+        ),
         "linear_to_multidim": (
             "SELECT i, "
             + ", ".join(
@@ -510,6 +576,7 @@ QUERIES = {
     "product_split": q_product_split,
     "zip_split": q_zip_split,
     "partition_bounds": q_partition_bounds,
+    "product_halve": q_product_halve,
     "worker_rank": q_worker_rank,
     "linear_to_multidim": q_linear_to_multidim,
     "product_getindex": q_product_getindex,

@@ -250,3 +250,27 @@ def test_nelementsdroptake_properties():
             assert sum(takes) == total
             assert max(takes) - min(takes) <= 1
             assert sorted(takes, reverse=True) == takes
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_halve_descriptor_sweep(name):
+    """`halve` (reference src/productsplit.jl:221-233): the two halves
+    partition the section's elements in order, first half gets the
+    midpoint; swept over every (np, p) like the split sweep."""
+    spec = SPECS[name]
+    for np in range(1, 11):
+        for p in range(1, np + 1):
+            sec = spec.split(np, p)
+            want = brute_split(spec, np, p)
+            if not want:
+                continue  # empty splits raise on element access
+            h1, h2 = sec.halve()
+            n1 = h1.last0 - h1.first0 + 1
+            got = want[:n1]
+            assert h1.first0 == sec.first0 and h2.last0 == sec.last0
+            assert h1.last0 + 1 == h2.first0
+            # first half is the larger on odd lengths (mid rounds down
+            # from (first0+last0)/2 -> ceil(n/2) elements)
+            assert n1 == (len(want) + 1) // 2
+            assert list(h1) == got
+            assert list(h2) == want[n1:]
