@@ -1229,9 +1229,21 @@ def q_ann_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands_per_np = npc.groupBy("np").agg(
         F.count(F.lit(1)).alias("n_candidates")
     )
+    # explicit probe-count spine (both engines): a probe count whose
+    # candidate set is empty must still emit a row with n_candidates=0,
+    # or a consumer reading the recall/cost curve misreads a silently
+    # missing nprobe row as "not measured"
+    spine = spark.range(1, NPROBE_PLAN_MAX + 1).select(
+        F.col("id").cast("int").alias("np")
+    )
     joined = (
-        cands_per_np.join(hits, "np", "left")
+        spine.join(F.broadcast(cands_per_np), "np", "left")
+        .join(F.broadcast(hits), "np", "left")
         .crossJoin(F.broadcast(n_exact))
+        .withColumn(
+            "n_candidates",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")),
+        )
         .withColumn(
             "topk_hits",
             F.coalesce(F.col("topk_hits"), F.lit(0).cast("long")),
@@ -1312,11 +1324,13 @@ cn AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_candidates
        FROM npc GROUP BY np),
 ht AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS topk_hits
        FROM approx3 JOIN exact3 USING (qid, cid) GROUP BY np)
-SELECT CAST(cn.np AS BIGINT) AS nprobe, n_candidates,
+SELECT CAST(sp.np AS BIGINT) AS nprobe,
+       CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
        CAST(COALESCE(topk_hits, 0) AS BIGINT) AS topk_hits, n_exact,
        (COALESCE(topk_hits, 0) * 1000000) // nullif(n_exact, 0)
          AS recall_e6
-FROM cn LEFT JOIN ht USING (np) CROSS JOIN ne
+FROM range(1, {NPROBE_PLAN_MAX + 1}) sp(np)
+LEFT JOIN cn USING (np) LEFT JOIN ht USING (np) CROSS JOIN ne
 """
 
 

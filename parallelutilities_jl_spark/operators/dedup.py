@@ -990,6 +990,33 @@ SIMHASH_BANDS = 4  # 4 bands × 8 bits of the 32-bit fingerprint
 SIMHASH_HAM_MAX = 1
 
 
+def _simhash_bands(fp: DataFrame) -> DataFrame:
+    """Band-explode a (doc_id, simhash) frame into (doc_id, simhash,
+    band, key) rows: {SIMHASH_BANDS} bands of 8 bits each. ONE
+    definition shared by `q_simhash_near_dup` and its tuning census
+    `q_simhash_hamming_census` (and mirrored by the struct array in
+    both oracles), so the band geometry of the near-dup query and the
+    census that tunes it cannot drift apart under a future edit."""
+    return fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .cast("long")
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band", "e.key")
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: hamming-LSH banding — two docs
     within hamming distance {SIMHASH_HAM_MAX} of each other must agree
@@ -1009,25 +1036,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus this same cap; the 32-bit width here keeps the per-bit vote
     oracle exactly cross-engine-checkable."""
 
-    fp = _simhash_df(spark, sf_dir)
-    bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .cast("long")
-                        .alias("key"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "simhash", "e.band", "e.key")
+    bands = _simhash_bands(_simhash_df(spark, sf_dir))
     cands = candidate_pairs(bands, carry=("simhash",))
     ham = F.bit_count(
         F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
@@ -1056,25 +1065,7 @@ def q_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     census in both engines."""
     from pyspark.sql.window import Window as W
 
-    fp = _simhash_df(spark, sf_dir)
-    bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .cast("long")
-                        .alias("key"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "simhash", "e.band", "e.key")
+    bands = _simhash_bands(_simhash_df(spark, sf_dir))
     cands = candidate_pairs(bands, carry=("simhash",))
     ham = F.bit_count(
         F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
