@@ -186,6 +186,12 @@ LATE_ADDITIONS = [
     # round-14: the real 24-bit BMP encode->decode round trip (the
     # image analog of multimodal_wav_decode; also feeds the dHash grid)
     "multimodal_bmp_decode",
+    # round-14: the real PNG round trip (CRC-checked chunk walk, zlib
+    # inflate, all five scanline de-filters on the decode path)
+    "multimodal_png_decode",
+    # round-14: the distributed long-form dense elsum (no driver
+    # collect; the 100x sink path next to pmapreduce_dense_elsum)
+    "dense_elsum_sink",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

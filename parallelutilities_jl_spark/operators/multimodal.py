@@ -11,12 +11,15 @@ oracle predicts every field from first principles). IMAGE has the same:
 validation, bottom-up row un-flip, 4-byte stride un-pad, integer luma),
 exercised end-to-end by `multimodal_bmp_decode` and feeding the
 `multimodal_dhash_near_dup` fingerprint grid with real decoded pixels.
-Codecs that genuinely need external libraries (JPEG/MP4 — PIL / pyav
-are not in this container) remain behind the deterministic
-`_decode_stub`; `decode_assets` dispatches per row on claimed modality,
-then sniffs the container magic for the real decoder (audio + valid
-WAV → RIFF/PCM16 parse; image + valid BMP → BMP parse; everything else
-→ stub). Swapping the stub for `PIL.Image.open` changes nothing
+PNG too:
+`_decode_png` walks the CRC-validated chunk stream, inflates IDAT via
+zlib, and inverts all five scanline filters (exercised end-to-end by
+`multimodal_png_decode`). Codecs that genuinely need external libraries
+(JPEG/MP4 — PIL / pyav are not in this container) remain behind the
+deterministic `_decode_stub`; `decode_assets` dispatches per row on
+claimed modality, then sniffs the container magic for the real decoder
+(audio + valid WAV → RIFF/PCM16 parse; image + valid BMP/PNG → real
+parse; everything else → stub). Swapping the stub for `PIL.Image.open` changes nothing
 structurally: the UDF signatures, schemas and batch shapes are what a
 real deployment uses.
 
@@ -711,6 +714,324 @@ FROM lum GROUP BY asset_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL image codec #2: PNG via zlib (round-13 verdict item 2's "and/or
+# PNG" arm) — truecolor 8-bit, CRC-validated chunk walk, full scanline
+# de-filtering (all five filter types exercised by the synthesizer), so
+# the decoder inverts Sub/Up/Average/Paeth for real.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    # h >= 5 on most docs so all five filter types appear; w varies the
+    # scanline length
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+def _png_filter_row(ftype: int, raw: bytes, prev: bytes) -> bytes:
+    """Apply PNG filter `ftype` to scanline `raw` (bpp=3, `prev` is the
+    UNFILTERED previous scanline) — the encoder side of the de-filter
+    the decoder must invert."""
+    bpp = 3
+    out = bytearray(len(raw))
+    for i, x in enumerate(raw):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i] if prev else 0
+        c = prev[i - bpp] if (prev and i >= bpp) else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (x - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_bytes(vals: list, w: int, h: int) -> bytes:
+    """Encode a REAL truecolor 8-bit PNG: `vals` are per-pixel base
+    values in row-major top-down order, channels twisted like the BMP
+    encoder (R=v, G=2v%256, B=3v%256). Scanline r uses filter type
+    r % 5, so every de-filter path (None/Sub/Up/Average/Paeth) is on
+    the decode path. Chunks carry real CRC32s."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scanlines = []
+    prev = b""
+    for r in range(h):
+        raw = bytearray()
+        for x in range(w):
+            v = int(vals[r * w + x])
+            raw += bytes((v, (2 * v) % 256, (3 * v) % 256))  # R,G,B
+        ftype = r % 5
+        scanlines.append(bytes((ftype,)) + _png_filter_row(ftype, bytes(raw), prev))
+        prev = bytes(raw)
+    idat = zlib.compress(b"".join(scanlines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(content: bytes) -> dict | None:
+    """REAL PNG decoder for truecolor 8-bit non-interlaced images, pure
+    stdlib (struct + zlib): validates the signature, walks the chunk
+    stream checking every CRC32, requires IHDR first and stops at IEND,
+    inflates the IDAT stream, and inverts all five scanline filters
+    (None/Sub/Up/Average/Paeth, bpp=3) into a top-down row-major
+    integer-luma grid plus the OR-mask of filter types seen. Returns
+    None unless the container is structurally valid — `decode_assets`
+    can never misroute non-PNG bytes here."""
+    import struct
+    import zlib
+
+    if len(content) < len(_PNG_SIG) + 12 or not content.startswith(_PNG_SIG):
+        return None
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = b""
+    ended = False
+    while pos + 12 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(content):
+            return None
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ihdr is None:
+            if ctype != b"IHDR" or ln != 13:
+                return None  # IHDR must be the first chunk
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            pos += 12 + ln
+            break
+        pos += 12 + ln
+    if ihdr is None or not ended or pos != len(content):
+        return None
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    # truecolor 8-bit non-interlaced only (what we synthesize)
+    if (
+        depth != 8
+        or ctype_i != 2
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    bpp = 3
+    stride = 1 + bpp * w
+    if len(raw) != stride * h:
+        return None
+    luma = []
+    filter_mask = 0
+    prev = bytearray(bpp * w)
+    for r in range(h):
+        ftype = raw[r * stride]
+        if ftype > 4:
+            return None
+        filter_mask |= 1 << ftype
+        line = bytearray(raw[r * stride + 1 : (r + 1) * stride])
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                pred = 0
+            line[i] = (line[i] + pred) & 0xFF
+        for x in range(w):
+            r_, g_, b_ = line[3 * x : 3 * x + 3]
+            luma.append((299 * r_ + 587 * g_ + 114 * b_) // 1000)
+        prev = line
+    return {
+        "width": w,
+        "height": h,
+        "luma": luma,
+        "filter_mask": filter_mask,
+        "n_raw_bytes": len(raw),
+    }
+
+
+def synthesize_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build REAL truecolor PNG payloads from the documents fixture
+    (mapInPandas, Arrow-batched): per-doc dims from `_png_dims`, pixel
+    base values sampled from the text characters, one filter type per
+    scanline (r % 5) so decoding exercises every de-filter path."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h = _png_dims(int(i))
+                contents.append(
+                    _png_bytes(_bmp_pixel_vals(t, w * h), w, h)
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    return docs.mapInPandas(synth, "asset_id long, content binary")
+
+
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL PNG round trip: synthesize a valid truecolor PNG
+    per document (every scanline filter type on the encode path), then
+    parse the BYTES back with the strict pure-stdlib `_decode_png` —
+    CRC-checked chunk walk, zlib inflate, and the full
+    Sub/Up/Average/Paeth de-filter into an order-sensitive luma grid.
+    `filter_mask` (OR of 1<<filter_type over scanlines) proves the
+    varied filters actually round-tripped; `n_raw_bytes` is the
+    deterministic pre-compression size h·(1+3w) (the compressed IDAT
+    size is zlib-version-dependent, so it is deliberately NOT an
+    output). The oracle predicts every field from the parquet inputs
+    alone. Scale shape: two chained mapInPandas passes, zero
+    shuffles."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_png_assets(spark, sf_dir)
+
+    out_schema = (
+        "asset_id long, n_raw_bytes long, width int, height int, "
+        "filter_mask int, n_pixels long, luma_sum long, luma_min int, "
+        "luma_max int, luma_topleft int, luma_weighted long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_png(bytes(c)) for c in pdf["content"]]
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None:
+                    raise ValueError(
+                        f"invalid PNG payload for asset {aid}"
+                    )
+            lums = [m["luma"] for m in metas]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_raw_bytes": [m["n_raw_bytes"] for m in metas],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "filter_mask": pd.array(
+                        [m["filter_mask"] for m in metas], dtype="Int32"
+                    ),
+                    "n_pixels": [len(lu) for lu in lums],
+                    "luma_sum": [sum(lu) for lu in lums],
+                    "luma_min": pd.array(
+                        [min(lu) for lu in lums], dtype="Int32"
+                    ),
+                    "luma_max": pd.array(
+                        [max(lu) for lu in lums], dtype="Int32"
+                    ),
+                    "luma_topleft": pd.array(
+                        [lu[0] for lu in lums], dtype="Int32"
+                    ),
+                    "luma_weighted": [
+                        sum((i + 1) * v for i, v in enumerate(lu))
+                        for lu in lums
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(decode, out_schema)
+
+
+def _oracle_png_decode() -> str:
+    """First-principles replay of the PNG round trip: dims from doc_id,
+    pixel algebra shared with the BMP oracle, filter_mask = OR of
+    1<<(r%5) over the h scanlines, n_raw_bytes = h·(1+3w)."""
+    max_npix = 8 * 6  # max w * max h from _png_dims
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+px AS (
+  SELECT asset_id, w, h, t.i AS i,
+         ord(substr(text,
+             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
+           AS v
+  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
+lum AS (
+  SELECT asset_id, w, h, i,
+         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
+           AS y
+  FROM px),
+fm AS (
+  SELECT d.asset_id,
+         CAST(SUM(DISTINCT (1 << (CAST(r.r AS INT) % 5))) AS INT)
+           AS filter_mask
+  FROM dims d, range(0, 6) r(r) WHERE r.r < d.h
+  GROUP BY d.asset_id)
+SELECT l.asset_id,
+       CAST(MAX(l.h) * (1 + 3 * MAX(l.w)) AS BIGINT) AS n_raw_bytes,
+       CAST(MAX(l.w) AS INT) AS width,
+       CAST(MAX(l.h) AS INT) AS height,
+       MAX(fm.filter_mask) AS filter_mask,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(y) AS BIGINT) AS luma_sum,
+       CAST(MIN(y) AS INT) AS luma_min,
+       CAST(MAX(y) AS INT) AS luma_max,
+       CAST(MAX(CASE WHEN i = 0 THEN y END) AS INT) AS luma_topleft,
+       CAST(SUM((i + 1) * y) AS BIGINT) AS luma_weighted
+FROM lum l JOIN fm ON fm.asset_id = l.asset_id
+GROUP BY l.asset_id
+"""
+
+
 def decode_assets(assets: DataFrame) -> DataFrame:
     """mapInPandas decode: (asset_id, modality, content) → + decoded
     metadata columns. Arrow-batched; per-batch Python, not per-row."""
@@ -740,7 +1061,9 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                 # valid container for their modality fall back to the
                 # documented stand-in
                 wav = _decode_wav(bytes(c)) if m == "audio" else None
-                bmp = _decode_bmp(bytes(c)) if m == "image" else None
+                bmp = None
+                if m == "image":
+                    bmp = _decode_bmp(bytes(c)) or _decode_png(bytes(c))
                 if wav is not None:
                     metas.append(
                         {
@@ -1415,6 +1738,7 @@ QUERIES = {
     "multimodal_shard_manifest": q_multimodal_shard_manifest,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
+    "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
 }
@@ -1422,5 +1746,6 @@ QUERIES = {
 ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
 ORACLES["multimodal_shard_manifest"] = ORACLE_SHARD_MANIFEST
 ORACLES["multimodal_bmp_decode"] = _oracle_bmp_decode()
+ORACLES["multimodal_png_decode"] = _oracle_png_decode()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()
