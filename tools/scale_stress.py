@@ -293,7 +293,14 @@ def main() -> None:
         fn = qs[name]
         tiers = {}
         for label, sf_dir in (("sf0.01", SF01), ("sf0.1", SF1), ("x10", STRESS)):
-            spark.catalog.clearCache()
+            # full release, not just catalog cache: checkpoint/persist
+            # blocks must not accumulate across the tier sweep
+            # (session block-lifetime policy, round 14)
+            from parallelutilities_jl_spark.session import (
+                release_cached_blocks,
+            )
+
+            release_cached_blocks(spark)
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

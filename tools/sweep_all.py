@@ -25,7 +25,10 @@ SF_PINNED_ORACLES = {"pmapreduce_bigsum", "pmapreduce_dense_elsum"}
 
 
 def main() -> None:
-    from parallelutilities_jl_spark.session import get_spark
+    from parallelutilities_jl_spark.session import (
+        get_spark,
+        release_cached_blocks,
+    )
     import __spark_entry__ as entrymod
     from harness_util import compare_query
 
@@ -40,11 +43,14 @@ def main() -> None:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        # same per-query isolation as bench.py/scale_stress.py: a
-        # resident-index query (ann_int8, the census's shared shingle
-        # frame) must not hold its cache over the remaining registry —
-        # the per-query secs land in SWEEP_LOCAL.json as evidence
-        spark.catalog.clearCache()
+        # same per-query isolation as bench.py: a resident-index query
+        # (ann_int8, the census's shared shingle frame) must not hold
+        # its cache over the remaining registry, and the 49
+        # localCheckpoint/persist sites must not accumulate storage
+        # blocks over a 230+-query session (the round-13 progressive
+        # degradation) — the per-query secs land in SWEEP_LOCAL.json
+        # as evidence
+        release_cached_blocks(spark)
         sql = oracles.get(name)
         if name in SF_PINNED_ORACLES and "sf0.01" not in SF_DIR:
             sql = None
