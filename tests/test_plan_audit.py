@@ -70,6 +70,7 @@ BNLJ_ALLOWED = {
     "min_dim",
     "nelements_dim",
     "partition_bounds",
+    "product_halve",  # same np-sized (np, p) grid cross as partition_bounds
     "partition_recast",
     "split_first_last",
     "split_length",
