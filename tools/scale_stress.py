@@ -169,6 +169,14 @@ QUERIES = (
     # one-scan one-row-aggregate planners (expected ~flat to ~linear)
     "packing_capacity_plan",
     "embedding_dim_plan",
+    # round-14 real-codec round trips: two chained mapInPandas passes,
+    # zero shuffles — expected embarrassingly-parallel ~linear
+    "multimodal_bmp_decode",
+    "multimodal_png_decode",
+    # round-14 distributed long-form elsum: constant task count, the
+    # only exchange is the chunk partitionBy — expected ~flat in SF
+    # (the workload is SF-pinned synthetic, timed for the record)
+    "dense_elsum_sink",
 )
 
 
