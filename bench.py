@@ -192,6 +192,10 @@ LATE_ADDITIONS = [
     # round-14: the distributed long-form dense elsum (no driver
     # collect; the 100x sink path next to pmapreduce_dense_elsum)
     "dense_elsum_sink",
+    # round-14: real-pixel image ops on the BMP decode path — the
+    # nearest-neighbor resample and the quadrant/gradient features
+    "multimodal_bmp_resize",
+    "multimodal_image_features",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

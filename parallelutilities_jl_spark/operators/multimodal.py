@@ -715,6 +715,244 @@ FROM lum GROUP BY asset_id
 
 
 # ---------------------------------------------------------------------------
+# REAL pixel operators on the BMP decode path (round 14): the resize and
+# feature-extract stages stop being dimension-arithmetic stubs — they
+# consume the strict parser's luma grid, and their integer math replays
+# exactly in DuckDB.
+# ---------------------------------------------------------------------------
+
+RESIZE_NN_BOX = 4  # target box for the real nearest-neighbor resample
+
+
+def _nn_resize_luma(
+    luma: list, w: int, h: int, box: int = RESIZE_NN_BOX
+) -> tuple[list, int, int]:
+    """Aspect-preserving nearest-neighbor resample of a row-major luma
+    grid into a `box`-bounded grid: new_w = max(1, (w·box)//max(w,h)),
+    source index of target (y, x) is ((y·h)//new_h, (x·w)//new_w) — the
+    standard floor mapping, all integer, so the oracle replays it
+    bit-for-bit."""
+    m = max(w, h)
+    nw = max(1, (w * box) // m)
+    nh = max(1, (h * box) // m)
+    out = [
+        luma[((y * h) // nh) * w + ((x * w) // nw)]
+        for y in range(nh)
+        for x in range(nw)
+    ]
+    return out, nw, nh
+
+
+def q_multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize on the real codec path (retires the resize
+    stub's pass-through pixel transform): synthesize a 24-bit BMP per
+    document, strict-parse it back, and nearest-neighbor-resample the
+    decoded luma grid into a {RESIZE_NN_BOX}-bounded aspect-preserving
+    box. Emits the resampled dims plus order-sensitive statistics of
+    the RESAMPLED grid (Σ luma and Σ (i+1)·luma over the new row-major
+    order), so a wrong source-index mapping, a flipped grid, or a
+    mis-rounded dimension hash-mismatches. The oracle replays the
+    integer mapping from the parquet inputs alone. Scale shape: two
+    chained mapInPandas passes, zero shuffles."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_bmp_assets(spark, sf_dir)
+
+    out_schema = (
+        "asset_id long, width int, height int, new_w int, new_h int, "
+        "r_n_pixels long, r_luma_sum long, r_luma_weighted long"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in (
+            "asset_id", "width", "height", "new_w", "new_h",
+            "r_n_pixels", "r_luma_sum", "r_luma_weighted",
+        )}
+        for pdf in batches:
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                m = _decode_bmp(bytes(c))
+                if m is None:
+                    raise ValueError(f"invalid BMP payload for asset {aid}")
+                out, nw, nh = _nn_resize_luma(
+                    m["luma"], m["width"], m["height"]
+                )
+                rows["asset_id"].append(int(aid))
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["new_w"].append(nw)
+                rows["new_h"].append(nh)
+                rows["r_n_pixels"].append(len(out))
+                rows["r_luma_sum"].append(sum(out))
+                rows["r_luma_weighted"].append(
+                    sum((i + 1) * v for i, v in enumerate(out))
+                )
+            yield pd.DataFrame(
+                {
+                    **{k: rows[k] for k in ("asset_id",)},
+                    **{
+                        k: pd.array(rows[k], dtype="Int32")
+                        for k in ("width", "height", "new_w", "new_h")
+                    },
+                    **{
+                        k: rows[k]
+                        for k in (
+                            "r_n_pixels", "r_luma_sum", "r_luma_weighted"
+                        )
+                    },
+                }
+            )
+            rows = {k: [] for k in rows}
+
+    return assets.mapInPandas(resize, out_schema)
+
+
+def _oracle_bmp_resize() -> str:
+    box = RESIZE_NN_BOX
+    max_npix = 8 * 6
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+px AS (
+  SELECT asset_id, w, h, t.i AS i,
+         ord(substr(text,
+             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
+           AS v
+  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
+lum AS (
+  SELECT asset_id, w, h, i,
+         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
+           AS y
+  FROM px),
+nd AS (
+  SELECT asset_id, w, h,
+         GREATEST(1, (w * {box}) // GREATEST(w, h)) AS nw,
+         GREATEST(1, (h * {box}) // GREATEST(w, h)) AS nh
+  FROM dims),
+rg AS (
+  SELECT nd.asset_id, nd.w, nd.h, nd.nw, nd.nh,
+         t.i AS ri, t.i // nd.nw AS ry, t.i % nd.nw AS rx
+  FROM nd, range(0, {box * box}) t(i) WHERE t.i < nd.nw * nd.nh),
+rs AS (
+  SELECT rg.asset_id, rg.nw, rg.nh, rg.ri, l.y
+  FROM rg JOIN lum l
+    ON l.asset_id = rg.asset_id
+   AND l.i = ((rg.ry * rg.h) // rg.nh) * rg.w + ((rg.rx * rg.w) // rg.nw))
+SELECT d.asset_id,
+       CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       CAST(n.nw AS INT) AS new_w, CAST(n.nh AS INT) AS new_h,
+       CAST(COUNT(*) AS BIGINT) AS r_n_pixels,
+       CAST(SUM(rs.y) AS BIGINT) AS r_luma_sum,
+       CAST(SUM((rs.ri + 1) * rs.y) AS BIGINT) AS r_luma_weighted
+FROM dims d JOIN nd n USING (asset_id) JOIN rs USING (asset_id)
+GROUP BY d.asset_id, d.w, d.h, n.nw, n.nh
+"""
+
+
+def q_multimodal_image_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image feature extraction on the real codec path (retires
+    the sha256 feature stand-in for the image modality): strict-parse
+    each synthesized BMP and compute exact-integer features of the
+    decoded luma grid — the four quadrant luma sums (quadrant of
+    (y, x) = ((2y)//h, (2x)//w)) and the total horizontal/vertical
+    gradient energies Σ|l[y][x+1]-l[y][x]| / Σ|l[y+1][x]-l[y][x]|, the
+    cheap texture/brightness signals an image curation pipeline
+    filters on. Every output replays exactly in DuckDB from the
+    parquet inputs. Scale shape: two chained mapInPandas passes, zero
+    shuffles."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_bmp_assets(spark, sf_dir)
+
+    out_schema = (
+        "asset_id long, q00 long, q01 long, q10 long, q11 long, "
+        "grad_h long, grad_v long"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "q00", "q01", "q10", "q11", "grad_h", "grad_v"
+            )}
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                m = _decode_bmp(bytes(c))
+                if m is None:
+                    raise ValueError(f"invalid BMP payload for asset {aid}")
+                lu, w, h = m["luma"], m["width"], m["height"]
+                q = [[0, 0], [0, 0]]
+                gh = gv = 0
+                for y in range(h):
+                    for x in range(w):
+                        v = lu[y * w + x]
+                        q[(2 * y) // h][(2 * x) // w] += v
+                        if x + 1 < w:
+                            gh += abs(lu[y * w + x + 1] - v)
+                        if y + 1 < h:
+                            gv += abs(lu[(y + 1) * w + x] - v)
+                out["asset_id"].append(int(aid))
+                out["q00"].append(q[0][0])
+                out["q01"].append(q[0][1])
+                out["q10"].append(q[1][0])
+                out["q11"].append(q[1][1])
+                out["grad_h"].append(gh)
+                out["grad_v"].append(gv)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(feats, out_schema)
+
+
+def _oracle_image_features() -> str:
+    max_npix = 8 * 6
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+px AS (
+  SELECT asset_id, w, h, t.i AS i,
+         ord(substr(text,
+             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
+           AS v
+  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
+lum AS (
+  SELECT asset_id, w, h, i, i // w AS y, i % w AS x,
+         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
+           AS l
+  FROM px),
+quad AS (
+  SELECT asset_id,
+         CAST(SUM(CASE WHEN (2*y)//h = 0 AND (2*x)//w = 0 THEN l ELSE 0 END) AS BIGINT) AS q00,
+         CAST(SUM(CASE WHEN (2*y)//h = 0 AND (2*x)//w = 1 THEN l ELSE 0 END) AS BIGINT) AS q01,
+         CAST(SUM(CASE WHEN (2*y)//h = 1 AND (2*x)//w = 0 THEN l ELSE 0 END) AS BIGINT) AS q10,
+         CAST(SUM(CASE WHEN (2*y)//h = 1 AND (2*x)//w = 1 THEN l ELSE 0 END) AS BIGINT) AS q11
+  FROM lum GROUP BY asset_id),
+gh AS (
+  SELECT a.asset_id, CAST(COALESCE(SUM(ABS(b.l - a.l)), 0) AS BIGINT) AS grad_h
+  FROM lum a JOIN lum b
+    ON b.asset_id = a.asset_id AND b.y = a.y AND b.x = a.x + 1
+  GROUP BY a.asset_id),
+gv AS (
+  SELECT a.asset_id, CAST(COALESCE(SUM(ABS(b.l - a.l)), 0) AS BIGINT) AS grad_v
+  FROM lum a JOIN lum b
+    ON b.asset_id = a.asset_id AND b.x = a.x AND b.y = a.y + 1
+  GROUP BY a.asset_id)
+SELECT q.asset_id, q.q00, q.q01, q.q10, q.q11,
+       COALESCE(gh.grad_h, 0) AS grad_h,
+       COALESCE(gv.grad_v, 0) AS grad_v
+FROM quad q
+LEFT JOIN gh ON gh.asset_id = q.asset_id
+LEFT JOIN gv ON gv.asset_id = q.asset_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # REAL image codec #2: PNG via zlib (round-13 verdict item 2's "and/or
 # PNG" arm) — truecolor 8-bit, CRC-validated chunk walk, full scanline
 # de-filtering (all five filter types exercised by the synthesizer), so
@@ -1739,6 +1977,8 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_bmp_resize": q_multimodal_bmp_resize,
+    "multimodal_image_features": q_multimodal_image_features,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
 }
@@ -1747,5 +1987,7 @@ ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
 ORACLES["multimodal_shard_manifest"] = ORACLE_SHARD_MANIFEST
 ORACLES["multimodal_bmp_decode"] = _oracle_bmp_decode()
 ORACLES["multimodal_png_decode"] = _oracle_png_decode()
+ORACLES["multimodal_bmp_resize"] = _oracle_bmp_resize()
+ORACLES["multimodal_image_features"] = _oracle_image_features()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()

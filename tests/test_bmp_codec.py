@@ -87,3 +87,31 @@ def test_raw_text_never_parses_as_bmp():
     UTF-8 text (the synthesize_assets payload) must always fall back
     to the stub, even text starting with 'BM'."""
     assert _decode_bmp("BMarley & the Wailers, greatest hits " .encode() * 4) is None
+
+
+def test_nn_resize_luma_mapping():
+    """Nearest-neighbor floor mapping: target (y, x) reads source
+    ((y*h)//nh, (x*w)//nw); aspect preserved; identity when the image
+    already fits the box."""
+    from parallelutilities_jl_spark.operators.multimodal import (
+        _nn_resize_luma,
+    )
+
+    # 8x4 -> box 4: nw=4, nh=2
+    w, h = 8, 4
+    luma = list(range(w * h))
+    out, nw, nh = _nn_resize_luma(luma, w, h, box=4)
+    assert (nw, nh) == (4, 2)
+    want = [
+        luma[((y * h) // nh) * w + ((x * w) // nw)]
+        for y in range(nh)
+        for x in range(nw)
+    ]
+    assert out == want
+    # tall image: 3x6 -> nw=(3*4)//6=2, nh=(6*4)//6=4
+    out2, nw2, nh2 = _nn_resize_luma(list(range(18)), 3, 6, box=4)
+    assert (nw2, nh2) == (2, 4) and len(out2) == 8
+    # fit-to-box semantics: a smaller image UPSCALES (pixel replication)
+    out3, nw3, nh3 = _nn_resize_luma([1, 2, 3, 4], 2, 2, box=4)
+    assert (nw3, nh3) == (4, 4)
+    assert out3 == [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4]
