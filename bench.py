@@ -196,6 +196,8 @@ LATE_ADDITIONS = [
     # nearest-neighbor resample and the quadrant/gradient features
     "multimodal_bmp_resize",
     "multimodal_image_features",
+    # round-14: per-frame zero-crossing counts on the real WAV path
+    "multimodal_wav_zcr",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

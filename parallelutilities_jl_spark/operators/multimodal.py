@@ -420,6 +420,117 @@ def q_multimodal_wav_energy_env(
     )
 
 
+# shared first-principles PCM16 reconstruction (base/dims/samp/vals):
+# UTF-8 text bytes -> hex -> little-endian signed samples, ONE
+# definition so the energy-envelope and zero-crossing oracles cannot
+# drift apart (the simhash-band lesson applied here)
+_WAV_SAMPLE_CTES = """base AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS hx,
+         LEAST(octet_length(encode(text)), {cap}) AS rawlen
+  FROM documents WHERE text IS NOT NULL),
+dims AS (
+  SELECT asset_id, rawlen, (rawlen + rawlen % 2) // 2 AS n FROM base),
+samp AS (
+  SELECT d.asset_id, d.n, UNNEST(generate_series(1, d.n)) AS i
+  FROM dims d WHERE d.n >= 1),
+vals AS (
+  SELECT s.asset_id, s.n, s.i,
+         (SELECT u16 - CASE WHEN u16 >= 32768 THEN 65536 ELSE 0 END
+          FROM (SELECT ('0x' || substring(b.hx, 4 * s.i - 3, 2))::INT
+                + 256 * (CASE WHEN 2 * s.i <= b.rawlen
+                         THEN ('0x' || substring(b.hx, 4 * s.i - 1, 2))::INT
+                         ELSE 0 END) AS u16)) AS s
+  FROM samp s JOIN base b USING (asset_id))"""
+
+
+def _wav_sample_ctes() -> str:
+    return _WAV_SAMPLE_CTES.format(cap=WAV_DATA_CAP)
+
+
+def q_multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DSP feature #2 on the real WAV codec path: the per-frame
+    ZERO-CROSSING COUNT — the classic cheap voiced/unvoiced &
+    speech/music discriminator an audio curation pipeline filters on.
+    Decode each synthesized PCM16 container with the strict RIFF walk
+    (`_wav_pcm16`), split into {WAV_ENV_FRAMES} equal integer-boundary
+    frames, and count sign flips between CONSECUTIVE samples (0 counts
+    as non-negative); the pair (i-1, i) belongs to sample i's frame,
+    so frame counts sum exactly to the total. All exact integers; the
+    oracle reconstructs every sample from the UTF-8 hex (shared
+    `_wav_sample_ctes`) and replays the same pair algebra — a
+    misdecoded sample or frame boundary hash-mismatches. One
+    mapInPandas pass after the synthesizer, zero shuffles."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_wav_assets(spark, sf_dir)
+    nf = WAV_ENV_FRAMES
+
+    out_schema = (
+        "asset_id long, n_samples long, "
+        + ", ".join(f"zc{f} long" for f in range(nf))
+        + ", zc_total long"
+    )
+
+    def zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                s = _wav_pcm16(bytes(c))
+                if s is None:
+                    raise ValueError(
+                        f"invalid WAV payload for asset {aid}"
+                    )
+                n = len(s)
+                neg = s < 0
+                zcs = []
+                for f in range(nf):
+                    lo, hi = f * n // nf, (f + 1) * n // nf
+                    # pairs (i-1, i) for 1-based i in (lo, hi], i >= 2
+                    lo0 = max(lo, 1)  # 0-based pair start index
+                    zcs.append(
+                        int((neg[lo0:hi] != neg[lo0 - 1 : hi - 1]).sum())
+                        if hi > lo0
+                        else 0
+                    )
+                rows.append((int(aid), n, *zcs, sum(zcs)))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples"]
+                + [f"zc{f}" for f in range(nf)]
+                + ["zc_total"],
+            )
+
+    return assets.mapInPandas(zcr, out_schema)
+
+
+def _oracle_wav_zcr() -> str:
+    nf = WAV_ENV_FRAMES
+    zc_cols = ", ".join(
+        f"CAST(COALESCE(SUM(zc) FILTER (WHERE i > {f} * n // {nf} "
+        f"AND i <= {f + 1} * n // {nf}), 0) AS BIGINT) AS zc{f}"
+        for f in range(nf)
+    )
+    return f"""
+WITH {_wav_sample_ctes()},
+pairs AS (
+  SELECT a.asset_id, a.n, a.i,
+         CASE WHEN (a.s < 0) <> (b.s < 0) THEN 1 ELSE 0 END AS zc
+  FROM vals a JOIN vals b
+    ON b.asset_id = a.asset_id AND b.i = a.i - 1),
+zs AS (
+  SELECT asset_id, {zc_cols}
+  FROM pairs GROUP BY asset_id)
+SELECT d.asset_id, CAST(d.n AS BIGINT) AS n_samples,
+       {", ".join(f"COALESCE(z.zc{f}, 0) AS zc{f}" for f in range(nf))},
+       {" + ".join(f"COALESCE(z.zc{f}, 0)" for f in range(nf))} AS zc_total
+FROM dims d LEFT JOIN zs z USING (asset_id)
+"""
+
+
 def _oracle_wav_energy_env() -> str:
     nf = WAV_ENV_FRAMES
     e_cols = ", ".join(
@@ -436,24 +547,7 @@ def _oracle_wav_energy_env() -> str:
         f"WHEN e{f} = GREATEST({gr}) THEN {f}" for f in range(nf)
     ) + " END"
     return f"""
-WITH base AS (
-  SELECT doc_id AS asset_id,
-         hex(encode(text)) AS hx,
-         LEAST(octet_length(encode(text)), {WAV_DATA_CAP}) AS rawlen
-  FROM documents WHERE text IS NOT NULL),
-dims AS (
-  SELECT asset_id, rawlen, (rawlen + rawlen % 2) // 2 AS n FROM base),
-samp AS (
-  SELECT d.asset_id, d.n, UNNEST(generate_series(1, d.n)) AS i
-  FROM dims d WHERE d.n >= 1),
-vals AS (
-  SELECT s.asset_id, s.n, s.i,
-         (SELECT u16 - CASE WHEN u16 >= 32768 THEN 65536 ELSE 0 END
-          FROM (SELECT ('0x' || substring(b.hx, 4 * s.i - 3, 2))::INT
-                + 256 * (CASE WHEN 2 * s.i <= b.rawlen
-                         THEN ('0x' || substring(b.hx, 4 * s.i - 1, 2))::INT
-                         ELSE 0 END) AS u16)) AS s
-  FROM samp s JOIN base b USING (asset_id)),
+WITH {_wav_sample_ctes()},
 es AS (
   SELECT asset_id, MAX(n) AS n, {e_cols}
   FROM vals GROUP BY asset_id),
@@ -1981,6 +2075,7 @@ QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
+    "multimodal_wav_zcr": q_multimodal_wav_zcr,
 }
 
 ORACLES["multimodal_dedup_census"] = ORACLE_DEDUP_CENSUS
@@ -1991,3 +2086,4 @@ ORACLES["multimodal_bmp_resize"] = _oracle_bmp_resize()
 ORACLES["multimodal_image_features"] = _oracle_image_features()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()
+ORACLES["multimodal_wav_zcr"] = _oracle_wav_zcr()
