@@ -198,6 +198,8 @@ LATE_ADDITIONS = [
     "multimodal_image_features",
     # round-14: per-frame zero-crossing counts on the real WAV path
     "multimodal_wav_zcr",
+    # round-14: the decode-on-ingest census (stream-parity pinned)
+    "multimodal_decode_census",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -671,22 +671,16 @@ def _bmp_pixel_vals(text: str, npix: int) -> list[int]:
     ]
 
 
-def synthesize_bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build REAL 24-bit BMP payloads from the documents fixture
-    (mapInPandas, Arrow-batched): per-doc dims from `_bmp_dims`, pixel
-    base values sampled from the text characters, channels twisted
-    (R=v, G=2v%256, B=3v%256) so channel order is load-bearing. Every
-    byte is written per the BMP spec — `_decode_bmp` parses it back
-    with no knowledge of doc_id/text, the image analog of
-    `synthesize_wav_assets`."""
+def synthesize_bmp_from_docs(docs: DataFrame) -> DataFrame:
+    """The (doc_id, text) → real-BMP mapInPandas transform, shared by
+    the batch path and the streaming ingest parity test (stateless, so
+    it applies unchanged to a streaming DataFrame)."""
     from parallelutilities_jl_spark.session import ensure_package_on_executors
 
-    ensure_package_on_executors(spark)
-    docs = (
-        load_table_parallel(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
-        .select("doc_id", "text")
-    )
+    ensure_package_on_executors(docs.sparkSession)
+    src = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    ).select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -700,7 +694,20 @@ def synthesize_bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "content": contents}
             )
 
-    return docs.mapInPandas(synth, "asset_id long, content binary")
+    return src.mapInPandas(synth, "asset_id long, content binary")
+
+
+def synthesize_bmp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build REAL 24-bit BMP payloads from the documents fixture
+    (mapInPandas, Arrow-batched): per-doc dims from `_bmp_dims`, pixel
+    base values sampled from the text characters, channels twisted
+    (R=v, G=2v%256, B=3v%256) so channel order is load-bearing. Every
+    byte is written per the BMP spec — `_decode_bmp` parses it back
+    with no knowledge of doc_id/text, the image analog of
+    `synthesize_wav_assets`."""
+    return synthesize_bmp_from_docs(
+        load_table_parallel(spark, sf_dir, "documents")
+    )
 
 
 def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,6 +1368,90 @@ SELECT l.asset_id,
        CAST(SUM((i + 1) * y) AS BIGINT) AS luma_weighted
 FROM lum l JOIN fm ON fm.asset_id = l.asset_id
 GROUP BY l.asset_id
+"""
+
+
+def decode_census_from_docs(docs: DataFrame) -> DataFrame:
+    """Decode-on-ingest census: (doc_id, text) → real BMP → strict
+    parse → per-(width, height) asset counts + exact luma totals. The
+    synth/decode stages are stateless mapInPandas and the tail is one
+    keyed agg, so the SAME function runs on a batch frame and on a
+    streaming DataFrame (complete output mode) — the decode-on-arrival
+    shape a multimodal ingest pipeline runs; stream ≡ batch is pinned
+    by tests/test_streaming_decode.py."""
+    assets = synthesize_bmp_from_docs(docs)
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "width", "height", "luma_sum", "luma_weighted"
+            )}
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                m = _decode_bmp(bytes(c))
+                if m is None:
+                    raise ValueError(f"invalid BMP payload for asset {aid}")
+                lu = m["luma"]
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["luma_sum"].append(sum(lu))
+                out["luma_weighted"].append(
+                    sum((i + 1) * v for i, v in enumerate(lu))
+                )
+            yield pd.DataFrame(
+                {
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "luma_sum": out["luma_sum"],
+                    "luma_weighted": out["luma_weighted"],
+                }
+            )
+
+    per = assets.mapInPandas(
+        dec, "width int, height int, luma_sum long, luma_weighted long"
+    )
+    return per.groupBy("width", "height").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("luma_sum").alias("luma_sum_total"),
+        F.sum("luma_weighted").alias("luma_weighted_total"),
+    )
+
+
+def q_multimodal_decode_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch anchor of the decode-on-ingest census (the streaming twin
+    runs the identical function over a file-source stream): real BMP
+    synth → strict parse → per-(width, height) counts and exact luma
+    totals. One keyed agg after two zero-shuffle mapInPandas passes."""
+    return decode_census_from_docs(
+        load_table_parallel(spark, sf_dir, "documents")
+    )
+
+
+def _oracle_decode_census() -> str:
+    max_npix = 8 * 6
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+px AS (
+  SELECT asset_id, w, h, t.i AS i,
+         ord(substr(text,
+             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
+           AS v
+  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
+lum AS (
+  SELECT asset_id, w, h, i,
+         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
+           AS y
+  FROM px)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+       CAST(SUM(y) AS BIGINT) AS luma_sum_total,
+       CAST(SUM((i + 1) * y) AS BIGINT) AS luma_weighted_total
+FROM lum GROUP BY w, h
 """
 
 
@@ -2073,6 +2164,7 @@ QUERIES = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_bmp_resize": q_multimodal_bmp_resize,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_decode_census": q_multimodal_decode_census,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
     "multimodal_wav_zcr": q_multimodal_wav_zcr,
@@ -2083,6 +2175,7 @@ ORACLES["multimodal_shard_manifest"] = ORACLE_SHARD_MANIFEST
 ORACLES["multimodal_bmp_decode"] = _oracle_bmp_decode()
 ORACLES["multimodal_png_decode"] = _oracle_png_decode()
 ORACLES["multimodal_bmp_resize"] = _oracle_bmp_resize()
+ORACLES["multimodal_decode_census"] = _oracle_decode_census()
 ORACLES["multimodal_image_features"] = _oracle_image_features()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()

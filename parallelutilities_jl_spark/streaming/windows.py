@@ -56,6 +56,32 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+DOCUMENTS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same staging
+    trick as `stream_events`) — the ingest side of decode-on-arrival
+    pipelines: stateless mapInPandas codec stages apply to this stream
+    unchanged (tests/test_streaming_decode.py pins stream ≡ batch for
+    the BMP decode census)."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="pu_documents_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(stage, "documents.parquet"),
+    )
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(stage)
+    )
+
+
 def _val_e2() -> F.Column:
     """Exact int64 of the 2-dp-exact value column: integer streaming
     state is combine-order- and trigger-boundary-independent, and

@@ -1,0 +1,26 @@
+"""Decode-on-ingest: the REAL BMP synth -> strict parse -> census
+function must produce identical results over a file-source STREAM
+(complete output mode) and the batch frame — Spark's unified model
+applied to the multimodal codec path, so a real deployment can run the
+same decode census on its landing zone."""
+
+from __future__ import annotations
+
+from parallelutilities_jl_spark.operators.multimodal import (
+    decode_census_from_docs,
+)
+from parallelutilities_jl_spark.sources.fixtures import load_table
+from parallelutilities_jl_spark.streaming import windows as SW
+from tests.test_streaming import _norm, _run_stream
+
+
+def test_stream_decode_census_equals_batch(spark, sf_dir):
+    docs_stream = SW.stream_documents(spark, sf_dir)
+    got = _run_stream(
+        spark, decode_census_from_docs(docs_stream), "t_decode_census"
+    )
+    want = decode_census_from_docs(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    assert _norm(got) == _norm(want)
+    assert got, "census must be non-empty at sf0.001"
