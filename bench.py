@@ -200,6 +200,9 @@ LATE_ADDITIONS = [
     "multimodal_wav_zcr",
     # round-14: the decode-on-ingest census (stream-parity pinned)
     "multimodal_decode_census",
+    # round-14: the real animated-GIF round trip + real frame sampling
+    "multimodal_gif_decode",
+    "multimodal_gif_frame_sample",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

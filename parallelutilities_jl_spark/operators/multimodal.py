@@ -1054,6 +1054,394 @@ LEFT JOIN gv ON gv.asset_id = q.asset_id
 
 
 # ---------------------------------------------------------------------------
+# REAL multi-frame codec: animated GIF89a (round 14) — the frame-sample
+# modality stops being metadata-only: the synthesizer writes a genuine
+# GIF container (logical screen descriptor, 256-entry gray global color
+# table, per-frame graphic control extension + image descriptor + LZW
+# code stream in sub-blocks) and the decoder is a full GIF-variant LZW
+# implementation (variable-width codes, clear/EOI, dict growth). The
+# encoder uses the standard "uncompressed GIF" technique — literal
+# codes with a CLEAR every 250 symbols keeps every code 9 bits wide —
+# which is a fully conformant stream any GIF decoder accepts.
+# ---------------------------------------------------------------------------
+
+_GIF_CLEAR_EVERY = 250
+
+
+def _gif_lzw_encode(indices: list) -> bytes:
+    """Uncompressed-style GIF LZW stream (min code size 8): CLEAR,
+    then literal codes with a CLEAR every {_GIF_CLEAR_EVERY} symbols
+    (so the code width never leaves 9 bits), then EOI — LSB-first bit
+    packing per the GIF spec."""
+    clear, eoi, width = 256, 257, 9
+    buf = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for v in indices:
+        emit(int(v) & 0xFF)
+        since_clear += 1
+        if since_clear >= _GIF_CLEAR_EVERY:
+            emit(clear)
+            since_clear = 0
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes):
+    """Full GIF-variant LZW decode: variable code width starting
+    min+1, CLEAR resets the table, EOI terminates, dict entries grow
+    `prev + entry[0]` up to 4096 with the spec's early width bump.
+    Returns the index list or None on a malformed stream."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = [bytes((i,)) for i in range(clear)]
+    table = base + [b"", b""]
+    out = bytearray()
+    prev = None
+    buf = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out before EOI
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = base + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # early change: the decoder's table lags the encoder's by
+            # one entry (the encoder creates entry N before emitting
+            # the next code; the decoder creates it after reading it),
+            # so the width bumps when the table reaches 2^width - 1 —
+            # the next code on the wire was already written wider
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_subblocks(stream: bytes) -> bytes:
+    """Chunk an LZW code stream into <=255-byte GIF sub-blocks plus the
+    zero terminator."""
+    out = bytearray()
+    for i in range(0, len(stream), 255):
+        piece = stream[i : i + 255]
+        out.append(len(piece))
+        out += piece
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_bytes(frames: list, w: int, h: int) -> bytes:
+    """Encode a REAL animated GIF89a: grayscale 256-entry global color
+    table (palette index == luma), one graphic-control-extension +
+    image-descriptor + LZW data stream per frame, trailer byte. Every
+    structural byte per the GIF spec."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT present, 8-bit color, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for v in range(256):  # gray global color table
+        out += bytes((v, v, v))
+    for fr in frames:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: delay 10cs
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x08" + _gif_subblocks(_gif_lzw_encode(fr))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _decode_gif(content: bytes) -> dict | None:
+    """REAL decoder for GIF87a/89a with a global color table: parses
+    the logical screen descriptor and palette, walks the block stream
+    (extensions skipped via their sub-block chains, image blocks LZW-
+    decoded with `_gif_lzw_decode`), validates every frame decodes to
+    exactly width*height indices and the file ends at the trailer.
+    Returns {width, height, n_frames, frames: [luma rows-major]} — the
+    palette maps indices to integer luma (gray palette: luma == index).
+    None on any structural violation, so `decode_assets` can never
+    misroute non-GIF bytes here."""
+    import struct
+
+    if len(content) < 13 or content[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    if w <= 0 or h <= 0 or not packed & 0x80:
+        return None  # no global color table: out of scope
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_n > len(content):
+        return None
+    palette = [
+        (
+            299 * content[pos + 3 * i]
+            + 587 * content[pos + 3 * i + 1]
+            + 114 * content[pos + 3 * i + 2]
+        )
+        // 1000
+        for i in range(gct_n)
+    ]
+    pos += 3 * gct_n
+
+    def skip_subblocks(p: int):
+        while True:
+            if p >= len(content):
+                return None
+            n = content[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    frames = []
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            pos += 1
+            break
+        if b == 0x21:  # extension: label + sub-block chain
+            if pos + 2 > len(content):
+                return None
+            pos = skip_subblocks(pos + 2)
+            if pos is None:
+                return None
+            continue
+        if b != 0x2C:
+            return None
+        if pos + 10 > len(content):
+            return None
+        _l, _t, fw, fh, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        if ipacked & 0x80:  # local color table: out of scope
+            return None
+        if fw != w or fh != h:
+            return None
+        if pos >= len(content):
+            return None
+        mcs = content[pos]
+        pos += 1
+        stream = bytearray()
+        while True:
+            if pos >= len(content):
+                return None
+            n = content[pos]
+            stream += content[pos + 1 : pos + 1 + n]
+            if len(content) < pos + 1 + n:
+                return None
+            pos += 1 + n
+            if n == 0:
+                break
+        idx = _gif_lzw_decode(mcs, bytes(stream))
+        if idx is None or len(idx) != w * h:
+            return None
+        if any(i >= gct_n for i in idx):
+            return None
+        frames.append([palette[i] for i in idx])
+    else:
+        return None  # no trailer
+    if pos != len(content) or not frames:
+        return None
+    return {"width": w, "height": h, "n_frames": len(frames),
+            "frames": frames}
+
+
+GIF_FRAME_SHIFT = 7  # per-frame palette rotation of the sampled values
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int, int]:
+    # (w, h, n_frames)
+    return 4 + doc_id % 3, 3 + doc_id % 2, 2 + doc_id % 3
+
+
+def synthesize_gif_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build REAL animated GIF payloads from the documents fixture:
+    per-doc dims + frame count from `_gif_dims`; frame f's pixel i is
+    the sampled codepoint value rotated by {GIF_FRAME_SHIFT}·f (mod
+    256), so frames are distinct yet the oracle replays every one from
+    the text alone."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h, nf = _gif_dims(int(i))
+                base_vals = _bmp_pixel_vals(t, w * h)
+                frames = [
+                    [(v + GIF_FRAME_SHIFT * f) % 256 for v in base_vals]
+                    for f in range(nf)
+                ]
+                contents.append(_gif_bytes(frames, w, h))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    return docs.mapInPandas(synth, "asset_id long, content binary")
+
+
+def _gif_decode_rows(pdf: pd.DataFrame, every_k: int = 1):
+    """Shared per-batch decode for the GIF queries: one output row per
+    (asset, frame with frame_idx % every_k == 0)."""
+    out = {k: [] for k in (
+        "asset_id", "width", "height", "n_frames", "frame_idx",
+        "luma_sum", "luma_weighted",
+    )}
+    for aid, c in zip(pdf["asset_id"], pdf["content"]):
+        m = _decode_gif(bytes(c))
+        if m is None:
+            raise ValueError(f"invalid GIF payload for asset {aid}")
+        for fi, lu in enumerate(m["frames"]):
+            if fi % every_k:
+                continue
+            out["asset_id"].append(int(aid))
+            out["width"].append(m["width"])
+            out["height"].append(m["height"])
+            out["n_frames"].append(m["n_frames"])
+            out["frame_idx"].append(fi)
+            out["luma_sum"].append(sum(lu))
+            out["luma_weighted"].append(
+                sum((i + 1) * v for i, v in enumerate(lu))
+            )
+    return pd.DataFrame(
+        {
+            "asset_id": out["asset_id"],
+            "width": pd.array(out["width"], dtype="Int32"),
+            "height": pd.array(out["height"], dtype="Int32"),
+            "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+            "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+            "luma_sum": out["luma_sum"],
+            "luma_weighted": out["luma_weighted"],
+        }
+    )
+
+
+_GIF_OUT_SCHEMA = (
+    "asset_id long, width int, height int, n_frames int, frame_idx int, "
+    "luma_sum long, luma_weighted long"
+)
+
+
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL multi-frame codec round trip: synthesize an
+    animated GIF per document, parse the BYTES back through the full
+    LZW decode (`_decode_gif`), and emit one row per frame with
+    order-sensitive luma statistics — a wrong palette map, a dropped
+    frame, or any LZW mis-decode hash-mismatches the oracle, which
+    replays every frame from the parquet inputs alone (frame f = the
+    sampled codepoints rotated by {GIF_FRAME_SHIFT}·f). Scale shape:
+    two chained mapInPandas passes, zero shuffles."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_gif_assets(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gif_decode_rows(pdf)
+
+    return assets.mapInPandas(decode, _GIF_OUT_SCHEMA)
+
+
+GIF_SAMPLE_EVERY = 2
+
+
+def q_multimodal_gif_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL frame sampling (retires the metadata-only frame_sample
+    plan for the animated modality): decode the actual frames and keep
+    every {GIF_SAMPLE_EVERY}-th one — the decode-then-subsample stage
+    a video curation pipeline runs, with the kept frames' real pixel
+    statistics on the output so sampling the wrong frames is
+    hash-visible."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    assets = synthesize_gif_assets(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gif_decode_rows(pdf, every_k=GIF_SAMPLE_EVERY)
+
+    return assets.mapInPandas(decode, _GIF_OUT_SCHEMA)
+
+
+def _oracle_gif(every_k: int = 1) -> str:
+    """First-principles replay of the GIF round trip: dims/frame count
+    from doc_id, frame f pixel = (sampled codepoint + 7f) mod 256 —
+    gray palette makes luma == index."""
+    max_npix = 6 * 4  # max w * max h from _gif_dims
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+         2 + doc_id % 3 AS nf,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+px AS (
+  SELECT asset_id, w, h, nf, t.i AS i,
+         ord(substr(text,
+             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
+           AS v
+  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
+fx AS (
+  SELECT p.asset_id, p.w, p.h, p.nf, f.f AS frame_idx, p.i,
+         (p.v + {GIF_FRAME_SHIFT} * f.f) % 256 AS y
+  FROM px p, range(0, 4) f(f)
+  WHERE f.f < p.nf AND f.f % {every_k} = 0)
+SELECT asset_id,
+       CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(MAX(nf) AS INT) AS n_frames,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(SUM(y) AS BIGINT) AS luma_sum,
+       CAST(SUM((i + 1) * y) AS BIGINT) AS luma_weighted
+FROM fx GROUP BY asset_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # REAL image codec #2: PNG via zlib (round-13 verdict item 2's "and/or
 # PNG" arm) — truecolor 8-bit, CRC-validated chunk walk, full scanline
 # de-filtering (all five filter types exercised by the synthesizer), so
@@ -2165,6 +2553,8 @@ QUERIES = {
     "multimodal_bmp_resize": q_multimodal_bmp_resize,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_decode_census": q_multimodal_decode_census,
+    "multimodal_gif_decode": q_multimodal_gif_decode,
+    "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
     "multimodal_wav_zcr": q_multimodal_wav_zcr,
@@ -2176,6 +2566,8 @@ ORACLES["multimodal_bmp_decode"] = _oracle_bmp_decode()
 ORACLES["multimodal_png_decode"] = _oracle_png_decode()
 ORACLES["multimodal_bmp_resize"] = _oracle_bmp_resize()
 ORACLES["multimodal_decode_census"] = _oracle_decode_census()
+ORACLES["multimodal_gif_decode"] = _oracle_gif()
+ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
 ORACLES["multimodal_image_features"] = _oracle_image_features()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()
