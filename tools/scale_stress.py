@@ -173,6 +173,12 @@ QUERIES = (
     # zero shuffles — expected embarrassingly-parallel ~linear
     "multimodal_bmp_decode",
     "multimodal_png_decode",
+    "multimodal_gif_decode",
+    "multimodal_gif_frame_sample",
+    "multimodal_bmp_resize",
+    "multimodal_image_features",
+    "multimodal_decode_census",
+    "multimodal_wav_zcr",
     # round-14 distributed long-form elsum: constant task count, the
     # only exchange is the chunk partitionBy — expected ~flat in SF
     # (the workload is SF-pinned synthetic, timed for the record)
