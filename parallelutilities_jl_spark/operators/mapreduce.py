@@ -398,17 +398,34 @@ def pmapreduce_dense_elsum_long(
         .mapPartitions(part_chunks)
         .partitionBy(n_chunks, partitionFunc=lambda k: k)
         .mapPartitions(fold_chunks, preservesPartitioning=True)
-        # one row PER CHUNK crosses the Python->JVM boundary
-        .map(lambda kv: (int(kv[1][0]), kv[1][1].tolist()))
+        # one COMPACT row per chunk crosses the Python->JVM boundary:
+        # the raw float64 buffer as binary, never 625k boxed Python
+        # floats (a tolist()+posexplode variant measured 23.5 s at the
+        # 10M-element shape vs ~2 s for this bytes+Arrow path)
+        .map(lambda kv: (int(kv[1][0]), bytearray(kv[1][1].tobytes())))
     )
-    chunk_df = spark.createDataFrame(
-        folded, "start long, vals array<double>"
-    )
-    return chunk_df.select(
-        "start", F.posexplode("vals").alias("pos", "value")
-    ).select(
-        (F.col("start") + F.col("pos")).cast("long").alias("idx"), "value"
-    )
+    chunk_df = spark.createDataFrame(folded, "start long, vals binary")
+
+    def expand(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            starts = batch.column(0).to_pylist()
+            bufs = batch.column(1).to_pylist()
+            for s0, b in zip(starts, bufs):
+                arr = np.frombuffer(b, dtype=np.float64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.arange(s0, s0 + arr.size, dtype=np.int64)
+                        ),
+                        pa.array(arr),
+                    ],
+                    ["idx", "value"],
+                )
+
+    return chunk_df.mapInArrow(expand, "idx long, value double")
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,11 @@ SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 # sf0.01 shape — the driver contract pins oracle runs to sf=0.01, so at
 # any other SF these get the rows-only check instead of a false FAIL
 # (see the q_pmapreduce_bigsum / q_dense_elsum docstrings).
-SF_PINNED_ORACLES = {"pmapreduce_bigsum", "pmapreduce_dense_elsum"}
+SF_PINNED_ORACLES = {
+    "pmapreduce_bigsum",
+    "pmapreduce_dense_elsum",
+    "dense_elsum_sink",  # same SF-scaled synthetic workload as its twin
+}
 
 
 def main() -> None:
