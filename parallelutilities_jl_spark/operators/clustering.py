@@ -1129,17 +1129,17 @@ def q_ann_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelutilities_jl_spark.operators.similarity import dot, norm
 
     emb, centroids = _fit_state(spark, sf_dir, K, IVF_FIT_ITERS)
-    if not centroids:  # empty corpus: no model, empty plan, same schema
+    if not centroids:
+        # empty corpus: no model — but the plan keeps its spine (one
+        # zero row per probe count, NULL recall), matching the oracle's
+        # unconditional range(1, MAX+1) frame
         z = F.lit(0).cast("long")
-        return (
-            spark.range(0)
-            .select(
-                z.alias("nprobe"),
-                z.alias("n_candidates"),
-                z.alias("topk_hits"),
-                z.alias("n_exact"),
-                z.alias("recall_e6"),
-            )
+        return spark.range(1, NPROBE_PLAN_MAX + 1).select(
+            F.col("id").cast("long").alias("nprobe"),
+            z.alias("n_candidates"),
+            z.alias("topk_hits"),
+            z.alias("n_exact"),
+            F.lit(None).cast("long").alias("recall_e6"),
         )
     assign = _assign(emb, centroids)
     corpus = emb.join(assign, "vec_id").select(

@@ -654,10 +654,59 @@ def _decode_bmp(content: bytes) -> dict | None:
     return {"width": w, "height": h, "row_stride": stride, "luma": luma}
 
 
-# variable-dims geometry for the decode round trip: exercises every
-# row-padding case (w=5..8 → pad 1/2/3/0) and three heights
+# Per-asset geometry specs: (base, mod) per component, the SINGLE
+# source for both the Python synthesizers and the DuckDB oracles
+# (review finding: the dims/px/lum CTE chain was copy-pasted into six
+# oracles — the drift risk the shared _wav_sample_ctes already
+# eliminated for the audio family).
+_BMP_WH = ((5, 4), (4, 3))  # w=5..8 exercises every row-pad width
+_PNG_WH = ((4, 5), (3, 4))
+_GIF_WHN = ((4, 3), (3, 2), (2, 3))  # (w, h, n_frames)
+
+
+def _dims_of(spec, doc_id: int) -> tuple:
+    return tuple(b + doc_id % m for b, m in spec)
+
+
+def _dims_sql(spec) -> list:
+    return [f"{b} + doc_id % {m}" for b, m in spec]
+
+
+def _max_npix(spec) -> int:
+    return (spec[0][0] + spec[0][1] - 1) * (spec[1][0] + spec[1][1] - 1)
+
+
+def _pixel_lum_ctes(spec, extra_name: str | None = None) -> str:
+    """Shared dims/px/lum oracle CTE chain (ONE definition for every
+    image-family oracle): dims from the (base, mod) spec, per-pixel
+    base value v = sampled codepoint mod 256, and `lum` adding the
+    row/col split (ry, cx) and the channel-twist integer luma `y` —
+    the first-principles replay of `_bmp_pixel_vals` + `_bmp_bytes`'s
+    RGB twist + `_decode_bmp`'s luma reduction. `extra_name` carries a
+    third spec component (the GIF frame count) through dims/px."""
+    w_sql, h_sql = _dims_sql(spec)[:2]
+    ed = f", {_dims_sql(spec)[2]} AS {extra_name}" if extra_name else ""
+    ec = f", {extra_name}" if extra_name else ""
+    return f"""dims AS (
+  SELECT doc_id AS asset_id, text,
+         {w_sql} AS w, {h_sql} AS h{ed},
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+px AS (
+  SELECT asset_id, w, h{ec}, t.i AS i,
+         ord(substr(text,
+             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
+           AS v
+  FROM dims, range(0, {_max_npix(spec)}) t(i) WHERE t.i < w * h),
+lum AS (
+  SELECT asset_id, w, h{ec}, i, i // w AS ry, i % w AS cx,
+         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
+           AS y
+  FROM px)"""
+
+
 def _bmp_dims(doc_id: int) -> tuple[int, int]:
-    return 5 + doc_id % 4, 4 + doc_id % 3
+    return _dims_of(_BMP_WH, doc_id)
 
 
 def _bmp_pixel_vals(text: str, npix: int) -> list[int]:
@@ -781,24 +830,8 @@ def _oracle_bmp_decode() -> str:
     from the character codepoints, channel twist + integer luma — the
     oracle never sees the container bytes, so any decoder misparse
     (stride, flip, channel order, header offset) hash-mismatches."""
-    max_npix = 8 * 6  # max w * max h from _bmp_dims
     return f"""
-WITH dims AS (
-  SELECT doc_id AS asset_id, text,
-         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
-         length(text) AS L
-  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
-px AS (
-  SELECT asset_id, w, h, t.i AS i,
-         ord(substr(text,
-             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
-           AS v
-  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
-lum AS (
-  SELECT asset_id, w, h, i,
-         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
-           AS y
-  FROM px)
+WITH {_pixel_lum_ctes(_BMP_WH)}
 SELECT asset_id,
        CAST({BMP_HEADER_BYTES} + ((3 * MAX(w) + 3) // 4) * 4 * MAX(h)
             AS BIGINT) AS n_bytes,
@@ -910,24 +943,8 @@ def q_multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_bmp_resize() -> str:
     box = RESIZE_NN_BOX
-    max_npix = 8 * 6
     return f"""
-WITH dims AS (
-  SELECT doc_id AS asset_id, text,
-         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
-         length(text) AS L
-  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
-px AS (
-  SELECT asset_id, w, h, t.i AS i,
-         ord(substr(text,
-             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
-           AS v
-  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
-lum AS (
-  SELECT asset_id, w, h, i,
-         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
-           AS y
-  FROM px),
+WITH {_pixel_lum_ctes(_BMP_WH)},
 nd AS (
   SELECT asset_id, w, h,
          GREATEST(1, (w * {box}) // GREATEST(w, h)) AS nw,
@@ -1009,40 +1026,24 @@ def q_multimodal_image_features(
 
 
 def _oracle_image_features() -> str:
-    max_npix = 8 * 6
     return f"""
-WITH dims AS (
-  SELECT doc_id AS asset_id, text,
-         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
-         length(text) AS L
-  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
-px AS (
-  SELECT asset_id, w, h, t.i AS i,
-         ord(substr(text,
-             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
-           AS v
-  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
-lum AS (
-  SELECT asset_id, w, h, i, i // w AS y, i % w AS x,
-         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
-           AS l
-  FROM px),
+WITH {_pixel_lum_ctes(_BMP_WH)},
 quad AS (
   SELECT asset_id,
-         CAST(SUM(CASE WHEN (2*y)//h = 0 AND (2*x)//w = 0 THEN l ELSE 0 END) AS BIGINT) AS q00,
-         CAST(SUM(CASE WHEN (2*y)//h = 0 AND (2*x)//w = 1 THEN l ELSE 0 END) AS BIGINT) AS q01,
-         CAST(SUM(CASE WHEN (2*y)//h = 1 AND (2*x)//w = 0 THEN l ELSE 0 END) AS BIGINT) AS q10,
-         CAST(SUM(CASE WHEN (2*y)//h = 1 AND (2*x)//w = 1 THEN l ELSE 0 END) AS BIGINT) AS q11
+         CAST(SUM(CASE WHEN (2*ry)//h = 0 AND (2*cx)//w = 0 THEN y ELSE 0 END) AS BIGINT) AS q00,
+         CAST(SUM(CASE WHEN (2*ry)//h = 0 AND (2*cx)//w = 1 THEN y ELSE 0 END) AS BIGINT) AS q01,
+         CAST(SUM(CASE WHEN (2*ry)//h = 1 AND (2*cx)//w = 0 THEN y ELSE 0 END) AS BIGINT) AS q10,
+         CAST(SUM(CASE WHEN (2*ry)//h = 1 AND (2*cx)//w = 1 THEN y ELSE 0 END) AS BIGINT) AS q11
   FROM lum GROUP BY asset_id),
 gh AS (
-  SELECT a.asset_id, CAST(COALESCE(SUM(ABS(b.l - a.l)), 0) AS BIGINT) AS grad_h
+  SELECT a.asset_id, CAST(COALESCE(SUM(ABS(b.y - a.y)), 0) AS BIGINT) AS grad_h
   FROM lum a JOIN lum b
-    ON b.asset_id = a.asset_id AND b.y = a.y AND b.x = a.x + 1
+    ON b.asset_id = a.asset_id AND b.ry = a.ry AND b.cx = a.cx + 1
   GROUP BY a.asset_id),
 gv AS (
-  SELECT a.asset_id, CAST(COALESCE(SUM(ABS(b.l - a.l)), 0) AS BIGINT) AS grad_v
+  SELECT a.asset_id, CAST(COALESCE(SUM(ABS(b.y - a.y)), 0) AS BIGINT) AS grad_v
   FROM lum a JOIN lum b
-    ON b.asset_id = a.asset_id AND b.x = a.x AND b.y = a.y + 1
+    ON b.asset_id = a.asset_id AND b.cx = a.cx AND b.ry = a.ry + 1
   GROUP BY a.asset_id)
 SELECT q.asset_id, q.q00, q.q01, q.q10, q.q11,
        COALESCE(gh.grad_h, 0) AS grad_h,
@@ -1145,12 +1146,14 @@ def _gif_lzw_decode(min_code_size: int, data: bytes):
         out += entry
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
-            # early change: the decoder's table lags the encoder's by
-            # one entry (the encoder creates entry N before emitting
-            # the next code; the decoder creates it after reading it),
-            # so the width bumps when the table reaches 2^width - 1 —
-            # the next code on the wire was already written wider
-            if len(table) == (1 << width) - 1 and width < 12:
+            # width schedule (giflib-consistent): the encoder packs the
+            # k-th data code after a clear at the width in force when
+            # 258+(k-1) entries exist, bumping after packing the code
+            # that brings the count to 2^width; the decoder's table
+            # reaches 258+(k-1) right after reading code k, so it bumps
+            # when len(table) hits 2^width — the NEXT code was written
+            # one bit wider
+            if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
 
@@ -1249,6 +1252,10 @@ def _decode_gif(content: bytes) -> dict | None:
         pos += 10
         if ipacked & 0x80:  # local color table: out of scope
             return None
+        if ipacked & 0x40:  # interlaced rows: out of scope, reject —
+            return None  # decoding them as sequential would silently
+            # permute the luma grid (the BMP top-down / PNG interlace
+            # rejections are the same policy)
         if fw != w or fh != h:
             return None
         if pos >= len(content):
@@ -1284,8 +1291,8 @@ GIF_FRAME_SHIFT = 7  # per-frame palette rotation of the sampled values
 
 
 def _gif_dims(doc_id: int) -> tuple[int, int, int]:
-    # (w, h, n_frames)
-    return 4 + doc_id % 3, 3 + doc_id % 2, 2 + doc_id % 3
+    # (w, h, n_frames) — spec shared with the oracle via _GIF_WHN
+    return _dims_of(_GIF_WHN, doc_id)
 
 
 def synthesize_gif_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,20 +1419,8 @@ def _oracle_gif(every_k: int = 1) -> str:
     """First-principles replay of the GIF round trip: dims/frame count
     from doc_id, frame f pixel = (sampled codepoint + 7f) mod 256 —
     gray palette makes luma == index."""
-    max_npix = 6 * 4  # max w * max h from _gif_dims
     return f"""
-WITH dims AS (
-  SELECT doc_id AS asset_id, text,
-         4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
-         2 + doc_id % 3 AS nf,
-         length(text) AS L
-  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
-px AS (
-  SELECT asset_id, w, h, nf, t.i AS i,
-         ord(substr(text,
-             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
-           AS v
-  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
+WITH {_pixel_lum_ctes(_GIF_WHN, extra_name="nf")},
 fx AS (
   SELECT p.asset_id, p.w, p.h, p.nf, f.f AS frame_idx, p.i,
          (p.v + {GIF_FRAME_SHIFT} * f.f) % 256 AS y
@@ -1453,8 +1448,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def _png_dims(doc_id: int) -> tuple[int, int]:
     # h >= 5 on most docs so all five filter types appear; w varies the
-    # scanline length
-    return 4 + doc_id % 5, 3 + doc_id % 4
+    # scanline length (spec shared with the oracle via _PNG_WH)
+    return _dims_of(_PNG_WH, doc_id)
 
 
 def _png_filter_row(ftype: int, raw: bytes, prev: bytes) -> bytes:
@@ -1719,24 +1714,8 @@ def _oracle_png_decode() -> str:
     """First-principles replay of the PNG round trip: dims from doc_id,
     pixel algebra shared with the BMP oracle, filter_mask = OR of
     1<<(r%5) over the h scanlines, n_raw_bytes = h·(1+3w)."""
-    max_npix = 8 * 6  # max w * max h from _png_dims
     return f"""
-WITH dims AS (
-  SELECT doc_id AS asset_id, text,
-         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-         length(text) AS L
-  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
-px AS (
-  SELECT asset_id, w, h, t.i AS i,
-         ord(substr(text,
-             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
-           AS v
-  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
-lum AS (
-  SELECT asset_id, w, h, i,
-         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
-           AS y
-  FROM px),
+WITH {_pixel_lum_ctes(_PNG_WH)},
 fm AS (
   SELECT d.asset_id,
          CAST(SUM(DISTINCT (1 << (CAST(r.r AS INT) % 5))) AS INT)
@@ -1817,24 +1796,8 @@ def q_multimodal_decode_census(
 
 
 def _oracle_decode_census() -> str:
-    max_npix = 8 * 6
     return f"""
-WITH dims AS (
-  SELECT doc_id AS asset_id, text,
-         5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
-         length(text) AS L
-  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
-px AS (
-  SELECT asset_id, w, h, t.i AS i,
-         ord(substr(text,
-             CAST(1 + (t.i * (L - 1)) // (w * h - 1) AS INT), 1)) % 256
-           AS v
-  FROM dims, range(0, {max_npix}) t(i) WHERE t.i < w * h),
-lum AS (
-  SELECT asset_id, w, h, i,
-         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
-           AS y
-  FROM px)
+WITH {_pixel_lum_ctes(_BMP_WH)}
 SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
        CAST(SUM(y) AS BIGINT) AS luma_sum_total,

@@ -39,6 +39,10 @@ NONEMPTY_ON_EMPTY |= {"dedup_threshold_sensitivity", "lsh_banding_plan"}
 # global-aggregate planner frames (groupBy().agg) emit one NULL-valued
 # summary row over zero input in BOTH engines
 NONEMPTY_ON_EMPTY |= {"session_gap_plan", "embedding_dim_plan"}
+# round-14: the nprobe plan keeps its 1..4 probe-count spine (zero
+# candidates, NULL recall) even over zero vectors — matching the
+# oracle's unconditional range() frame (ADVICE round-13 item)
+NONEMPTY_ON_EMPTY |= {"ann_nprobe_plan"}
 
 
 @pytest.fixture(scope="module")

@@ -31,9 +31,12 @@ def _ref_compress(min_size: int, data: bytes):
         codes.append((d[w], width))
         if next_code < 4096:
             d[wc] = next_code
-            if next_code == (1 << width) - 1 and width < 12:
-                width += 1
             next_code += 1
+            # giflib schedule: the bump lands after packing the code
+            # that makes the table reach 2^width, so the 256th data
+            # code after a clear is the first 10-bit one
+            if next_code > (1 << width) and width < 12:
+                width += 1
         w = bytes((ch,))
     if w:
         codes.append((d[w], width))
@@ -96,3 +99,28 @@ def test_strict_rejects():
     assert _decode_gif(bytes(bad)) is None
     # truncated LZW stream (cut inside the data sub-block)
     assert _decode_gif(good[: idesc + 14]) is None
+
+
+def test_width_schedule_boundary_is_giflib_conformant():
+    """The 256th data code after a clear is the FIRST 10-bit one (the
+    code that brings the table to 2^9 is still packed at 9 bits) — the
+    boundary a self-consistent-but-shifted pair would get wrong while
+    still round-tripping its own streams. Constructed so the reference
+    encoder emits exactly one code per input symbol (all-distinct pairs
+    exhausted is avoided by using a non-repeating byte sequence: every
+    two-byte window is unique, so every symbol after the first is a
+    dictionary miss)."""
+    data = bytes(((i * i + 3 * i) // 2) % 256 for i in range(400))
+    enc = _ref_compress(8, data)
+    assert _gif_lzw_decode(8, enc) == data
+
+
+def test_rejects_interlaced_frames():
+    import struct
+
+    good = _gif_bytes([[1, 2, 3, 4]], 2, 2)
+    idesc = 13 + 768 + 8
+    assert good[idesc] == 0x2C
+    bad = bytearray(good)
+    bad[idesc + 9] |= 0x40  # image-descriptor interlace flag
+    assert _decode_gif(bytes(bad)) is None
