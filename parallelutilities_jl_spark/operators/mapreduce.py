@@ -389,8 +389,13 @@ def pmapreduce_dense_elsum_long(
                 acc[k] = (start, v)
             else:
                 pv = prev[1]
-                out = pv if pv.flags.writeable else v
-                acc[k] = (start, np.add(pv, v, out=out))
+                # deserialized chunks can arrive read-only; if pv is not
+                # writeable, allocate (v may be read-only too — writing
+                # into it would raise)
+                if pv.flags.writeable:
+                    acc[k] = (start, np.add(pv, v, out=pv))
+                else:
+                    acc[k] = (start, pv + v)
         return iter(acc.items())
 
     folded = (

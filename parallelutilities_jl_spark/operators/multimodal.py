@@ -169,15 +169,15 @@ def _decode_wav(content: bytes) -> dict | None:
 
 
 def _decode_stub(content: bytes, modality: str) -> dict:
-    """STUB for the codecs that genuinely need external libraries
-    (PIL / pyav are not in this container — JPEG/PNG/MP4 cannot be
-    parsed honestly without them). Deterministic fake: metadata derived
-    from the byte stream so tests are reproducible. Replace the body
-    with the real decoder in deployment. Valid WAVs no longer route
-    here: `_decode_wav` is a REAL pure-Python decoder and
-    `decode_assets` dispatches AUDIO rows whose bytes are a
-    structurally valid WAV to it (non-audio rows always take this
-    stand-in, whatever their bytes look like)."""
+    """Fallback stand-in for bytes that are NOT a container this repo
+    can parse for real. WAV (`_decode_wav`), BMP (`_decode_bmp`), PNG
+    (`_decode_png`), and GIF (`_decode_gif`) all have REAL pure-stdlib
+    decoders that `decode_assets` dispatches to by modality + container
+    sniff; only rows whose bytes fail their modality's strict parses
+    land here (e.g. JPEG/MP4, whose entropy-coded formats genuinely
+    need external libraries not in this container). Deterministic fake:
+    metadata derived from the byte stream so tests are reproducible.
+    Replace with the real external decoder in deployment."""
     if modality not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for modality {modality!r}")
     h = hashlib.sha256(content).digest()
@@ -672,8 +672,15 @@ def _dims_sql(spec) -> list:
     return [f"{b} + doc_id % {m}" for b, m in spec]
 
 
+def _max_dim(component) -> int:
+    """Largest value a (base, mod) spec component can take — the bound
+    every oracle `range()` expansion must derive from the spec (a
+    hard-coded literal silently truncates if the spec is ever edited)."""
+    return component[0] + component[1] - 1
+
+
 def _max_npix(spec) -> int:
-    return (spec[0][0] + spec[0][1] - 1) * (spec[1][0] + spec[1][1] - 1)
+    return _max_dim(spec[0]) * _max_dim(spec[1])
 
 
 def _pixel_lum_ctes(spec, extra_name: str | None = None) -> str:
@@ -1424,7 +1431,7 @@ WITH {_pixel_lum_ctes(_GIF_WHN, extra_name="nf")},
 fx AS (
   SELECT p.asset_id, p.w, p.h, p.nf, f.f AS frame_idx, p.i,
          (p.v + {GIF_FRAME_SHIFT} * f.f) % 256 AS y
-  FROM px p, range(0, 4) f(f)
+  FROM px p, range(0, {_max_dim(_GIF_WHN[2])}) f(f)
   WHERE f.f < p.nf AND f.f % {every_k} = 0)
 SELECT asset_id,
        CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
@@ -1720,7 +1727,7 @@ fm AS (
   SELECT d.asset_id,
          CAST(SUM(DISTINCT (1 << (CAST(r.r AS INT) % 5))) AS INT)
            AS filter_mask
-  FROM dims d, range(0, 6) r(r) WHERE r.r < d.h
+  FROM dims d, range(0, {_max_dim(_PNG_WH[1])}) r(r) WHERE r.r < d.h
   GROUP BY d.asset_id)
 SELECT l.asset_id,
        CAST(MAX(l.h) * (1 + 3 * MAX(l.w)) AS BIGINT) AS n_raw_bytes,

@@ -30,6 +30,22 @@ EVENTS_STREAM_SCHEMA = (
 SESSION_GAP_SEC = 1800
 
 
+def _stage_dir(sf_dir: str, fname: str, prefix: str) -> str:
+    """Create the single-file staging dir (dir-watching file sources
+    want a directory; the fixture is one file, exposed via symlink) and
+    register it for removal at interpreter exit — each call otherwise
+    leaks one temp dir per stream construction."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    os.symlink(os.path.join(sf_dir, fname), os.path.join(stage, fname))
+    return stage
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet. The fixture stores
     `ts` as parquet `timestamp[us]` (see tests/test_streaming.py fixture
@@ -40,14 +56,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     files; the fixture is a single file, so it is exposed through a
     temp directory symlink (in production the directory is the landing
     zone new files arrive into)."""
-    import os
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="pu_events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
+    stage = _stage_dir(sf_dir, "events.parquet", "pu_events_stream_")
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
@@ -67,14 +76,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines: stateless mapInPandas codec stages apply to this stream
     unchanged (tests/test_streaming_decode.py pins stream ≡ batch for
     the BMP decode census)."""
-    import os
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="pu_documents_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(stage, "documents.parquet"),
-    )
+    stage = _stage_dir(sf_dir, "documents.parquet", "pu_documents_stream_")
     return (
         spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
         .format("parquet")
