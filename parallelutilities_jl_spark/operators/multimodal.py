@@ -190,10 +190,61 @@ def _decode_stub(content: bytes, modality: str) -> dict:
 
 
 def _features_stub(content: bytes) -> list[float]:
-    """Deterministic fake embedding: FEATURE_DIM floats from sha256
-    bytes. Replace with the real encoder in deployment."""
+    """Deterministic fake embedding (sha256 bytes) — the fallback for
+    blobs `_media_features` cannot decode for real (e.g. JPEG/MP4).
+    Replace with the real encoder in deployment."""
     h = hashlib.sha256(content).digest()
     return [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
+
+
+def _media_features(content: bytes, modality: str) -> list[float]:
+    """REAL FEATURE_DIM-dim feature vector from DECODED content
+    (round-15: retires the sha256 embedding on the feature path) — the
+    cheap per-modality statistics a curation pipeline filters and
+    clusters on, all exact integers so the oracle replays them
+    bit-for-bit:
+
+    * image → 8-bin luma histogram of the decoded pixel grid
+      (bin = luma // 32; luma ∈ 0..255 so bins cover exactly 0..7);
+    * audio → 8 equal integer-boundary frame energies Σ s² of the
+      decoded PCM16 stream (≤ 64 samples · 32767² < 2^53: exact in
+      float64);
+    * video → per-frame luma sums for frames 0..7, zero-padded past
+      the real frame count (spec max `_max_dim(_GIF_WHN[2])` frames).
+
+    Bytes that fail their modality's strict parse fall back to
+    `_features_stub` (deterministic, documented)."""
+    import numpy as np
+
+    if modality == "image":
+        d = _decode_bmp(content) or _decode_png(content)
+        if d is not None:
+            lu = np.asarray(d["luma"], dtype=np.int64)
+            hist = np.bincount(lu // 32, minlength=FEATURE_DIM)
+            return [float(x) for x in hist[:FEATURE_DIM]]
+    elif modality == "audio":
+        s = _wav_pcm16(content)
+        if s is not None:
+            s = s.astype(np.int64)
+            n = len(s)
+            return [
+                float(
+                    np.dot(
+                        s[f * n // FEATURE_DIM : (f + 1) * n // FEATURE_DIM],
+                        s[f * n // FEATURE_DIM : (f + 1) * n // FEATURE_DIM],
+                    )
+                )
+                for f in range(FEATURE_DIM)
+            ]
+    elif modality == "video":
+        d = _decode_gif(content)
+        if d is not None:
+            sums = [
+                float(np.asarray(fr, dtype=np.int64).sum())
+                for fr in d["frames"][:FEATURE_DIM]
+            ]
+            return sums + [0.0] * (FEATURE_DIM - len(sums))
+    return _features_stub(content)
 
 
 def _modality_col() -> F.Column:
@@ -219,10 +270,101 @@ def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_content(doc_id: int, text: str) -> bytes:
+    """One REAL container per document, picked by its modality tag:
+    image → 24-bit BMP (`_bmp_bytes`), audio → RIFF/WAVE PCM16
+    (`_wav_container_bytes`), video → animated GIF89a (`_gif_bytes`,
+    full LZW). Each reuses the single-modality synthesizer's geometry
+    spec (`_bmp_dims` / WAV cap / `_gif_dims`) so every decoded field
+    stays first-principles oracle-predictable."""
+    m = doc_id % 3
+    if m == 0:
+        w, h = _bmp_dims(doc_id)
+        return _bmp_bytes(_bmp_pixel_vals(text, w * h), w, h)
+    if m == 1:
+        return _wav_container_bytes(doc_id, text)
+    w, h, nf = _gif_dims(doc_id)
+    base_vals = _bmp_pixel_vals(text, w * h)
+    frames = [
+        [(v + GIF_FRAME_SHIFT * f) % 256 for v in base_vals]
+        for f in range(nf)
+    ]
+    return _gif_bytes(frames, w, h)
+
+
+def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mixed-modality asset table (round-15: retires the
+    raw-text payloads on the decode path): every row's content is a
+    genuine container for its modality, built by `_media_content` in
+    one Arrow-batched mapInPandas pass. Image/video synthesis samples
+    pixel values from the text characters, so empty-text docs are
+    excluded for those modalities (audio keeps them: an empty data
+    chunk is a valid WAV) — the oracles carry the same predicate.
+    `synthesize_assets` (raw text bytes) remains the fixture for the
+    byte-plumbing queries (binary_stats / arrow_hist / shard manifest),
+    where the payload bytes themselves are the subject."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & ((F.col("doc_id") % 3 == 1) | (F.length("text") >= 1))
+        )
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": [
+                        ("image", "audio", "video")[i % 3] for i in ids
+                    ],
+                    "content": [
+                        _media_content(i, t)
+                        for i, t in zip(ids, pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        synth, "asset_id long, modality string, content binary"
+    )
+
+
 # synthesized-WAV payload bound: data chunk = first this-many UTF-8
 # text bytes (zero-padded to whole PCM16 samples) — keeps the per-doc
 # payload bounded while still exercising real variable-length parses
 WAV_DATA_CAP = 128
+
+
+def _wav_container_bytes(doc_id: int, text: str) -> bytes:
+    """REAL RIFF/WAVE PCM16 container for one document: mono 16-bit,
+    sample_rate = 8000 + (doc_id % 4)·8000, data chunk = first
+    `WAV_DATA_CAP` UTF-8 bytes of the text zero-padded to whole
+    samples. Shared by `synthesize_wav_assets` and the mixed-modality
+    `synthesize_media_assets` so the audio payload algebra (and its
+    oracle) has exactly one definition."""
+    import struct
+
+    sr = 8000 + (doc_id % 4) * 8000
+    raw = text.encode("utf-8")[:WAV_DATA_CAP]
+    if len(raw) % 2:
+        raw += b"\x00"
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(raw))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(raw))
+    )
+    return hdr + raw
 
 
 def synthesize_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,30 +386,12 @@ def synthesize_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        def wav_bytes(doc_id: int, text: str) -> bytes:
-            sr = 8000 + (doc_id % 4) * 8000
-            raw = text.encode("utf-8")[:WAV_DATA_CAP]
-            if len(raw) % 2:
-                raw += b"\x00"
-            hdr = (
-                b"RIFF"
-                + struct.pack("<I", 36 + len(raw))
-                + b"WAVE"
-                + b"fmt "
-                + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
-                + b"data"
-                + struct.pack("<I", len(raw))
-            )
-            return hdr + raw
-
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
                     "content": [
-                        wav_bytes(int(i), t)
+                        _wav_container_bytes(int(i), t)
                         for i, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 }
@@ -1834,17 +1958,20 @@ def decode_assets(assets: DataFrame) -> DataFrame:
             for c, m in zip(pdf["content"], pdf["modality"]):
                 # dispatch on claimed modality FIRST, container sniff
                 # second: only audio rows may take the real WAV
-                # decoder and only image rows the real BMP decoder. An
-                # image/video blob that happens to be a structurally
-                # valid RIFF/WAVE container must NOT get WAV metadata
-                # (NULL width/height) — the row's output contract
-                # follows its modality, and rows whose bytes are not a
-                # valid container for their modality fall back to the
+                # decoder, only image rows the real BMP/PNG decoders,
+                # only video rows the real GIF decoder. An image/video
+                # blob that happens to be a structurally valid
+                # RIFF/WAVE container must NOT get WAV metadata (NULL
+                # width/height) — the row's output contract follows its
+                # modality, and rows whose bytes are not a valid
+                # container for their modality fall back to the
                 # documented stand-in
                 wav = _decode_wav(bytes(c)) if m == "audio" else None
-                bmp = None
+                bmp = gif = None
                 if m == "image":
                     bmp = _decode_bmp(bytes(c)) or _decode_png(bytes(c))
+                elif m == "video":
+                    gif = _decode_gif(bytes(c))
                 if wav is not None:
                     metas.append(
                         {
@@ -1861,6 +1988,15 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                             "height": bmp["height"],
                             "sample_rate": None,
                             "n_frames": None,
+                        }
+                    )
+                elif gif is not None:
+                    metas.append(
+                        {
+                            "width": gif["width"],
+                            "height": gif["height"],
+                            "sample_rate": None,
+                            "n_frames": gif["n_frames"],
                         }
                     )
                 else:
@@ -1889,7 +2025,11 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction → array<double> embedding column."""
+    """mapInPandas feature extraction → array<double> embedding column:
+    REAL per-modality statistics of the DECODED content
+    (`_media_features` — luma histogram / PCM frame energies /
+    per-frame luma sums), sha256 fallback only for containers outside
+    the stdlib codecs. One Arrow-batched pass, zero shuffles."""
     from parallelutilities_jl_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(assets.sparkSession)
@@ -1899,7 +2039,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "features": [_features_stub(c) for c in pdf["content"]],
+                    "features": [
+                        _media_features(bytes(c), m)
+                        for c, m in zip(pdf["content"], pdf["modality"])
+                    ],
                 }
             )
 
@@ -2015,18 +2158,33 @@ def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_SAMPLE_EVERY = 2  # GIF spec max is 4 frames, so every-2 is non-trivial
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full decode pipeline over the synthesized asset table."""
-    return decode_assets(synthesize_assets(spark, sf_dir))
+    """The full decode pipeline over the REAL mixed-modality asset
+    table (round-15: every row is a genuine BMP / WAV / GIF container
+    and every metadata field comes out of its real stdlib decoder —
+    the stub now only backstops containers the repo cannot parse).
+    n_bytes is projected away: the LZW-compressed GIF payload length is
+    not first-principles predictable, and the decode METADATA is the
+    query's subject. Scale shape: two chained mapInPandas passes, zero
+    shuffles."""
+    dec = decode_assets(synthesize_media_assets(spark, sf_dir))
+    return dec.select(
+        "asset_id", "modality", "width", "height", "sample_rate", "n_frames"
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction: binary content → embedding, flattened to
-    scalar columns f0..f{FEATURE_DIM-1} (the `minhash_signature` h0..h3
-    pattern) so the driver's pandas canonicalizer can sort/hash the
-    result — raw array<double> columns are unhashable there. The
-    internal API (`extract_features`) still returns the array form."""
-    feats = extract_features(synthesize_assets(spark, sf_dir))
+    """REAL feature extraction over the mixed-modality table: decoded
+    luma histogram (image) / PCM frame energies (audio) / per-frame
+    luma sums (video), flattened to scalar columns f0..f{FEATURE_DIM-1}
+    (the `minhash_signature` h0..h3 pattern) so the driver's pandas
+    canonicalizer can sort/hash the result — raw array<double> columns
+    are unhashable there. The internal API (`extract_features`) still
+    returns the array form."""
+    feats = extract_features(synthesize_media_assets(spark, sf_dir))
     return feats.select(
         "asset_id",
         *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
@@ -2034,58 +2192,139 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → video filter → every-8th-frame sampling plan."""
-    return frame_sample(decode_assets(synthesize_assets(spark, sf_dir)))
+    """Decode → video filter → every-{MEDIA_SAMPLE_EVERY}th-frame
+    sampling plan, with n_frames now the REAL decoded GIF frame count
+    (the sequence+explode plan itself stays pure column ops — no second
+    decode until a downstream consumer fetches the frame)."""
+    return frame_sample(
+        decode_assets(synthesize_media_assets(spark, sf_dir)),
+        every_k=MEDIA_SAMPLE_EVERY,
+    )
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → image filter → aspect-preserving resize plan."""
-    return resize_plan(decode_assets(synthesize_assets(spark, sf_dir)))
+    """Decode → image filter → aspect-preserving resize plan over the
+    REAL decoded BMP dims (the pixel resample itself is
+    `multimodal_bmp_resize`; this is the dimension-planning stage)."""
+    return resize_plan(decode_assets(synthesize_media_assets(spark, sf_dir)))
 
 
-# the decode stub derives metadata from sha256 bytes; DuckDB reproduces it
-# from the hex digest, making the whole stubbed pipeline oracle-checkable
-def _byte(i: int) -> str:
-    return f"('0x' || substring(sha256(text), {2 * i + 1}, 2))::INT"
+# First-principles oracles for the REAL mixed-modality pipeline: every
+# metadata field and feature is re-derived from the parquet inputs alone
+# (doc_id geometry specs + text-byte algebra shared with the
+# single-modality oracles) — the synthesized container bytes are never
+# consulted, so any encoder/decoder misparse hash-mismatches.
+
+# modality membership predicates, aligned with `synthesize_media_assets`'
+# filter (image/video sample pixels from the text, so they need length>=1;
+# an empty-text WAV is valid)
+_M_IMG = "text IS NOT NULL AND length(text) >= 1 AND doc_id % 3 = 0"
+_M_AUD = "text IS NOT NULL AND doc_id % 3 = 1"
+_M_VID = "text IS NOT NULL AND length(text) >= 1 AND doc_id % 3 = 2"
 
 
-_DD_DECODED = f"""
-decoded AS (
-  SELECT doc_id AS asset_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio'
-              ELSE 'video' END AS modality,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CAST(16 + {_byte(0)} % 64 AS INT) AS width,
-         CAST(16 + {_byte(1)} % 64 AS INT) AS height,
-         CAST(8000 + ({_byte(2)} % 4) * 8000 AS INT) AS sample_rate,
-         CAST(1 + {_byte(3)} % 32 AS INT) AS n_frames
-  FROM documents WHERE text IS NOT NULL)
+def _oracle_media_decode() -> str:
+    bw, bh = _dims_sql(_BMP_WH)
+    gw, gh, gnf = _dims_sql(_GIF_WHN)
+    return f"""
+SELECT doc_id AS asset_id, 'image' AS modality,
+       CAST({bw} AS INT) AS width, CAST({bh} AS INT) AS height,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_frames
+FROM documents WHERE {_M_IMG}
+UNION ALL
+SELECT doc_id, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(8000 + (doc_id % 4) * 8000 AS INT),
+       CAST((LEAST(octet_length(encode(text)), {WAV_DATA_CAP})
+             + LEAST(octet_length(encode(text)), {WAV_DATA_CAP}) % 2) // 2
+            AS INT)
+FROM documents WHERE {_M_AUD}
+UNION ALL
+SELECT doc_id, 'video', CAST({gw} AS INT), CAST({gh} AS INT),
+       CAST(NULL AS INT), CAST({gnf} AS INT)
+FROM documents WHERE {_M_VID}
 """
 
+
+def _oracle_media_frame_sample() -> str:
+    gnf = _dims_sql(_GIF_WHN)[2]
+    return f"""
+WITH v AS (
+  SELECT doc_id AS asset_id, {gnf} AS nf
+  FROM documents WHERE {_M_VID})
+SELECT asset_id,
+       CAST(UNNEST(generate_series(0, nf - 1, {MEDIA_SAMPLE_EVERY})) AS INT)
+         AS frame_idx
+FROM v
+"""
+
+
+def _oracle_media_resize() -> str:
+    bw, bh = _dims_sql(_BMP_WH)
+    return f"""
+WITH d AS (
+  SELECT doc_id AS asset_id, {bw} AS w, {bh} AS h
+  FROM documents WHERE {_M_IMG})
+SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(GREATEST(1, FLOOR(w * ({RESIZE_BOX}.0 / GREATEST(w, h)))) AS INT)
+         AS new_w,
+       CAST(GREATEST(1, FLOOR(h * ({RESIZE_BOX}.0 / GREATEST(w, h)))) AS INT)
+         AS new_h
+FROM d
+"""
+
+
+def _oracle_media_features() -> str:
+    """Three-branch replay of `_media_features`, one parenthesized
+    WITH-scope per modality (the shared CTE names dims/px/lum cannot
+    collide across scopes): image = 8-bin luma histogram over the
+    shared pixel CTEs, audio = 8 frame energies over the shared PCM
+    sample CTEs (empty streams LEFT-JOIN to zeros), video = per-frame
+    luma sums (gray palette: luma == (v + shift·f) mod 256),
+    zero-padded past nf."""
+    n = FEATURE_DIM
+    img_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE y // 32 = {b}) AS DOUBLE) AS f{b}"
+        for b in range(n)
+    )
+    e_defs = ", ".join(
+        f"SUM(s * s) FILTER (WHERE i > {f} * n // {n} "
+        f"AND i <= {f + 1} * n // {n}) AS e{f}"
+        for f in range(n)
+    )
+    aud_cols = ", ".join(
+        f"CAST(COALESCE(e.e{f}, 0) AS DOUBLE) AS f{f}" for f in range(n)
+    )
+    vid_cols = ", ".join(
+        f"CAST(CASE WHEN MAX(nf) > {f} "
+        f"THEN SUM((v + {GIF_FRAME_SHIFT * f}) % 256) ELSE 0 END "
+        f"AS DOUBLE) AS f{f}"
+        for f in range(n)
+    )
+    return f"""
+SELECT * FROM (
+  WITH {_pixel_lum_ctes(_BMP_WH)}
+  SELECT asset_id, {img_cols}
+  FROM lum WHERE asset_id % 3 = 0 GROUP BY asset_id)
+UNION ALL
+SELECT * FROM (
+  WITH {_wav_sample_ctes()},
+  es AS (SELECT asset_id, {e_defs} FROM vals GROUP BY asset_id)
+  SELECT d.asset_id, {aud_cols}
+  FROM dims d LEFT JOIN es e USING (asset_id)
+  WHERE d.asset_id % 3 = 1)
+UNION ALL
+SELECT * FROM (
+  WITH {_pixel_lum_ctes(_GIF_WHN, extra_name="nf")}
+  SELECT asset_id, {vid_cols}
+  FROM px WHERE asset_id % 3 = 2 GROUP BY asset_id)
+"""
+
+
 ORACLES = {
-    "multimodal_decode": f"""
-WITH {_DD_DECODED}
-SELECT * FROM decoded
-""",
-    "multimodal_features": f"""
-SELECT doc_id AS asset_id,
-       {", ".join(f"ROUND({_byte(i)} / 255.0, 6) AS f{i}" for i in range(FEATURE_DIM))}
-FROM documents WHERE text IS NOT NULL
-""",
-    "multimodal_frame_sample": f"""
-WITH {_DD_DECODED}
-SELECT asset_id, CAST(UNNEST(generate_series(0, n_frames - 1, 8)) AS INT)
-           AS frame_idx
-FROM decoded WHERE modality = 'video'
-""",
-    "multimodal_resize": f"""
-WITH {_DD_DECODED}
-SELECT asset_id, width, height,
-       CAST(GREATEST(1, FLOOR(width * ({RESIZE_BOX}.0 / GREATEST(width, height)))) AS INT) AS new_w,
-       CAST(GREATEST(1, FLOOR(height * ({RESIZE_BOX}.0 / GREATEST(width, height)))) AS INT) AS new_h
-FROM decoded WHERE modality = 'image'
-""",
+    "multimodal_decode": _oracle_media_decode(),
+    "multimodal_features": _oracle_media_features(),
+    "multimodal_frame_sample": _oracle_media_frame_sample(),
+    "multimodal_resize": _oracle_media_resize(),
     "multimodal_arrow_hist": """
 SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
