@@ -745,8 +745,9 @@ def _decode_bmp(content: bytes) -> dict | None:
     row stride, and reduces each (B, G, R) triple to integer luma
     (299·R + 587·G + 114·B) // 1000, exact in both engines. Returns
     None unless the container is structurally valid, so
-    `decode_assets` can never misroute non-BMP bytes here. Pure
-    stdlib — the image analog of `_decode_wav`."""
+    `decode_assets` can never misroute non-BMP bytes here. stdlib
+    struct + vectorized numpy pixel walk — the image analog of
+    `_decode_wav`."""
     import struct
 
     if len(content) < BMP_HEADER_BYTES or content[:2] != b"BM":
@@ -769,12 +770,19 @@ def _decode_bmp(content: bytes) -> dict | None:
     stride = _bmp_stride(w)
     if offset + stride * h > len(content):
         return None
-    luma = []
-    for y in range(h):  # emit TOP-LEFT row-major: un-flip bottom-up rows
-        base = offset + (h - 1 - y) * stride
-        for x in range(w):
-            b_, g_, r_ = content[base + 3 * x : base + 3 * x + 3]
-            luma.append((299 * r_ + 587 * g_ + 114 * b_) // 1000)
+    # numpy pixel walk (round-15: the tolist→numpy lesson from the
+    # dense-elsum sink applied to the codec hot path): one frombuffer
+    # over the pixel array, un-flip the bottom-up rows and un-pad the
+    # stride with views, then the (B, G, R) → integer-luma reduction as
+    # three vectorized int64 ops — no per-pixel Python. Emits TOP-LEFT
+    # row-major luma as a 1-D int64 array.
+    import numpy as np
+
+    px = np.frombuffer(content, dtype=np.uint8, count=stride * h,
+                       offset=offset)
+    bgr = px.reshape(h, stride)[::-1, : 3 * w].reshape(h * w, 3)
+    bgr = bgr.astype(np.int64)
+    luma = (299 * bgr[:, 2] + 587 * bgr[:, 1] + 114 * bgr[:, 0]) // 1000
     return {"width": w, "height": h, "row_stride": stride, "luma": luma}
 
 
@@ -834,6 +842,16 @@ lum AS (
          (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
            AS y
   FROM px)"""
+
+
+def _luma_sums(lu) -> tuple[int, int]:
+    """(Σ luma, Σ (i+1)·luma) over row-major order as two vectorized
+    int64 reductions — the order-sensitive statistic pair every codec
+    query emits (the weighted sum catches any pixel permutation)."""
+    import numpy as np
+
+    lu = np.asarray(lu, dtype=np.int64)
+    return int(lu.sum()), int(np.dot(np.arange(1, lu.size + 1), lu))
 
 
 def _bmp_dims(doc_id: int) -> tuple[int, int]:
@@ -922,6 +940,7 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"invalid BMP payload for asset {aid}"
                     )
             lums = [m["luma"] for m in metas]
+            sums = [_luma_sums(lu) for lu in lums]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -936,20 +955,17 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [m["row_stride"] for m in metas], dtype="Int32"
                     ),
                     "n_pixels": [len(lu) for lu in lums],
-                    "luma_sum": [sum(lu) for lu in lums],
+                    "luma_sum": [s for s, _ in sums],
                     "luma_min": pd.array(
-                        [min(lu) for lu in lums], dtype="Int32"
+                        [int(lu.min()) for lu in lums], dtype="Int32"
                     ),
                     "luma_max": pd.array(
-                        [max(lu) for lu in lums], dtype="Int32"
+                        [int(lu.max()) for lu in lums], dtype="Int32"
                     ),
                     "luma_topleft": pd.array(
-                        [lu[0] for lu in lums], dtype="Int32"
+                        [int(lu[0]) for lu in lums], dtype="Int32"
                     ),
-                    "luma_weighted": [
-                        sum((i + 1) * v for i, v in enumerate(lu))
-                        for lu in lums
-                    ],
+                    "luma_weighted": [w for _, w in sums],
                 }
             )
 
@@ -989,22 +1005,22 @@ FROM lum GROUP BY asset_id
 RESIZE_NN_BOX = 4  # target box for the real nearest-neighbor resample
 
 
-def _nn_resize_luma(
-    luma: list, w: int, h: int, box: int = RESIZE_NN_BOX
-) -> tuple[list, int, int]:
+def _nn_resize_luma(luma, w: int, h: int, box: int = RESIZE_NN_BOX):
     """Aspect-preserving nearest-neighbor resample of a row-major luma
     grid into a `box`-bounded grid: new_w = max(1, (w·box)//max(w,h)),
     source index of target (y, x) is ((y·h)//new_h, (x·w)//new_w) — the
     standard floor mapping, all integer, so the oracle replays it
-    bit-for-bit."""
+    bit-for-bit. Vectorized: the gather is one numpy cross-index over
+    the grid. Returns (flat int64 array, new_w, new_h)."""
+    import numpy as np
+
     m = max(w, h)
     nw = max(1, (w * box) // m)
     nh = max(1, (h * box) // m)
-    out = [
-        luma[((y * h) // nh) * w + ((x * w) // nw)]
-        for y in range(nh)
-        for x in range(nw)
-    ]
+    lu = np.asarray(luma, dtype=np.int64).reshape(h, w)
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    out = lu[np.ix_(ys, xs)].reshape(-1)
     return out, nw, nh
 
 
@@ -1042,16 +1058,15 @@ def q_multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, nw, nh = _nn_resize_luma(
                     m["luma"], m["width"], m["height"]
                 )
+                r_sum, r_weighted = _luma_sums(out)
                 rows["asset_id"].append(int(aid))
                 rows["width"].append(m["width"])
                 rows["height"].append(m["height"])
                 rows["new_w"].append(nw)
                 rows["new_h"].append(nh)
                 rows["r_n_pixels"].append(len(out))
-                rows["r_luma_sum"].append(sum(out))
-                rows["r_luma_weighted"].append(
-                    sum((i + 1) * v for i, v in enumerate(out))
-                )
+                rows["r_luma_sum"].append(r_sum)
+                rows["r_luma_weighted"].append(r_weighted)
             yield pd.DataFrame(
                 {
                     **{k: rows[k] for k in ("asset_id",)},
@@ -1125,6 +1140,8 @@ def q_multimodal_image_features(
     )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = {k: [] for k in (
                 "asset_id", "q00", "q01", "q10", "q11", "grad_h", "grad_v"
@@ -1133,24 +1150,20 @@ def q_multimodal_image_features(
                 m = _decode_bmp(bytes(c))
                 if m is None:
                     raise ValueError(f"invalid BMP payload for asset {aid}")
-                lu, w, h = m["luma"], m["width"], m["height"]
-                q = [[0, 0], [0, 0]]
-                gh = gv = 0
-                for y in range(h):
-                    for x in range(w):
-                        v = lu[y * w + x]
-                        q[(2 * y) // h][(2 * x) // w] += v
-                        if x + 1 < w:
-                            gh += abs(lu[y * w + x + 1] - v)
-                        if y + 1 < h:
-                            gv += abs(lu[(y + 1) * w + x] - v)
+                w, h = m["width"], m["height"]
+                g = np.asarray(m["luma"], dtype=np.int64).reshape(h, w)
+                # quadrant of (y, x) = ((2y)//h, (2x)//w): the top/left
+                # half ends at the last y with 2y <= h-1, i.e. row
+                # (h+1)//2 exclusive — two slice boundaries replace the
+                # per-pixel bucket test
+                hs, ws = (h + 1) // 2, (w + 1) // 2
                 out["asset_id"].append(int(aid))
-                out["q00"].append(q[0][0])
-                out["q01"].append(q[0][1])
-                out["q10"].append(q[1][0])
-                out["q11"].append(q[1][1])
-                out["grad_h"].append(gh)
-                out["grad_v"].append(gv)
+                out["q00"].append(int(g[:hs, :ws].sum()))
+                out["q01"].append(int(g[:hs, ws:].sum()))
+                out["q10"].append(int(g[hs:, :ws].sum()))
+                out["q11"].append(int(g[hs:, ws:].sum()))
+                out["grad_h"].append(int(np.abs(np.diff(g, axis=1)).sum()))
+                out["grad_v"].append(int(np.abs(np.diff(g, axis=0)).sum()))
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(feats, out_schema)
@@ -1473,15 +1486,14 @@ def _gif_decode_rows(pdf: pd.DataFrame, every_k: int = 1):
         for fi, lu in enumerate(m["frames"]):
             if fi % every_k:
                 continue
+            l_sum, l_weighted = _luma_sums(lu)
             out["asset_id"].append(int(aid))
             out["width"].append(m["width"])
             out["height"].append(m["height"])
             out["n_frames"].append(m["n_frames"])
             out["frame_idx"].append(fi)
-            out["luma_sum"].append(sum(lu))
-            out["luma_weighted"].append(
-                sum((i + 1) * v for i, v in enumerate(lu))
-            )
+            out["luma_sum"].append(l_sum)
+            out["luma_weighted"].append(l_weighted)
     return pd.DataFrame(
         {
             "asset_id": out["asset_id"],
@@ -1706,7 +1718,9 @@ def _decode_png(content: bytes) -> dict | None:
     stride = 1 + bpp * w
     if len(raw) != stride * h:
         return None
-    luma = []
+    import numpy as np
+
+    recon = []  # defiltered scanlines; luma reduction vectorized below
     filter_mask = 0
     prev = bytearray(bpp * w)
     for r in range(h):
@@ -1732,10 +1746,14 @@ def _decode_png(content: bytes) -> dict | None:
             else:
                 pred = 0
             line[i] = (line[i] + pred) & 0xFF
-        for x in range(w):
-            r_, g_, b_ = line[3 * x : 3 * x + 3]
-            luma.append((299 * r_ + 587 * g_ + 114 * b_) // 1000)
+        recon.append(bytes(line))
         prev = line
+    # the scanline de-filter above is inherently sequential (Sub/Paeth
+    # chain within a row, Up/Average across rows); the RGB→luma
+    # reduction is not — one vectorized pass over the whole image
+    rgb = np.frombuffer(b"".join(recon), dtype=np.uint8)
+    rgb = rgb.astype(np.int64).reshape(h * w, 3)
+    luma = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
     return {
         "width": w,
         "height": h,
@@ -1807,6 +1825,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"invalid PNG payload for asset {aid}"
                     )
             lums = [m["luma"] for m in metas]
+            sums = [_luma_sums(lu) for lu in lums]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -1821,20 +1840,17 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [m["filter_mask"] for m in metas], dtype="Int32"
                     ),
                     "n_pixels": [len(lu) for lu in lums],
-                    "luma_sum": [sum(lu) for lu in lums],
+                    "luma_sum": [s for s, _ in sums],
                     "luma_min": pd.array(
-                        [min(lu) for lu in lums], dtype="Int32"
+                        [int(lu.min()) for lu in lums], dtype="Int32"
                     ),
                     "luma_max": pd.array(
-                        [max(lu) for lu in lums], dtype="Int32"
+                        [int(lu.max()) for lu in lums], dtype="Int32"
                     ),
                     "luma_topleft": pd.array(
-                        [lu[0] for lu in lums], dtype="Int32"
+                        [int(lu[0]) for lu in lums], dtype="Int32"
                     ),
-                    "luma_weighted": [
-                        sum((i + 1) * v for i, v in enumerate(lu))
-                        for lu in lums
-                    ],
+                    "luma_weighted": [w for _, w in sums],
                 }
             )
 
@@ -1888,13 +1904,11 @@ def decode_census_from_docs(docs: DataFrame) -> DataFrame:
                 m = _decode_bmp(bytes(c))
                 if m is None:
                     raise ValueError(f"invalid BMP payload for asset {aid}")
-                lu = m["luma"]
+                l_sum, l_weighted = _luma_sums(m["luma"])
                 out["width"].append(m["width"])
                 out["height"].append(m["height"])
-                out["luma_sum"].append(sum(lu))
-                out["luma_weighted"].append(
-                    sum((i + 1) * v for i, v in enumerate(lu))
-                )
+                out["luma_sum"].append(l_sum)
+                out["luma_weighted"].append(l_weighted)
             yield pd.DataFrame(
                 {
                     "width": pd.array(out["width"], dtype="Int32"),

@@ -25,7 +25,7 @@ def test_gray_round_trip_exact():
     assert m is not None
     assert (m["width"], m["height"], m["row_stride"]) == (8, 8, 24)
     # gray pixels: integer luma == the base value exactly
-    assert m["luma"] == vals
+    assert list(m["luma"]) == vals
 
 
 @pytest.mark.parametrize("w,h", [(5, 4), (6, 5), (7, 6), (8, 4), (1, 1)])
@@ -40,7 +40,7 @@ def test_rgb_round_trip_all_padding_cases(w, h):
         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
         for v in vals
     ]
-    assert m["luma"] == want
+    assert list(m["luma"]) == want
 
 
 def test_luma_is_order_sensitive():
@@ -50,7 +50,7 @@ def test_luma_is_order_sensitive():
     vals[0] = 200  # top-left in image space
     content = _bmp_bytes(vals, 4, 4, gray=True)
     m = _decode_bmp(content)
-    assert m["luma"][0] == 200 and sum(m["luma"]) == 200
+    assert m["luma"][0] == 200 and int(sum(m["luma"])) == 200
     # the 200-valued pixel is physically in the LAST stored row
     stride = _bmp_stride(4)
     last_row_off = BMP_HEADER_BYTES + (4 - 1) * stride
@@ -107,11 +107,11 @@ def test_nn_resize_luma_mapping():
         for y in range(nh)
         for x in range(nw)
     ]
-    assert out == want
+    assert list(out) == want
     # tall image: 3x6 -> nw=(3*4)//6=2, nh=(6*4)//6=4
     out2, nw2, nh2 = _nn_resize_luma(list(range(18)), 3, 6, box=4)
     assert (nw2, nh2) == (2, 4) and len(out2) == 8
     # fit-to-box semantics: a smaller image UPSCALES (pixel replication)
     out3, nw3, nh3 = _nn_resize_luma([1, 2, 3, 4], 2, 2, box=4)
     assert (nw3, nh3) == (4, 4)
-    assert out3 == [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4]
+    assert list(out3) == [1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4]

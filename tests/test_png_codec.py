@@ -31,7 +31,7 @@ def test_round_trip_exact(w, h):
     assert m is not None
     assert (m["width"], m["height"]) == (w, h)
     assert m["n_raw_bytes"] == h * (1 + 3 * w)
-    assert m["luma"] == _want_luma(vals)
+    assert list(m["luma"]) == _want_luma(vals)
     # scanline r uses filter r % 5 — all five appear once h >= 5
     want_mask = 0
     for r in range(h):
@@ -50,7 +50,7 @@ def test_every_filter_type_is_inverted():
     m = _decode_png(_png_bytes(vals, w, h))
     want = _want_luma(vals)
     for r in range(h):
-        assert m["luma"][r * w : (r + 1) * w] == want[r * w : (r + 1) * w], (
+        assert list(m["luma"][r * w : (r + 1) * w]) == want[r * w : (r + 1) * w], (
             f"row {r} (filter {r % 5}) mis-inverted"
         )
 
