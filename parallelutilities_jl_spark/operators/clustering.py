@@ -2732,4 +2732,8 @@ from parallelutilities_jl_spark.session import (  # noqa: E402
     register_cache_cleaner as _register_cache_cleaner,
 )
 
-_register_cache_cleaner(_clear_fit_caches)
+_register_cache_cleaner(
+    _clear_fit_caches,
+    caches=(_FLAT_FIT_CACHE, _PQ_FIT_CACHE, _FIT_CACHE, _PI_CACHE,
+            _EDGE_CACHE),
+)

@@ -14,6 +14,7 @@ Local-mode defaults mirror what we would set on a real cluster:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -146,13 +147,25 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
 
 _CACHE_CLEANERS: list = []
 
+# every module-level dict that holds DataFrame handles (fit caches
+# etc.) — `block_scope` evicts entries ADDED inside a scope before
+# freeing the scope's blocks, so no cache dangles on a
+# truncated-lineage frame. tests/test_block_release.py mechanically
+# asserts every `*CACHE*`-named module dict in the package is
+# registered here (the invariant a future unregistered cache would
+# silently break).
+_SCOPED_CACHES: list[dict] = []
 
-def register_cache_cleaner(fn) -> None:
+
+def register_cache_cleaner(fn, caches: tuple[dict, ...] = ()) -> None:
     """Register a zero-arg callable that drops a module-level cache of
     DataFrame handles (fit caches etc.). Called by
     `release_cached_blocks` BEFORE blocks are unpersisted so no cache
-    survives holding a frame whose checkpoint blocks were freed."""
+    survives holding a frame whose checkpoint blocks were freed. Pass
+    the cache dicts themselves via `caches` so `block_scope` can do
+    entry-granular eviction (scope-created entries only)."""
     _CACHE_CLEANERS.append(fn)
+    _SCOPED_CACHES.extend(caches)
 
 
 def release_cached_blocks(spark: SparkSession) -> int:
@@ -177,3 +190,49 @@ def release_cached_blocks(spark: SparkSession) -> int:
         jrdd.unpersist(False)
         n += 1
     return n
+
+
+@contextmanager
+def block_scope(spark: SparkSession):
+    """Per-query block-lifetime scope for a RESIDENT multi-query
+    service (the 100×-service shape `release_cached_blocks` is too
+    blunt for: it unpersists EVERY block, clobbering concurrent
+    queries' caches and every warm fit). On exit this releases ONLY
+    what appeared inside the scope:
+
+    1. cache entries ADDED to any registered module cache during the
+       scope are evicted first (their checkpoint blocks are about to
+       vanish; a surviving handle would be unrecomputable — the same
+       clear-before-unpersist order the global release enforces);
+       entries that existed at entry keep both their handle and their
+       blocks, so cross-query cache warmth survives;
+    2. persistent RDDs whose ids were not present at entry are
+       unpersisted.
+
+    Attribution is by id-set difference, so blocks created by OTHER
+    threads' work overlapping this scope in time are released too —
+    use one scope per serially executed query; partition genuinely
+    concurrent work by job group before trusting finer attribution.
+
+    Yields a dict filled at exit: {"released": n_rdds_unpersisted,
+    "evicted": n_cache_entries_dropped}."""
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keys()}
+    cache_snapshot = [(c, set(c.keys())) for c in _SCOPED_CACHES]
+    stats: dict[str, int] = {}
+    try:
+        yield stats
+    finally:
+        evicted = 0
+        for cache, had in cache_snapshot:
+            for k in [k for k in cache if k not in had]:
+                cache.pop(k, None)
+                evicted += 1
+        released = 0
+        jmap = jsc.getPersistentRDDs()
+        for k in jmap.keys():
+            if int(k) not in before:
+                jmap[k].unpersist(False)
+                released += 1
+        stats["released"] = released
+        stats["evicted"] = evicted

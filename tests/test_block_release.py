@@ -68,3 +68,96 @@ def test_release_clears_fit_caches_and_query_recovers(spark, sf_dir):
 def test_release_is_idempotent_on_empty_session(spark):
     release_cached_blocks(spark)
     assert release_cached_blocks(spark) == 0
+
+
+# ---- per-query scope (round-15: the resident-service shape) ---------------
+
+
+def test_block_scope_releases_only_scope_created_blocks(spark, sf_dir):
+    """A block pinned BEFORE the scope survives it; blocks pinned inside
+    are freed on exit — the per-query lifetime a resident multi-query
+    service needs (the global release would clobber the outer block)."""
+    from parallelutilities_jl_spark.session import block_scope
+
+    release_cached_blocks(spark)
+    outer = spark.range(1000).localCheckpoint()
+    outer.count()
+    n_outer = _n_persistent(spark)
+    assert n_outer > 0
+
+    from parallelutilities_jl_spark.operators.dedup import q_minhash_near_dup
+
+    with block_scope(spark) as stats:
+        n_rows = _materialize(q_minhash_near_dup(spark, sf_dir))
+        assert _n_persistent(spark) > n_outer
+    assert stats["released"] > 0
+    assert _n_persistent(spark) == n_outer
+    # the pre-existing block is still usable AND the query recomputes
+    assert outer.count() == 1000
+    assert _materialize(q_minhash_near_dup(spark, sf_dir)) == n_rows
+    release_cached_blocks(spark)
+
+
+def test_block_scope_evicts_only_scope_added_cache_entries(spark, sf_dir):
+    """A fit-cache entry created inside a scope is evicted on exit (its
+    checkpoint blocks are freed — a surviving handle would dangle on
+    truncated lineage); an entry warmed BEFORE the scope keeps both its
+    handle and its blocks, and still serves queries afterwards."""
+    from parallelutilities_jl_spark.operators import clustering as cl
+    from parallelutilities_jl_spark.session import block_scope
+
+    release_cached_blocks(spark)
+    n_warm = _materialize(cl.q_kmeans_assign(spark, sf_dir))
+    assert cl._FLAT_FIT_CACHE, "kmeans fit should be memoized"
+    warm_keys = set(cl._FLAT_FIT_CACHE)
+
+    with block_scope(spark) as stats:
+        _materialize(cl.q_ann_pq_topk(spark, sf_dir))
+        assert cl._PQ_FIT_CACHE, "PQ fit should be memoized in-scope"
+    assert stats["evicted"] > 0
+    assert not cl._PQ_FIT_CACHE  # scope-added: evicted with its blocks
+    assert set(cl._FLAT_FIT_CACHE) == warm_keys  # pre-existing: intact
+    # the warm cache still serves from its intact blocks
+    assert _materialize(cl.q_kmeans_assign(spark, sf_dir)) == n_warm
+    release_cached_blocks(spark)
+
+
+def test_every_module_cache_dict_is_registered():
+    """Mechanical registration lint (round-14 advice): every
+    module-level dict named *CACHE* in the engine package must be
+    wired into the session registry — both cleared by a registered
+    cleaner (global release) and enrolled for scoped eviction
+    (block_scope). An unregistered future cache would dangle on
+    truncated lineage the first time a release runs."""
+    import importlib
+    import pkgutil
+
+    import parallelutilities_jl_spark as pkg
+    from parallelutilities_jl_spark import session as sess
+
+    found = []
+    for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        mod = importlib.import_module(info.name)
+        for name, val in vars(mod).items():
+            if (
+                isinstance(val, dict)
+                and "CACHE" in name.upper()
+                and mod.__name__.startswith(pkg.__name__)
+                and name not in ("_SCOPED_CACHES",)
+            ):
+                found.append((mod.__name__, name, val))
+    assert found, "lint is vacuous: no module caches discovered"
+    scoped_ids = {id(c) for c in sess._SCOPED_CACHES}
+    unscoped = [f"{m}.{n}" for m, n, d in found if id(d) not in scoped_ids]
+    assert not unscoped, f"caches not enrolled for scoped eviction: {unscoped}"
+
+    # cleaner coverage: after all registered cleaners run, every
+    # discovered cache must be empty (sentinel proves the clear is real)
+    for _m, _n, d in found:
+        d["__lint_sentinel__"] = None
+    for fn in sess._CACHE_CLEANERS:
+        fn()
+    uncleared = [f"{m}.{n}" for m, n, d in found if d]
+    for _m, _n, d in found:
+        d.pop("__lint_sentinel__", None)
+    assert not uncleared, f"caches not cleared by any cleaner: {uncleared}"
