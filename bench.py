@@ -203,6 +203,15 @@ LATE_ADDITIONS = [
     # round-14: the real animated-GIF round trip + real frame sampling
     "multimodal_gif_decode",
     "multimodal_gif_frame_sample",
+    # round-15: the rewired mixed-modality pipeline (real BMP/WAV/GIF
+    # containers end-to-end; multimodal_decode itself is in the common
+    # subset — its semantics changed this round, see BENCH_ACCEPTED
+    # refreeze note)
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # round-15: the real baseline-JPEG round trip
+    "multimodal_jpeg_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -1,0 +1,149 @@
+"""Baseline-JPEG codec pins beyond oracle parity: the oracle-checked
+query only exercises DC-only solid blocks (the exactness trick), so the
+general entropy/IDCT machinery is pinned here against an INDEPENDENT
+reference — arbitrary quantized coefficients round-trip through
+encode_jpeg_blocks → decode_jpeg and must match `idct_block` applied
+straight to the dequantized coefficient matrices, covering DC
+prediction, AC run-lengths, ZRL, EOB, large amplitude categories, and
+byte stuffing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallelutilities_jl_spark.operators.jpeg import (
+    _ZZ,
+    JPEG_Q,
+    decode_jpeg,
+    encode_jpeg_blocks,
+    encode_jpeg_gray,
+    idct_block,
+)
+
+
+def _reference_pixels(q_blocks, bw, bh, quant):
+    grid = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    for bi, blk in enumerate(q_blocks):
+        coeffs = np.zeros((8, 8))
+        for k, qv in enumerate(blk):
+            zz = _ZZ[k]
+            coeffs[zz // 8, zz % 8] = qv * quant
+        by, bx = bi // bw, bi % bw
+        grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(coeffs)
+    return grid
+
+
+def test_solid_blocks_round_trip_exact():
+    """Even-valued solid blocks with q=16: decoded pixels == input
+    values bit-for-bit (the property the driver oracle relies on)."""
+    vals = [130, 2, 254, 128, 76, 200]
+    m = decode_jpeg(encode_jpeg_gray(vals, 3, 2))
+    assert m is not None
+    assert (m["width"], m["height"], m["n_blocks"]) == (24, 16, 6)
+    grid = m["luma"].reshape(16, 24)
+    for bi, v in enumerate(vals):
+        by, bx = bi // 3, bi % 3
+        blk = grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        assert (blk == (v & ~1)).all(), (bi, v)
+
+
+def test_arbitrary_coefficients_match_reference_idct():
+    """Random sparse coefficient blocks (negative DCs, scattered ACs)
+    must decode to exactly the reference IDCT — pins Huffman encode/
+    decode symmetry, DC prediction, and run-length coding."""
+    rng = np.random.default_rng(7)
+    blocks = []
+    for _ in range(6):
+        blk = [0] * 64
+        blk[0] = int(rng.integers(-200, 200))
+        for _k in range(10):
+            blk[int(rng.integers(1, 64))] = int(rng.integers(-500, 500))
+        blocks.append(blk)
+    content = encode_jpeg_blocks(blocks, 3, 2, quant=5)
+    m = decode_jpeg(content)
+    assert m is not None
+    want = _reference_pixels(blocks, 3, 2, 5)
+    assert (m["luma"].reshape(16, 24) == want).all()
+
+
+def test_zrl_long_zero_runs():
+    """A lone AC at zigzag position 40 needs two ZRL (16-zero) symbols
+    before the coefficient — the run>15 path."""
+    blk = [0] * 64
+    blk[0] = 3
+    blk[40] = -7
+    m = decode_jpeg(encode_jpeg_blocks([blk], 1, 1))
+    assert m is not None
+    assert (m["luma"].reshape(8, 8) == _reference_pixels([blk], 1, 1, JPEG_Q)).all()
+
+
+def test_byte_stuffing_round_trips():
+    """Large positive amplitudes produce 0xFF bytes in the entropy
+    stream; the encoder must stuff 0x00 and the decoder unstuff it.
+    The coefficient pattern is searched (bit alignment dependent) and
+    the test asserts stuffing actually occurred."""
+    for k in range(1, 12):
+        for amp in (255, 511, 1023, 767, 895):
+            blk = [0] * 64
+            for j in range(1, k + 1):
+                blk[j] = amp
+            content = encode_jpeg_blocks([blk] + [[0] * 64], 1, 2)
+            sos = content.find(b"\xff\xda")
+            entropy = content[sos + 14 : -2]
+            if b"\xff\x00" in entropy:
+                m = decode_jpeg(content)
+                assert m is not None
+                want = _reference_pixels([blk, [0] * 64], 1, 2, JPEG_Q)
+                assert (m["luma"].reshape(16, 8) == want).all()
+                return
+    pytest.fail("no coefficient pattern produced a stuffed byte")
+
+
+def test_dc_prediction_chains_across_blocks():
+    """DC is differentially coded: N blocks with distinct DCs pin the
+    predictor update (a decoder that resets it per block mismatches
+    from block 2 on)."""
+    blocks = [[dc] + [0] * 63 for dc in (5, -3, 100, 99, -120)]
+    m = decode_jpeg(encode_jpeg_blocks(blocks + [[0] * 64], 3, 2))
+    assert m is not None
+    want = _reference_pixels(blocks + [[0] * 64], 3, 2, JPEG_Q)
+    assert (m["luma"].reshape(16, 24) == want).all()
+
+
+def test_strict_rejects():
+    good = encode_jpeg_gray([10, 20], 2, 1)
+    assert decode_jpeg(good) is not None
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"notajpeg") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no scan
+    assert decode_jpeg(good[:-4]) is None  # truncated entropy/EOI
+    # progressive (SOF2) is out of the declared baseline scope
+    prog = bytearray(good)
+    prog[good.find(b"\xff\xc0") + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+    # multi-component (color) streams are rejected, not misdecoded
+    sof = good.find(b"\xff\xc0")
+    color = bytearray(good)
+    color[sof + 9] = 3  # ncomp byte inside SOF0
+    assert decode_jpeg(bytes(color)) is None
+    # restart intervals are out of the declared scope: a DRI segment
+    # before SOS must reject, not silently ignore restart markers
+    sos = good.find(b"\xff\xda")
+    dri = good[:sos] + b"\xff\xdd\x00\x04\x00\x08" + good[sos:]
+    assert decode_jpeg(dri) is None
+
+
+def test_decode_assets_routes_image_jpeg():
+    """The image-modality sniff chain in decode_assets must recognise a
+    real JPEG container (BMP and PNG parsers return None on it) and
+    emit its real dims rather than the stub's."""
+    from parallelutilities_jl_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_png,
+    )
+
+    content = encode_jpeg_gray([10, 200, 30, 64, 90, 128], 3, 2)
+    assert _decode_bmp(content) is None and _decode_png(content) is None
+    m = decode_jpeg(content)
+    assert (m["width"], m["height"]) == (24, 16)

@@ -179,6 +179,11 @@ QUERIES = (
     "multimodal_image_features",
     "multimodal_decode_census",
     "multimodal_wav_zcr",
+    # round-15: the baseline-JPEG round trip and the rewired
+    # mixed-modality pipeline (real BMP/WAV/GIF end to end)
+    "multimodal_jpeg_decode",
+    "multimodal_decode",
+    "multimodal_features",
     # round-14 distributed long-form elsum: constant task count, the
     # only exchange is the chunk partitionBy — expected ~flat in SF
     # (the workload is SF-pinned synthetic, timed for the record)
