@@ -305,28 +305,18 @@ def _media_content(doc_id: int, text: str) -> bytes:
     return _gif_bytes(frames, w, h)
 
 
-def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL mixed-modality asset table (round-15: retires the
-    raw-text payloads on the decode path): every row's content is a
-    genuine container for its modality, built by `_media_content` in
-    one Arrow-batched mapInPandas pass. Image/video synthesis samples
-    pixel values from the text characters, so empty-text docs are
-    excluded for those modalities (audio keeps them: an empty data
-    chunk is a valid WAV) — the oracles carry the same predicate.
-    `synthesize_assets` (raw text bytes) remains the fixture for the
-    byte-plumbing queries (binary_stats / arrow_hist / shard manifest),
-    where the payload bytes themselves are the subject."""
+def synthesize_media_from_docs(docs: DataFrame) -> DataFrame:
+    """The (doc_id, text) → real-mixed-media mapInPandas transform,
+    shared by the batch path and the streaming ingest parity test
+    (stateless, so it applies unchanged to a streaming DataFrame —
+    the `synthesize_bmp_from_docs` pattern for all three modalities)."""
     from parallelutilities_jl_spark.session import ensure_package_on_executors
 
-    ensure_package_on_executors(spark)
-    docs = (
-        load_table_parallel(spark, sf_dir, "documents")
-        .filter(
-            F.col("text").isNotNull()
-            & ((F.col("doc_id") % 3 == 1) | (F.length("text") >= 1))
-        )
-        .select("doc_id", "text")
-    )
+    ensure_package_on_executors(docs.sparkSession)
+    src = docs.filter(
+        F.col("text").isNotNull()
+        & ((F.col("doc_id") % 3 == 1) | (F.length("text") >= 1))
+    ).select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -344,8 +334,24 @@ def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(
+    return src.mapInPandas(
         synth, "asset_id long, modality string, content binary"
+    )
+
+
+def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL mixed-modality asset table (round-15: retires the
+    raw-text payloads on the decode path): every row's content is a
+    genuine container for its modality, built by `_media_content` in
+    one Arrow-batched mapInPandas pass. Image/video synthesis samples
+    pixel values from the text characters, so empty-text docs are
+    excluded for those modalities (audio keeps them: an empty data
+    chunk is a valid WAV) — the oracles carry the same predicate.
+    `synthesize_assets` (raw text bytes) remains the fixture for the
+    byte-plumbing queries (binary_stats / arrow_hist / shard manifest),
+    where the payload bytes themselves are the subject."""
+    return synthesize_media_from_docs(
+        load_table_parallel(spark, sf_dir, "documents")
     )
 
 
@@ -1898,6 +1904,61 @@ GROUP BY l.asset_id
 """
 
 
+def media_decode_census_from_docs(docs: DataFrame) -> DataFrame:
+    """Mixed-modality decode-on-ingest census: (doc_id, text) → real
+    BMP/WAV/GIF container by modality → real decode → per-(modality,
+    width, height) asset counts + total decoded frames. Both stages
+    are stateless mapInPandas and the tail is one keyed agg, so the
+    SAME function runs on a batch frame and on a streaming DataFrame
+    (complete output mode) — the full-pipeline extension of the
+    BMP-only `decode_census_from_docs`; stream ≡ batch pinned by
+    tests/test_streaming_decode.py. Audio rows group into one
+    NULL-dims row whose frames_total is the PCM sample count; a
+    misdecode in any of the three codecs moves a count between groups
+    and hash-mismatches."""
+    dec = decode_assets(synthesize_media_from_docs(docs))
+    return dec.groupBy("modality", "width", "height").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.coalesce(F.col("n_frames"), F.lit(0)))
+        .cast("long")
+        .alias("frames_total"),
+    )
+
+
+def q_multimodal_media_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch anchor of the mixed-modality decode census (the streaming
+    twin runs the identical function over a file-source stream)."""
+    return media_decode_census_from_docs(
+        load_table_parallel(spark, sf_dir, "documents")
+    )
+
+
+def _oracle_media_census() -> str:
+    bw, bh = _dims_sql(_BMP_WH)
+    gw, gh, gnf = _dims_sql(_GIF_WHN)
+    return f"""
+WITH per_asset AS (
+  SELECT 'image' AS modality,
+         CAST({bw} AS INT) AS width, CAST({bh} AS INT) AS height,
+         0 AS nf
+  FROM documents WHERE {_M_IMG}
+  UNION ALL
+  SELECT 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
+         (LEAST(octet_length(encode(text)), {WAV_DATA_CAP})
+          + LEAST(octet_length(encode(text)), {WAV_DATA_CAP}) % 2) // 2
+  FROM documents WHERE {_M_AUD}
+  UNION ALL
+  SELECT 'video', CAST({gw} AS INT), CAST({gh} AS INT), {gnf}
+  FROM documents WHERE {_M_VID})
+SELECT modality, width, height,
+       COUNT(*) AS n_assets,
+       CAST(SUM(nf) AS BIGINT) AS frames_total
+FROM per_asset GROUP BY modality, width, height
+"""
+
+
 # ---------------------------------------------------------------------------
 # REAL image codec #3: baseline JPEG (round-15 — retires the round-14
 # verdict's "JPEG honestly out of pure-stdlib scope"). The codec lives
@@ -2939,6 +3000,7 @@ QUERIES = {
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "multimodal_media_census": q_multimodal_media_census,
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
     "multimodal_wav_zcr": q_multimodal_wav_zcr,
@@ -2953,6 +3015,7 @@ ORACLES["multimodal_decode_census"] = _oracle_decode_census()
 ORACLES["multimodal_gif_decode"] = _oracle_gif()
 ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
 ORACLES["multimodal_jpeg_decode"] = _oracle_jpeg_decode()
+ORACLES["multimodal_media_census"] = _oracle_media_census()
 ORACLES["multimodal_image_features"] = _oracle_image_features()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()
