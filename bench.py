@@ -212,6 +212,10 @@ LATE_ADDITIONS = [
     "multimodal_resize",
     # round-15: the real baseline-JPEG round trip
     "multimodal_jpeg_decode",
+    # round-15: mixed-modality decode census (stream-parity pinned) and
+    # its files-on-disk twin through the binaryFile landing-zone source
+    "multimodal_media_census",
+    "multimodal_binaryfile_census",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

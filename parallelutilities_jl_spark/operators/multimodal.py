@@ -3001,6 +3001,9 @@ QUERIES = {
     "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_media_census": q_multimodal_media_census,
+    # "multimodal_binaryfile_census" is bound below: the files-on-disk
+    # twin lives in sources/binary_assets.py (import placed after the
+    # dict so the sources module can import this one without a cycle)
     "multimodal_dhash_near_dup": q_multimodal_dhash_near_dup,
     "multimodal_wav_energy_env": q_multimodal_wav_energy_env,
     "multimodal_wav_zcr": q_multimodal_wav_zcr,
@@ -3016,6 +3019,13 @@ ORACLES["multimodal_gif_decode"] = _oracle_gif()
 ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
 ORACLES["multimodal_jpeg_decode"] = _oracle_jpeg_decode()
 ORACLES["multimodal_media_census"] = _oracle_media_census()
+# files-on-disk twin: binaryFile-source ingest must census identically
+from parallelutilities_jl_spark.sources.binary_assets import (  # noqa: E402
+    q_multimodal_binaryfile_census,
+)
+
+QUERIES["multimodal_binaryfile_census"] = q_multimodal_binaryfile_census
+ORACLES["multimodal_binaryfile_census"] = _oracle_media_census()
 ORACLES["multimodal_image_features"] = _oracle_image_features()
 ORACLES["multimodal_dhash_near_dup"] = _oracle_dhash_near_dup()
 ORACLES["multimodal_wav_energy_env"] = _oracle_wav_energy_env()
