@@ -7,10 +7,11 @@ Decoder (`decode_jpeg`): general baseline-DCT path — marker walk
 (SOI / APP / DQT / SOF0 / DHT / SOS / EOI), DHT-driven canonical
 Huffman decode of the entropy-coded segment (byte unstuffing, DC
 prediction, AC run-length + ZRL + EOB), dequantization, inverse
-zigzag, float separable IDCT, level shift + clamp. Restrictions are
-declared, not silent: single-component (grayscale) 8-bit baseline
-only; SOF2 (progressive), multi-component, and restart intervals
-return None so `decode_assets` can never misroute.
+zigzag, float separable IDCT, level shift + clamp; restart intervals
+(DRI + RST0..7, byte realign + DC predictor reset, modulo-8 cycle
+verified) are fully supported. Restrictions are declared, not silent:
+single-component (grayscale) 8-bit baseline only; SOF2 (progressive)
+and multi-component return None so `decode_assets` can never misroute.
 
 Encoder (`encode_jpeg_gray` / `encode_jpeg_blocks`): writes every
 container byte per the spec — our own valid DHT tables (the decoder
@@ -118,10 +119,19 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
-        if self._n:
+    def pad_to_byte(self) -> None:
+        if self._n:  # _n is always < 8 between writes
             pad = 8 - self._n
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def emit_marker(self, mbyte: int) -> None:
+        """Byte-align, then append a raw marker (markers are never
+        byte-stuffed — they are what stuffing protects)."""
+        self.pad_to_byte()
+        self.out += bytes((0xFF, mbyte))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -177,12 +187,19 @@ def _dht_segment(cls: int, tid: int, bits: list[int], values: list[int]) -> byte
 
 
 def encode_jpeg_blocks(
-    q_blocks: list[list[int]], bw: int, bh: int, quant: int = JPEG_Q
+    q_blocks: list[list[int]],
+    bw: int,
+    bh: int,
+    quant: int = JPEG_Q,
+    restart_interval: int = 0,
 ) -> bytes:
     """Write a complete baseline JFIF stream for a grayscale image of
     bh x bw blocks whose QUANTIZED coefficients (zigzag order, 64 each,
     row-major block order) are given — the general entry the tests
-    drive with arbitrary coefficients."""
+    drive with arbitrary coefficients. `restart_interval` > 0 declares
+    a DRI segment and emits RST0..RST7 markers every that-many MCUs
+    (byte-aligned, DC predictor reset) — the error-resilience feature
+    camera JPEGs commonly carry."""
     if len(q_blocks) != bw * bh:
         raise ValueError("block count mismatch")
     w_px, h_px = 8 * bw, 8 * bh
@@ -200,14 +217,25 @@ def encode_jpeg_blocks(
     )
     out += _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS)
     out += _dht_segment(1, 0, _AC_BITS, _AC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += (  # SOS
         b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3)
         + bytes([1, 1, 0x00, 0, 63, 0])
     )
     bwr = _BitWriter()
     prev_dc = 0
-    for blk in q_blocks:
+    rst = 0
+    for i, blk in enumerate(q_blocks):
         prev_dc = _encode_block(bwr, blk, prev_dc)
+        if (
+            restart_interval
+            and (i + 1) % restart_interval == 0
+            and i + 1 < len(q_blocks)
+        ):
+            bwr.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev_dc = 0  # predictor resets at every restart
     out += bwr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -265,6 +293,21 @@ class _BitReader:
     def bit(self) -> int:
         return self.bits(1)
 
+    def restart(self, mbyte: int) -> None:
+        """Consume a restart marker: discard the current byte's unread
+        pad bits (always < 8 buffered — `bits` never over-fills) and
+        require the exact expected RSTm next (the modulo-8 cycle is a
+        sync check; a skipped or duplicated interval must fail)."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != mbyte
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _build_decoder(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol, from the canonical assignment."""
@@ -293,10 +336,10 @@ def decode_jpeg(content: bytes):
     """Strict baseline grayscale JPEG decode. Returns
     {width, height, n_blocks, luma} (luma: top-left row-major int64
     array, cropped to width x height) or None unless the stream is a
-    structurally valid single-component baseline JPEG — progressive
-    (SOF2), multi-component, restart intervals, arithmetic coding, and
-    truncated/garbled streams all return None, so `decode_assets` can
-    never misroute non-JPEG bytes here."""
+    structurally valid single-component baseline JPEG (restart
+    intervals supported) — progressive (SOF2), multi-component,
+    arithmetic coding, and truncated/garbled streams all return None,
+    so `decode_assets` can never misroute non-JPEG bytes here."""
     try:
         return _decode_jpeg_inner(content)
     except (ValueError, IndexError, struct.error, KeyError):
@@ -311,6 +354,7 @@ def _decode_jpeg_inner(content: bytes):
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     comp_qt = comp_dc = comp_ac = None
+    restart_interval = 0
     while True:
         if pos + 4 > len(content):
             return None
@@ -355,8 +399,10 @@ def _decode_jpeg_inner(content: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # extended/progressive/lossless/arithmetic
-        elif marker == 0xDD:  # DRI: restart handling not implemented
-            return None
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            if seglen != 4:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if sof is None or seg[0] != 1:
                 return None
@@ -376,6 +422,7 @@ def _decode_jpeg_inner(content: bytes):
     r = _BitReader(content, pos)
     grid = np.zeros((bh * 8, bw * 8), dtype=np.int64)
     prev_dc = 0
+    rst = 0
     for bi in range(bw * bh):
         s = _read_huff(r, dct)
         if s > 11:
@@ -403,6 +450,14 @@ def _decode_jpeg_inner(content: bytes):
             k += 1
         by, bx = bi // bw, bi % bw
         grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(coeffs)
+        if (
+            restart_interval
+            and (bi + 1) % restart_interval == 0
+            and bi + 1 < bw * bh
+        ):
+            r.restart(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev_dc = 0
     # the entropy segment must be followed by EOI (possibly after the
     # pad bits already consumed byte-granularly by the reader)
     tail = content[r.pos :]

@@ -127,11 +127,49 @@ def test_strict_rejects():
     color = bytearray(good)
     color[sof + 9] = 3  # ncomp byte inside SOF0
     assert decode_jpeg(bytes(color)) is None
-    # restart intervals are out of the declared scope: a DRI segment
-    # before SOS must reject, not silently ignore restart markers
+    # a DRI whose interval exceeds the MCU count declares restarts
+    # that never fire — the stream must still decode identically
     sos = good.find(b"\xff\xda")
     dri = good[:sos] + b"\xff\xdd\x00\x04\x00\x08" + good[sos:]
-    assert decode_jpeg(dri) is None
+    m = decode_jpeg(dri)
+    assert m is not None
+    assert (m["luma"] == decode_jpeg(good)["luma"]).all()
+    # but a DRI that PROMISES restarts over a stream that has none
+    # must fail the sync check, not silently misdecode
+    dri1 = good[:sos] + b"\xff\xdd\x00\x04\x00\x01" + good[sos:]
+    assert decode_jpeg(dri1) is None
+
+
+def test_restart_intervals_round_trip():
+    """DRI + RST0..7: byte realignment and the per-interval DC
+    predictor reset must round-trip arbitrary coefficients; the marker
+    cycle is verified (a tampered RST index fails closed)."""
+    rng = np.random.default_rng(11)
+    blocks = []
+    for _ in range(12):
+        blk = [0] * 64
+        blk[0] = int(rng.integers(-180, 180))
+        for _k in range(6):
+            blk[int(rng.integers(1, 64))] = int(rng.integers(-300, 300))
+        blocks.append(blk)
+    for ri in (1, 2, 5):
+        content = encode_jpeg_blocks(blocks, 4, 3, quant=7,
+                                     restart_interval=ri)
+        # the stream really contains restart markers
+        assert any(
+            bytes((0xFF, 0xD0 + k)) in content for k in range(8)
+        ), ri
+        m = decode_jpeg(content)
+        assert m is not None, ri
+        want = _reference_pixels(blocks, 4, 3, 7)
+        assert (m["luma"].reshape(24, 32) == want).all(), ri
+    # tamper: swap the first RST0 for RST1 — the modulo-8 sync check
+    # must reject rather than resynchronize silently
+    content = encode_jpeg_blocks(blocks, 4, 3, quant=7, restart_interval=2)
+    i = content.find(b"\xff\xd0", content.find(b"\xff\xda"))
+    assert i > 0
+    bad = content[:i] + b"\xff\xd1" + content[i + 2 :]
+    assert decode_jpeg(bad) is None
 
 
 def test_decode_assets_routes_image_jpeg():
