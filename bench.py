@@ -216,6 +216,9 @@ LATE_ADDITIONS = [
     # its files-on-disk twin through the binaryFile landing-zone source
     "multimodal_media_census",
     "multimodal_binaryfile_census",
+    # round-15: YCbCr 4:4:4 color JPEG (interleaved MCUs, per-component
+    # quant tables and DC predictors)
+    "multimodal_jpeg_color_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -9,9 +9,11 @@ Huffman decode of the entropy-coded segment (byte unstuffing, DC
 prediction, AC run-length + ZRL + EOB), dequantization, inverse
 zigzag, float separable IDCT, level shift + clamp; restart intervals
 (DRI + RST0..7, byte realign + DC predictor reset, modulo-8 cycle
-verified) are fully supported. Restrictions are declared, not silent:
-single-component (grayscale) 8-bit baseline only; SOF2 (progressive)
-and multi-component return None so `decode_assets` can never misroute.
+verified) and YCbCr 4:4:4 color (interleaved MCUs, per-component quant
+tables and DC predictors) are fully supported. Restrictions are
+declared, not silent: 8-bit baseline, 1 or 3 components, no chroma
+subsampling; SOF2 (progressive), 4:2:x sampling, and arithmetic coding
+return None so `decode_assets` can never misroute.
 
 Encoder (`encode_jpeg_gray` / `encode_jpeg_blocks`): writes every
 container byte per the spec — our own valid DHT tables (the decoder
@@ -241,6 +243,87 @@ def encode_jpeg_blocks(
     return bytes(out)
 
 
+def encode_jpeg_color_blocks(
+    comp_blocks: list[list[list[int]]],
+    bw: int,
+    bh: int,
+    quant_y: int = JPEG_Q,
+    quant_c: int = JPEG_Q,
+    restart_interval: int = 0,
+) -> bytes:
+    """Write a baseline YCbCr 4:4:4 JFIF stream: `comp_blocks` is
+    [y_blocks, cb_blocks, cr_blocks], each a row-major list of
+    64-coefficient zigzag blocks. Two quant tables (0 = luma,
+    1 = chroma, the standard assignment), one DC/AC Huffman table pair
+    shared by all components, MCUs interleaved Y,Cb,Cr with
+    per-component DC predictors."""
+    if len(comp_blocks) != 3 or any(
+        len(c) != bw * bh for c in comp_blocks
+    ):
+        raise ValueError("component block count mismatch")
+    w_px, h_px = 8 * bw, 8 * bh
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    for tid, qv in ((0, quant_y), (1, quant_c)):
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+            + bytes([tid]) + bytes([qv] * 64)
+        )
+    out += (  # SOF0: 3 components, 4:4:4
+        b"\xff\xc0" + struct.pack(">H", 2 + 6 + 9) + b"\x08"
+        + struct.pack(">HH", h_px, w_px)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    out += _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += (
+        b"\xff\xda" + struct.pack(">H", 2 + 1 + 6 + 3)
+        + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )
+    bwr = _BitWriter()
+    prev_dc = [0, 0, 0]
+    rst = 0
+    for bi in range(bw * bh):
+        for ci in range(3):
+            prev_dc[ci] = _encode_block(
+                bwr, comp_blocks[ci][bi], prev_dc[ci]
+            )
+        if (
+            restart_interval
+            and (bi + 1) % restart_interval == 0
+            and bi + 1 < bw * bh
+        ):
+            bwr.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev_dc = [0, 0, 0]
+    out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color(
+    y_vals: list[int], cb_vals: list[int], cr_vals: list[int],
+    bw: int, bh: int,
+) -> bytes:
+    """Per-block-SOLID YCbCr 4:4:4 JPEG: each plane's block i is the
+    constant value forced even, exactly invertible with the uniform
+    q=16 tables (the `encode_jpeg_gray` trick per component)."""
+    comp_blocks = []
+    for vals in (y_vals, cb_vals, cr_vals):
+        blocks = []
+        for v in vals:
+            v = int(v) & ~1
+            blocks.append([(8 * (v - 128)) // JPEG_Q] + [0] * 63)
+        comp_blocks.append(blocks)
+    return encode_jpeg_color_blocks(comp_blocks, bw, bh)
+
+
 def encode_jpeg_gray(vals: list[int], bw: int, bh: int) -> bytes:
     """Per-block-SOLID grayscale JPEG: block i is the constant value
     vals[i] forced even, so with the uniform JPEG_Q=16 table the
@@ -335,10 +418,11 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(content: bytes):
     """Strict baseline grayscale JPEG decode. Returns
     {width, height, n_blocks, luma} (luma: top-left row-major int64
-    array, cropped to width x height) or None unless the stream is a
-    structurally valid single-component baseline JPEG (restart
-    intervals supported) — progressive (SOF2), multi-component,
-    arithmetic coding, and truncated/garbled streams all return None,
+    array = the Y plane, plus cb/cr planes and n_components for color
+    streams, cropped to width x height) or None unless the stream is a
+    structurally valid baseline JPEG — grayscale or YCbCr 4:4:4, with
+    restart intervals supported; progressive (SOF2), chroma-subsampled,
+    arithmetic-coded, and truncated/garbled streams all return None,
     so `decode_assets` can never misroute non-JPEG bytes here."""
     try:
         return _decode_jpeg_inner(content)
@@ -390,12 +474,15 @@ def _decode_jpeg_inner(content: bytes):
                 p += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h_px, w_px, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8 or ncomp != 1 or w_px <= 0 or h_px <= 0:
-                return None  # grayscale 8-bit only (declared subset)
-            if seg[7] != 0x11:
-                return None  # subsampling on a 1-component scan
-            comp_qt = seg[8]
-            sof = (w_px, h_px)
+            if prec != 8 or ncomp not in (1, 3) or w_px <= 0 or h_px <= 0:
+                return None  # gray or YCbCr 4:4:4 (declared subset)
+            comp_qt = []
+            for ci in range(ncomp):
+                base = 6 + 3 * ci
+                if seg[base + 1] != 0x11:
+                    return None  # chroma subsampling: out of scope
+                comp_qt.append(seg[base + 2])
+            sof = (w_px, h_px, ncomp)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # extended/progressive/lossless/arithmetic
@@ -404,52 +491,70 @@ def _decode_jpeg_inner(content: bytes):
                 return None
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
-            if sof is None or seg[0] != 1:
+            if sof is None or seg[0] != sof[2]:
                 return None
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0xF
-            if seg[3] != 0 or seg[4] != 63 or seg[5] != 0:
+            ncomp_s = seg[0]
+            comp_tabs = [
+                (seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 0xF)
+                for ci in range(ncomp_s)
+            ]
+            ss = 1 + 2 * ncomp_s
+            if seg[ss] != 0 or seg[ss + 1] != 63 or seg[ss + 2] != 0:
                 return None  # non-baseline spectral selection
             pos = pos + 2 + seglen
             break
         pos = pos + 2 + seglen
 
-    if comp_qt not in qt or (0, comp_dc) not in huff or (1, comp_ac) not in huff:
-        return None
-    w_px, h_px = sof
+    w_px, h_px, ncomp = sof
+    for ci in range(ncomp):
+        if (
+            comp_qt[ci] not in qt
+            or (0, comp_tabs[ci][0]) not in huff
+            or (1, comp_tabs[ci][1]) not in huff
+        ):
+            return None
     bw, bh = (w_px + 7) // 8, (h_px + 7) // 8
-    q = qt[comp_qt]
-    dct, act = huff[(0, comp_dc)], huff[(1, comp_ac)]
     r = _BitReader(content, pos)
-    grid = np.zeros((bh * 8, bw * 8), dtype=np.int64)
-    prev_dc = 0
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(ncomp)
+    ]
+    prev_dc = [0] * ncomp
     rst = 0
+    # MCU loop: with 4:4:4 sampling an MCU is one block per component,
+    # interleaved in component order with per-component DC predictors
     for bi in range(bw * bh):
-        s = _read_huff(r, dct)
-        if s > 11:
-            raise ValueError("DC category out of range")
-        diff = _extend(r.bits(s), s) if s else 0
-        dc = prev_dc + diff
-        prev_dc = dc
-        coeffs = np.zeros((8, 8))
-        coeffs[0, 0] = dc * q[0]
-        k = 1
-        while k < 64:
-            sym = _read_huff(r, act)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            k += run
-            if k > 63 or size == 0:
-                raise ValueError("AC run past block end")
-            val = _extend(r.bits(size), size)
-            zz = _ZZ[k]
-            coeffs[zz // 8, zz % 8] = val * q[k]
-            k += 1
-        by, bx = bi // bw, bi % bw
-        grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(coeffs)
+        for ci in range(ncomp):
+            q = qt[comp_qt[ci]]
+            dct = huff[(0, comp_tabs[ci][0])]
+            act = huff[(1, comp_tabs[ci][1])]
+            s = _read_huff(r, dct)
+            if s > 11:
+                raise ValueError("DC category out of range")
+            diff = _extend(r.bits(s), s) if s else 0
+            dc = prev_dc[ci] + diff
+            prev_dc[ci] = dc
+            coeffs = np.zeros((8, 8))
+            coeffs[0, 0] = dc * q[0]
+            k = 1
+            while k < 64:
+                sym = _read_huff(r, act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63 or size == 0:
+                    raise ValueError("AC run past block end")
+                val = _extend(r.bits(size), size)
+                zz = _ZZ[k]
+                coeffs[zz // 8, zz % 8] = val * q[k]
+                k += 1
+            by, bx = bi // bw, bi % bw
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                idct_block(coeffs)
+            )
         if (
             restart_interval
             and (bi + 1) % restart_interval == 0
@@ -457,16 +562,22 @@ def _decode_jpeg_inner(content: bytes):
         ):
             r.restart(0xD0 + rst)
             rst = (rst + 1) % 8
-            prev_dc = 0
+            prev_dc = [0] * ncomp
     # the entropy segment must be followed by EOI (possibly after the
     # pad bits already consumed byte-granularly by the reader)
     tail = content[r.pos :]
     if not tail.startswith(b"\xff\xd9"):
         return None
-    luma = grid[:h_px, :w_px].reshape(-1)
-    return {
+    cropped = [p[:h_px, :w_px].reshape(-1) for p in planes]
+    out = {
         "width": w_px,
         "height": h_px,
         "n_blocks": bw * bh,
-        "luma": luma,
+        "n_components": ncomp,
+        # "luma" is the Y plane (component 0) in both gray and YCbCr
+        # streams — the stats column every image consumer reads
+        "luma": cropped[0],
     }
+    if ncomp == 3:
+        out["cb"], out["cr"] = cropped[1], cropped[2]
+    return out

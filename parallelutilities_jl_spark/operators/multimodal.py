@@ -2071,6 +2071,126 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(decode, out_schema)
 
 
+def q_multimodal_jpeg_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL YCbCr 4:4:4 color-JPEG round trip: three solid planes per
+    block (Y = the sampled codepoint, Cb = Y rotated by 64, Cr = the
+    complement, all even-ified), interleaved-MCU entropy encode with
+    separate luma/chroma quant tables and per-component DC predictors,
+    then the full baseline decode back to three planes. Emits exact
+    per-plane statistics; a swapped component order, a cross-component
+    predictor leak, or a wrong quant-table binding hash-mismatches the
+    closed-form oracle."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                bw, bh = _jpg_dims(int(i))
+                y = _bmp_pixel_vals(t, bw * bh)
+                cb = [(v + 64) % 256 for v in y]
+                cr = [255 - v for v in y]
+                contents.append(encode_jpeg_color(y, cb, cr, bw, bh))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, content binary")
+
+    out_schema = (
+        "asset_id long, width int, height int, n_blocks int, "
+        "n_components int, y_sum long, y_weighted long, y_topleft int, "
+        "cb_sum long, cr_sum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_jpeg(bytes(c)) for c in pdf["content"]]
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None or m.get("n_components") != 3:
+                    raise ValueError(
+                        f"invalid color JPEG payload for asset {aid}"
+                    )
+            sums = [_luma_sums(m["luma"]) for m in metas]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "n_blocks": pd.array(
+                        [m["n_blocks"] for m in metas], dtype="Int32"
+                    ),
+                    "n_components": pd.array(
+                        [m["n_components"] for m in metas], dtype="Int32"
+                    ),
+                    "y_sum": [s for s, _ in sums],
+                    "y_weighted": [w for _, w in sums],
+                    "y_topleft": pd.array(
+                        [int(m["luma"][0]) for m in metas], dtype="Int32"
+                    ),
+                    "cb_sum": [int(m["cb"].sum()) for m in metas],
+                    "cr_sum": [int(m["cr"].sum()) for m in metas],
+                }
+            )
+
+    return assets.mapInPandas(decode, out_schema)
+
+
+def _oracle_jpeg_color_decode() -> str:
+    """Closed-form replay of the color round trip: per block, the even
+    plane values ye/cbe/cre derive from the sampled codepoint; sums use
+    the same closed-form block-position algebra as the gray oracle."""
+    bw_sql, bh_sql = _dims_sql(_JPG_BWH)
+    max_nb = _max_dim(_JPG_BWH[0]) * _max_dim(_JPG_BWH[1])
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         {bw_sql} AS bw, {bh_sql} AS bh,
+         ({bw_sql}) * ({bh_sql}) AS nb,
+         8 * ({bw_sql}) AS w, 8 * ({bh_sql}) AS h,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+blk AS (
+  SELECT asset_id, w, h, bw, bh, nb, t.b AS b,
+         v - v % 2 AS ye,
+         ((v + 64) % 256) - ((v + 64) % 256) % 2 AS cbe,
+         (255 - v) - (255 - v) % 2 AS cre
+  FROM (
+    SELECT d.*, t.b,
+           ord(substr(text,
+               CAST(1 + (t.b * (L - 1)) // (nb - 1) AS INT), 1)) % 256 AS v
+    FROM dims d, range(0, {max_nb}) t(b) WHERE t.b < nb) t)
+SELECT asset_id,
+       CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(MAX(nb) AS INT) AS n_blocks,
+       CAST(3 AS INT) AS n_components,
+       CAST(64 * SUM(ye) AS BIGINT) AS y_sum,
+       CAST(SUM(ye * (64 * (8 * (b // bw) * w + 8 * (b % bw) + 1)
+                      + 224 * (w + 1))) AS BIGINT) AS y_weighted,
+       CAST(MAX(CASE WHEN b = 0 THEN ye END) AS INT) AS y_topleft,
+       CAST(64 * SUM(cbe) AS BIGINT) AS cb_sum,
+       CAST(64 * SUM(cre) AS BIGINT) AS cr_sum
+FROM blk GROUP BY asset_id
+"""
+
+
 def _oracle_jpeg_decode() -> str:
     """Closed-form replay of the solid-block JPEG round trip: block b
     (row-major over a bh x bw grid) decodes to the even-ified sampled
@@ -3000,6 +3120,7 @@ QUERIES = {
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "multimodal_jpeg_color_decode": q_multimodal_jpeg_color_decode,
     "multimodal_media_census": q_multimodal_media_census,
     # "multimodal_binaryfile_census" is bound below: the files-on-disk
     # twin lives in sources/binary_assets.py (import placed after the
@@ -3018,6 +3139,7 @@ ORACLES["multimodal_decode_census"] = _oracle_decode_census()
 ORACLES["multimodal_gif_decode"] = _oracle_gif()
 ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
 ORACLES["multimodal_jpeg_decode"] = _oracle_jpeg_decode()
+ORACLES["multimodal_jpeg_color_decode"] = _oracle_jpeg_color_decode()
 ORACLES["multimodal_media_census"] = _oracle_media_census()
 # files-on-disk twin: binaryFile-source ingest must census identically
 from parallelutilities_jl_spark.sources.binary_assets import (  # noqa: E402

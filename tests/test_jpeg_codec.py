@@ -122,7 +122,9 @@ def test_strict_rejects():
     prog = bytearray(good)
     prog[good.find(b"\xff\xc0") + 1] = 0xC2
     assert decode_jpeg(bytes(prog)) is None
-    # multi-component (color) streams are rejected, not misdecoded
+    # a MALFORMED multi-component header (ncomp=3 claimed over a
+    # 1-component SOF payload) is rejected, not misdecoded — real
+    # 4:4:4 color streams decode (test_color_* below)
     sof = good.find(b"\xff\xc0")
     color = bytearray(good)
     color[sof + 9] = 3  # ncomp byte inside SOF0
@@ -185,3 +187,60 @@ def test_decode_assets_routes_image_jpeg():
     assert _decode_bmp(content) is None and _decode_png(content) is None
     m = decode_jpeg(content)
     assert (m["width"], m["height"]) == (24, 16)
+
+
+def test_color_solid_planes_round_trip_exact():
+    """YCbCr 4:4:4 with per-block-solid even planes: every plane
+    decodes to its input values bit-for-bit (the color oracle's
+    exactness property)."""
+    from parallelutilities_jl_spark.operators.jpeg import encode_jpeg_color
+
+    y = [130, 2, 254, 128, 76, 200]
+    cb = [(v + 64) % 256 for v in y]
+    cr = [255 - v for v in y]
+    m = decode_jpeg(encode_jpeg_color(y, cb, cr, 3, 2))
+    assert m is not None and m["n_components"] == 3
+    for plane, vals in (("luma", y), ("cb", cb), ("cr", cr)):
+        g = m[plane].reshape(16, 24)
+        for bi, v in enumerate(vals):
+            by, bx = bi // 3, bi % 3
+            assert (
+                g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == (v & ~1)
+            ).all(), (plane, bi)
+
+
+def test_color_arbitrary_coefficients_with_restarts():
+    """Interleaved MCUs with distinct luma/chroma quant tables,
+    arbitrary coefficients, and restart markers: each plane must match
+    the reference IDCT — pins per-component DC predictors (a
+    cross-component leak corrupts from MCU 2 on) and the per-interval
+    reset of all three."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_color_blocks,
+    )
+
+    rng = np.random.default_rng(3)
+    comp_blocks = []
+    for _ in range(3):
+        blocks = []
+        for _b in range(6):
+            blk = [0] * 64
+            blk[0] = int(rng.integers(-150, 150))
+            for _k in range(5):
+                blk[int(rng.integers(1, 64))] = int(rng.integers(-200, 200))
+            blocks.append(blk)
+        comp_blocks.append(blocks)
+    content = encode_jpeg_color_blocks(
+        comp_blocks, 3, 2, quant_y=4, quant_c=9, restart_interval=2
+    )
+    m = decode_jpeg(content)
+    assert m is not None
+    for ci, (plane, qv) in enumerate((("luma", 4), ("cb", 9), ("cr", 9))):
+        want = _reference_pixels(comp_blocks[ci], 3, 2, qv)
+        assert (m[plane].reshape(16, 24) == want).all(), plane
+    # chroma subsampling (sampling factor 0x22) is out of the declared
+    # scope and must reject, not misdecode
+    i = content.find(b"\xff\xc0")
+    sub = bytearray(content)
+    sub[i + 11] = 0x22
+    assert decode_jpeg(bytes(sub)) is None

@@ -182,8 +182,11 @@ QUERIES = (
     # round-15: the baseline-JPEG round trip and the rewired
     # mixed-modality pipeline (real BMP/WAV/GIF end to end)
     "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
     "multimodal_decode",
     "multimodal_features",
+    "multimodal_media_census",
+    "multimodal_binaryfile_census",
     # round-14 distributed long-form elsum: constant task count, the
     # only exchange is the chunk partitionBy — expected ~flat in SF
     # (the workload is SF-pinned synthetic, timed for the record)
