@@ -217,8 +217,10 @@ LATE_ADDITIONS = [
     "multimodal_media_census",
     "multimodal_binaryfile_census",
     # round-15: YCbCr 4:4:4 color JPEG (interleaved MCUs, per-component
-    # quant tables and DC predictors)
+    # quant tables and DC predictors) and the camera-standard 4:2:0
+    # (four Y blocks + half-res chroma per 16x16 MCU)
     "multimodal_jpeg_color_decode",
+    "multimodal_jpeg420_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

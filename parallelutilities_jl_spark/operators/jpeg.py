@@ -9,11 +9,14 @@ Huffman decode of the entropy-coded segment (byte unstuffing, DC
 prediction, AC run-length + ZRL + EOB), dequantization, inverse
 zigzag, float separable IDCT, level shift + clamp; restart intervals
 (DRI + RST0..7, byte realign + DC predictor reset, modulo-8 cycle
-verified) and YCbCr 4:4:4 color (interleaved MCUs, per-component quant
-tables and DC predictors) are fully supported. Restrictions are
-declared, not silent: 8-bit baseline, 1 or 3 components, no chroma
-subsampling; SOF2 (progressive), 4:2:x sampling, and arithmetic coding
-return None so `decode_assets` can never misroute.
+verified) and YCbCr color — both 4:4:4 and the dominant camera 4:2:0
+(16x16 MCUs: four full-resolution Y blocks + one half-resolution
+Cb/Cr pair, replicate-upsampled on output) — are fully supported, with
+per-component quant tables and DC predictors. Restrictions are
+declared, not silent: 8-bit baseline, 1 or 3 components, sampling
+all-1x1 or Y-2x2/chroma-1x1; SOF2 (progressive), other sampling
+layouts, and arithmetic coding return None so `decode_assets` can
+never misroute.
 
 Encoder (`encode_jpeg_gray` / `encode_jpeg_blocks`): writes every
 container byte per the spec — our own valid DHT tables (the decoder
@@ -307,6 +310,96 @@ def encode_jpeg_color_blocks(
     return bytes(out)
 
 
+def encode_jpeg_420_blocks(
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    mcw: int,
+    mch: int,
+    quant_y: int = JPEG_Q,
+    quant_c: int = JPEG_Q,
+    restart_interval: int = 0,
+) -> bytes:
+    """Write a baseline YCbCr 4:2:0 JFIF stream (Y sampled 2x2, chroma
+    1x1 — the dominant camera configuration): `y_blocks` is the
+    FULL-resolution row-major (2·mch x 2·mcw) block grid, `cb_blocks` /
+    `cr_blocks` the half-resolution (mch x mcw) grids; each 16x16 MCU
+    interleaves its four Y blocks (left-to-right, top-to-bottom) then
+    one Cb and one Cr."""
+    if len(y_blocks) != 4 * mcw * mch or len(cb_blocks) != mcw * mch \
+            or len(cr_blocks) != mcw * mch:
+        raise ValueError("block count mismatch")
+    w_px, h_px = 16 * mcw, 16 * mch
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    for tid, qv in ((0, quant_y), (1, quant_c)):
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+            + bytes([tid]) + bytes([qv] * 64)
+        )
+    out += (  # SOF0: Y 2x2, Cb/Cr 1x1
+        b"\xff\xc0" + struct.pack(">H", 2 + 6 + 9) + b"\x08"
+        + struct.pack(">HH", h_px, w_px)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    out += _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += (
+        b"\xff\xda" + struct.pack(">H", 2 + 1 + 6 + 3)
+        + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )
+    bwr = _BitWriter()
+    prev_dc = [0, 0, 0]
+    rst = 0
+    bw2 = 2 * mcw
+    for mi in range(mcw * mch):
+        my, mx = mi // mcw, mi % mcw
+        for ty in range(2):
+            for tx in range(2):
+                yb = y_blocks[(2 * my + ty) * bw2 + 2 * mx + tx]
+                prev_dc[0] = _encode_block(bwr, yb, prev_dc[0])
+        prev_dc[1] = _encode_block(bwr, cb_blocks[mi], prev_dc[1])
+        prev_dc[2] = _encode_block(bwr, cr_blocks[mi], prev_dc[2])
+        if (
+            restart_interval
+            and (mi + 1) % restart_interval == 0
+            and mi + 1 < mcw * mch
+        ):
+            bwr.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev_dc = [0, 0, 0]
+    out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _solid_blocks(vals: list[int]) -> list[list[int]]:
+    return [
+        [(8 * ((int(v) & ~1) - 128)) // JPEG_Q] + [0] * 63 for v in vals
+    ]
+
+
+def encode_jpeg_420(
+    y_vals: list[int], cb_vals: list[int], cr_vals: list[int],
+    mcw: int, mch: int,
+) -> bytes:
+    """Per-block-SOLID 4:2:0 JPEG: Y values over the full-resolution
+    block grid, chroma over the half-resolution grid, all forced even
+    for the exact DC-only round trip (upsampling replicates the solid
+    chroma blocks, so the upsampled planes are exactly predictable
+    too)."""
+    return encode_jpeg_420_blocks(
+        _solid_blocks(y_vals), _solid_blocks(cb_vals),
+        _solid_blocks(cr_vals), mcw, mch,
+    )
+
+
 def encode_jpeg_color(
     y_vals: list[int], cb_vals: list[int], cr_vals: list[int],
     bw: int, bh: int,
@@ -419,11 +512,12 @@ def decode_jpeg(content: bytes):
     """Strict baseline grayscale JPEG decode. Returns
     {width, height, n_blocks, luma} (luma: top-left row-major int64
     array = the Y plane, plus cb/cr planes and n_components for color
-    streams, cropped to width x height) or None unless the stream is a
-    structurally valid baseline JPEG — grayscale or YCbCr 4:4:4, with
-    restart intervals supported; progressive (SOF2), chroma-subsampled,
-    arithmetic-coded, and truncated/garbled streams all return None,
-    so `decode_assets` can never misroute non-JPEG bytes here."""
+    streams, chroma replicate-upsampled to full resolution, all cropped
+    to width x height) or None unless the stream is a structurally
+    valid baseline JPEG — grayscale, YCbCr 4:4:4, or YCbCr 4:2:0, with
+    restart intervals supported; progressive (SOF2), other sampling
+    layouts, arithmetic-coded, and truncated/garbled streams all return
+    None, so `decode_assets` can never misroute non-JPEG bytes here."""
     try:
         return _decode_jpeg_inner(content)
     except (ValueError, IndexError, struct.error, KeyError):
@@ -475,14 +569,21 @@ def _decode_jpeg_inner(content: bytes):
         elif marker == 0xC0:  # SOF0 baseline
             prec, h_px, w_px, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or ncomp not in (1, 3) or w_px <= 0 or h_px <= 0:
-                return None  # gray or YCbCr 4:4:4 (declared subset)
+                return None  # gray or YCbCr (declared subset)
             comp_qt = []
+            samp = []
             for ci in range(ncomp):
                 base = 6 + 3 * ci
-                if seg[base + 1] != 0x11:
-                    return None  # chroma subsampling: out of scope
+                samp.append((seg[base + 1] >> 4, seg[base + 1] & 0xF))
                 comp_qt.append(seg[base + 2])
-            sof = (w_px, h_px, ncomp)
+            # declared subset: all-1x1 (gray / 4:4:4), or the standard
+            # 4:2:0 (Y 2x2, chroma 1x1); anything else rejects
+            if not (
+                all(s == (1, 1) for s in samp)
+                or (ncomp == 3 and samp == [(2, 2), (1, 1), (1, 1)])
+            ):
+                return None
+            sof = (w_px, h_px, ncomp, samp)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # extended/progressive/lossless/arithmetic
@@ -492,7 +593,7 @@ def _decode_jpeg_inner(content: bytes):
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if sof is None or seg[0] != sof[2]:
-                return None
+                return None  # scan must cover all frame components
             ncomp_s = seg[0]
             comp_tabs = [
                 (seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 0xF)
@@ -505,7 +606,7 @@ def _decode_jpeg_inner(content: bytes):
             break
         pos = pos + 2 + seglen
 
-    w_px, h_px, ncomp = sof
+    w_px, h_px, ncomp, samp = sof
     for ci in range(ncomp):
         if (
             comp_qt[ci] not in qt
@@ -513,52 +614,62 @@ def _decode_jpeg_inner(content: bytes):
             or (1, comp_tabs[ci][1]) not in huff
         ):
             return None
-    bw, bh = (w_px + 7) // 8, (h_px + 7) // 8
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # MCU grid: hmax*8 x vmax*8 pixels per MCU (8x8 for 1x1, 16x16 for
+    # 4:2:0); each component ci contributes hi*vi blocks per MCU and is
+    # stored at its native resolution, upsampled after the scan
+    mcw = (w_px + 8 * hmax - 1) // (8 * hmax)
+    mch = (h_px + 8 * vmax - 1) // (8 * vmax)
     r = _BitReader(content, pos)
     planes = [
-        np.zeros((bh * 8, bw * 8), dtype=np.int64) for _ in range(ncomp)
+        np.zeros((mch * 8 * s[1], mcw * 8 * s[0]), dtype=np.int64)
+        for s in samp
     ]
     prev_dc = [0] * ncomp
     rst = 0
-    # MCU loop: with 4:4:4 sampling an MCU is one block per component,
-    # interleaved in component order with per-component DC predictors
-    for bi in range(bw * bh):
+    for mi in range(mcw * mch):
+        my, mx = mi // mcw, mi % mcw
         for ci in range(ncomp):
+            hi, vi = samp[ci]
             q = qt[comp_qt[ci]]
             dct = huff[(0, comp_tabs[ci][0])]
             act = huff[(1, comp_tabs[ci][1])]
-            s = _read_huff(r, dct)
-            if s > 11:
-                raise ValueError("DC category out of range")
-            diff = _extend(r.bits(s), s) if s else 0
-            dc = prev_dc[ci] + diff
-            prev_dc[ci] = dc
-            coeffs = np.zeros((8, 8))
-            coeffs[0, 0] = dc * q[0]
-            k = 1
-            while k < 64:
-                sym = _read_huff(r, act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63 or size == 0:
-                    raise ValueError("AC run past block end")
-                val = _extend(r.bits(size), size)
-                zz = _ZZ[k]
-                coeffs[zz // 8, zz % 8] = val * q[k]
-                k += 1
-            by, bx = bi // bw, bi % bw
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                idct_block(coeffs)
-            )
+            for ty in range(vi):
+                for tx in range(hi):
+                    s = _read_huff(r, dct)
+                    if s > 11:
+                        raise ValueError("DC category out of range")
+                    diff = _extend(r.bits(s), s) if s else 0
+                    dc = prev_dc[ci] + diff
+                    prev_dc[ci] = dc
+                    coeffs = np.zeros((8, 8))
+                    coeffs[0, 0] = dc * q[0]
+                    k = 1
+                    while k < 64:
+                        sym = _read_huff(r, act)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        k += run
+                        if k > 63 or size == 0:
+                            raise ValueError("AC run past block end")
+                        val = _extend(r.bits(size), size)
+                        zz = _ZZ[k]
+                        coeffs[zz // 8, zz % 8] = val * q[k]
+                        k += 1
+                    py = (my * vi + ty) * 8
+                    px = (mx * hi + tx) * 8
+                    planes[ci][py : py + 8, px : px + 8] = idct_block(
+                        coeffs
+                    )
         if (
             restart_interval
-            and (bi + 1) % restart_interval == 0
-            and bi + 1 < bw * bh
+            and (mi + 1) % restart_interval == 0
+            and mi + 1 < mcw * mch
         ):
             r.restart(0xD0 + rst)
             rst = (rst + 1) % 8
@@ -568,11 +679,22 @@ def _decode_jpeg_inner(content: bytes):
     tail = content[r.pos :]
     if not tail.startswith(b"\xff\xd9"):
         return None
-    cropped = [p[:h_px, :w_px].reshape(-1) for p in planes]
+    cropped = []
+    for ci in range(ncomp):
+        p = planes[ci]
+        hi, vi = samp[ci]
+        if (hi, vi) != (hmax, vmax):  # subsampled: replicate-upsample
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        cropped.append(p[:h_px, :w_px].reshape(-1))
     out = {
         "width": w_px,
         "height": h_px,
-        "n_blocks": bw * bh,
+        # MCU count: equals the per-component 8x8 block count for the
+        # all-1x1 configs (backward compatible) and the 16x16 MCU count
+        # for 4:2:0
+        "n_blocks": mcw * mch,
         "n_components": ncomp,
         # "luma" is the Y plane (component 0) in both gray and YCbCr
         # streams — the stats column every image consumer reads

@@ -2153,6 +2153,148 @@ def q_multimodal_jpeg_color_decode(
     return assets.mapInPandas(decode, out_schema)
 
 
+# 4:2:0 MCU-grid spec: (base, mod) in 16x16 MCUs; Y blocks live on the
+# doubled full-resolution grid, chroma on the MCU grid
+_JPG420_MWH = ((1, 2), (1, 2))
+
+
+def q_multimodal_jpeg420_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 4:2:0 color-JPEG round trip — the dominant camera
+    configuration: Y sampled 2x2 per 16x16 MCU (four full-resolution
+    blocks), chroma 1x1 (one half-resolution block per MCU, replicated
+    back up on decode). Solid even blocks per plane keep every decoded
+    pixel exact: Y block b carries the sampled codepoint, the MCU's
+    chroma derives from its top-left Y block's value (+64 rotation /
+    complement). A wrong in-MCU block order, a chroma/luma quant-table
+    swap, or a broken upsample hash-mismatches the closed-form
+    oracle."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_420,
+    )
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                mcw, mch = _dims_of(_JPG420_MWH, int(i))
+                yv = _bmp_pixel_vals(t, 4 * mcw * mch)
+                bw2 = 2 * mcw
+                tl = [
+                    yv[(2 * (j // mcw)) * bw2 + 2 * (j % mcw)]
+                    for j in range(mcw * mch)
+                ]
+                cb = [(v + 64) % 256 for v in tl]
+                cr = [255 - v for v in tl]
+                contents.append(encode_jpeg_420(yv, cb, cr, mcw, mch))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, content binary")
+
+    out_schema = (
+        "asset_id long, width int, height int, n_mcus int, "
+        "y_sum long, y_weighted long, y_topleft int, "
+        "cb_sum long, cr_sum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_jpeg(bytes(c)) for c in pdf["content"]]
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None or m.get("n_components") != 3:
+                    raise ValueError(
+                        f"invalid 4:2:0 JPEG payload for asset {aid}"
+                    )
+            sums = [_luma_sums(m["luma"]) for m in metas]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "n_mcus": pd.array(
+                        [m["n_blocks"] for m in metas], dtype="Int32"
+                    ),
+                    "y_sum": [s for s, _ in sums],
+                    "y_weighted": [w for _, w in sums],
+                    "y_topleft": pd.array(
+                        [int(m["luma"][0]) for m in metas], dtype="Int32"
+                    ),
+                    "cb_sum": [int(m["cb"].sum()) for m in metas],
+                    "cr_sum": [int(m["cr"].sum()) for m in metas],
+                }
+            )
+
+    return assets.mapInPandas(decode, out_schema)
+
+
+def _oracle_jpeg420_decode() -> str:
+    """Closed-form 4:2:0 replay: Y over the doubled block grid with the
+    standard position algebra (w = 16·mcw); each MCU's chroma value
+    derives from its top-left Y block and covers 16x16 = 256 upsampled
+    pixels."""
+    mw_sql, mh_sql = _dims_sql(_JPG420_MWH)
+    max_mcu = _max_dim(_JPG420_MWH[0]) * _max_dim(_JPG420_MWH[1])
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS asset_id, text,
+         {mw_sql} AS mw, {mh_sql} AS mh,
+         4 * ({mw_sql}) * ({mh_sql}) AS nby,
+         2 * ({mw_sql}) AS bw2,
+         16 * ({mw_sql}) AS w, 16 * ({mh_sql}) AS h,
+         length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+blkv AS (
+  SELECT asset_id, w, h, mw, mh, bw2, nby, t.b AS b,
+         ord(substr(text,
+             CAST(1 + (t.b * (L - 1)) // (nby - 1) AS INT), 1)) % 256 AS v
+  FROM dims, range(0, {4 * max_mcu}) t(b) WHERE t.b < nby),
+ych AS (
+  SELECT asset_id, w, h, mw, b, bw2, v - v % 2 AS ye FROM blkv),
+mc AS (
+  SELECT d.asset_id, t.j,
+         (2 * (t.j // d.mw)) * d.bw2 + 2 * (t.j % d.mw) AS tl
+  FROM dims d, range(0, {max_mcu}) t(j) WHERE t.j < d.mw * d.mh),
+ch AS (
+  SELECT m.asset_id,
+         ((b.v + 64) % 256) - ((b.v + 64) % 256) % 2 AS cbe,
+         (255 - b.v) - (255 - b.v) % 2 AS cre
+  FROM mc m JOIN blkv b ON b.asset_id = m.asset_id AND b.b = m.tl),
+chagg AS (
+  SELECT asset_id,
+         CAST(256 * SUM(cbe) AS BIGINT) AS cb_sum,
+         CAST(256 * SUM(cre) AS BIGINT) AS cr_sum
+  FROM ch GROUP BY asset_id)
+SELECT y.asset_id,
+       CAST(MAX(y.w) AS INT) AS width, CAST(MAX(y.h) AS INT) AS height,
+       CAST(MAX(y.mw) * MAX(y.h) // 16 AS INT) AS n_mcus,
+       CAST(64 * SUM(y.ye) AS BIGINT) AS y_sum,
+       CAST(SUM(y.ye * (64 * (8 * (y.b // y.bw2) * y.w
+                              + 8 * (y.b % y.bw2) + 1)
+                        + 224 * (y.w + 1))) AS BIGINT) AS y_weighted,
+       CAST(MAX(CASE WHEN y.b = 0 THEN y.ye END) AS INT) AS y_topleft,
+       MAX(c.cb_sum) AS cb_sum,
+       MAX(c.cr_sum) AS cr_sum
+FROM ych y JOIN chagg c USING (asset_id)
+GROUP BY y.asset_id
+"""
+
+
 def _oracle_jpeg_color_decode() -> str:
     """Closed-form replay of the color round trip: per block, the even
     plane values ye/cbe/cre derive from the sampled codepoint; sums use
@@ -3121,6 +3263,7 @@ QUERIES = {
     "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_jpeg_color_decode": q_multimodal_jpeg_color_decode,
+    "multimodal_jpeg420_decode": q_multimodal_jpeg420_decode,
     "multimodal_media_census": q_multimodal_media_census,
     # "multimodal_binaryfile_census" is bound below: the files-on-disk
     # twin lives in sources/binary_assets.py (import placed after the
@@ -3140,6 +3283,7 @@ ORACLES["multimodal_gif_decode"] = _oracle_gif()
 ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
 ORACLES["multimodal_jpeg_decode"] = _oracle_jpeg_decode()
 ORACLES["multimodal_jpeg_color_decode"] = _oracle_jpeg_color_decode()
+ORACLES["multimodal_jpeg420_decode"] = _oracle_jpeg420_decode()
 ORACLES["multimodal_media_census"] = _oracle_media_census()
 # files-on-disk twin: binaryFile-source ingest must census identically
 from parallelutilities_jl_spark.sources.binary_assets import (  # noqa: E402

@@ -244,3 +244,81 @@ def test_color_arbitrary_coefficients_with_restarts():
     sub = bytearray(content)
     sub[i + 11] = 0x22
     assert decode_jpeg(bytes(sub)) is None
+
+
+def test_420_solid_planes_round_trip_exact():
+    """4:2:0: four full-res Y blocks + one half-res chroma pair per
+    16x16 MCU; solid even blocks decode bit-exactly, with chroma
+    replicated to full resolution (16x16 per MCU block)."""
+    from parallelutilities_jl_spark.operators.jpeg import encode_jpeg_420
+
+    mcw, mch = 2, 1
+    yv = [10, 40, 70, 100, 130, 160, 190, 220]  # 2x4 full-res grid
+    cb, cr = [64, 128], [200, 30]
+    m = decode_jpeg(encode_jpeg_420(yv, cb, cr, mcw, mch))
+    assert m is not None
+    assert (m["width"], m["height"], m["n_components"], m["n_blocks"]) == (
+        32, 16, 3, 2,
+    )
+    Y = m["luma"].reshape(16, 32)
+    for bi, v in enumerate(yv):
+        by, bx = bi // 4, bi % 4
+        assert (Y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == (v & ~1)).all()
+    for plane, vals in (("cb", cb), ("cr", cr)):
+        g = m[plane].reshape(16, 32)
+        for mi, v in enumerate(vals):
+            my, mx = mi // mcw, mi % mcw
+            assert (
+                g[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+                == (v & ~1)
+            ).all(), (plane, mi)
+
+
+def test_420_arbitrary_coefficients_with_restarts():
+    """4:2:0 with arbitrary coefficients, distinct quant tables, and a
+    restart every MCU: each native-resolution plane must match the
+    reference IDCT (chroma compared after replicate-upsampling) — pins
+    the in-MCU Y block order, the three predictors, and the upsample."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_420_blocks,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def rand_blocks(n):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            blk[0] = int(rng.integers(-120, 120))
+            for _k in range(4):
+                blk[int(rng.integers(1, 64))] = int(rng.integers(-150, 150))
+            out.append(blk)
+        return out
+
+    yb, cbb, crb = rand_blocks(16), rand_blocks(4), rand_blocks(4)
+    m = decode_jpeg(
+        encode_jpeg_420_blocks(
+            yb, cbb, crb, 2, 2, quant_y=6, quant_c=11, restart_interval=1
+        )
+    )
+    assert m is not None
+    assert (m["luma"].reshape(32, 32) == _reference_pixels(yb, 4, 4, 6)).all()
+    for plane, blocks in (("cb", cbb), ("cr", crb)):
+        want = np.repeat(
+            np.repeat(_reference_pixels(blocks, 2, 2, 11), 2, axis=0),
+            2, axis=1,
+        )
+        assert (m[plane].reshape(32, 32) == want).all(), plane
+
+
+def test_unsupported_sampling_layouts_reject():
+    """Only all-1x1 and Y-2x2/chroma-1x1 are in scope: 4:1:1 (Y 4x1)
+    and 4:2:2 (Y 2x1) must reject rather than misdecode."""
+    from parallelutilities_jl_spark.operators.jpeg import encode_jpeg_420
+
+    good = encode_jpeg_420([10] * 8, [20, 30], [40, 50], 2, 1)
+    i = good.find(b"\xff\xc0")
+    for byte in (0x41, 0x21, 0x12):
+        bad = bytearray(good)
+        bad[i + 11] = byte  # Y sampling factor
+        assert decode_jpeg(bytes(bad)) is None, hex(byte)

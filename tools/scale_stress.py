@@ -183,6 +183,7 @@ QUERIES = (
     # mixed-modality pipeline (real BMP/WAV/GIF end to end)
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
+    "multimodal_jpeg420_decode",
     "multimodal_decode",
     "multimodal_features",
     "multimodal_media_census",
