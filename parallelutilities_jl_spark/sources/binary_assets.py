@@ -75,11 +75,26 @@ def materialize_media_dir(spark: SparkSession, sf_dir: str) -> str:
                 f.write(bytes(r.content))
             os.replace(tmp, path)  # atomic publish, crash-safe
 
+    def media_file_count() -> int:
+        return sum(
+            1 for f in os.listdir(out_dir)
+            if f.rsplit(".", 1)[-1] in _MOD_OF_EXT
+        )
+
+    n_expected = assets.count()
     assets.foreachPartition(write_part)
-    n = sum(
-        1 for f in os.listdir(out_dir)
-        if f.rsplit(".", 1)[-1] in _MOD_OF_EXT
-    )
+    if media_file_count() != n_expected:
+        # stale landing: a previous materialization of a LARGER fixture
+        # left extra files the overwrite pass cannot reclaim — rebuild
+        # from empty rather than census phantom assets (deployment
+        # landing zones are ground truth and never take this path; it
+        # exists because this dir is DERIVED from the fixtures)
+        import shutil
+
+        shutil.rmtree(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        assets.foreachPartition(write_part)
+    n = media_file_count()
     with open(os.path.join(out_dir, "_SUCCESS.count"), "w") as f:
         f.write(str(n))
     return out_dir

@@ -45,3 +45,18 @@ def test_materialize_is_idempotent(spark, sf_dir):
     d2 = materialize_media_dir(spark, sf_dir)
     assert d1 == d2 == media_dir_for(sf_dir)
     assert sorted(os.listdir(d2)) == files1
+
+
+def test_materialize_reclaims_stale_files(spark, sf_dir):
+    """A landing dir holding files from a previously-larger fixture
+    must be rebuilt from empty, not censused with phantom assets."""
+    landing = materialize_media_dir(spark, sf_dir)
+    with open(os.path.join(landing, "999999999.bmp"), "wb") as f:
+        f.write(b"stale")
+    landing2 = materialize_media_dir(spark, sf_dir)
+    assert landing2 == landing
+    assert not os.path.exists(os.path.join(landing, "999999999.bmp"))
+    with open(os.path.join(landing, "_SUCCESS.count")) as f:
+        n = int(f.read())
+    got = read_media_dir(spark, landing).count()
+    assert got == n
