@@ -322,3 +322,78 @@ def test_unsupported_sampling_layouts_reject():
         bad = bytearray(good)
         bad[i + 11] = byte  # Y sampling factor
         assert decode_jpeg(bytes(bad)) is None, hex(byte)
+
+
+def test_property_random_blocks_round_trip_all_layouts():
+    """Property: ANY quantized coefficient pattern round-trips exactly
+    in all three layouts (gray, 4:4:4, 4:2:0). Hypothesis drives the
+    coefficient geometry; the reference is the straight IDCT."""
+    from hypothesis import given, settings, strategies as st
+
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_420_blocks,
+        encode_jpeg_color_blocks,
+    )
+
+    coeff = st.integers(min_value=-1023, max_value=1023)
+    pos = st.integers(min_value=1, max_value=63)
+
+    @st.composite
+    def block(draw):
+        blk = [0] * 64
+        blk[0] = draw(st.integers(min_value=-256, max_value=256))
+        for p, c in draw(
+            st.lists(st.tuples(pos, coeff), min_size=0, max_size=8)
+        ):
+            blk[p] = c
+        return blk
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        blocks=st.lists(block(), min_size=4, max_size=4),
+        quant=st.integers(min_value=1, max_value=32),
+        ri=st.sampled_from([0, 1, 3]),
+    )
+    def run(blocks, quant, ri):
+        # gray 2x2 blocks
+        m = decode_jpeg(
+            encode_jpeg_blocks(blocks, 2, 2, quant=quant,
+                               restart_interval=ri)
+        )
+        assert m is not None
+        assert (
+            m["luma"].reshape(16, 16)
+            == _reference_pixels(blocks, 2, 2, quant)
+        ).all()
+        # 4:4:4 — same blocks in every plane
+        m = decode_jpeg(
+            encode_jpeg_color_blocks(
+                [blocks, blocks, blocks], 2, 2,
+                quant_y=quant, quant_c=quant, restart_interval=ri,
+            )
+        )
+        assert m is not None
+        want = _reference_pixels(blocks, 2, 2, quant)
+        for plane in ("luma", "cb", "cr"):
+            assert (m[plane].reshape(16, 16) == want).all(), plane
+        # 4:2:0 — one MCU: the 4 blocks are the Y grid, chroma reuses
+        # block 0
+        m = decode_jpeg(
+            encode_jpeg_420_blocks(
+                blocks, [blocks[0]], [blocks[0]], 1, 1,
+                quant_y=quant, quant_c=quant,
+            )
+        )
+        assert m is not None
+        assert (
+            m["luma"].reshape(16, 16)
+            == _reference_pixels(blocks, 2, 2, quant)
+        ).all()
+        cw = np.repeat(
+            np.repeat(_reference_pixels([blocks[0]], 1, 1, quant), 2,
+                      axis=0),
+            2, axis=1,
+        )
+        assert (m["cb"].reshape(16, 16) == cw).all()
+
+    run()
