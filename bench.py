@@ -221,6 +221,9 @@ LATE_ADDITIONS = [
     # (four Y blocks + half-res chroma per 16x16 MCU)
     "multimodal_jpeg_color_decode",
     "multimodal_jpeg420_decode",
+    # round-16: the progressive (SOF2) JPEG round trip — multi-scan
+    # spectral-selection + successive-approximation decode
+    "multimodal_jpeg_prog_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

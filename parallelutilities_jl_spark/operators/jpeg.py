@@ -1,10 +1,11 @@
-"""REAL baseline JPEG (JFIF) codec, pure stdlib + numpy — the last
-image-modality stand-in retired (rounds 13-14 did WAV, BMP, PNG, GIF;
-the round-14 verdict listed JPEG as "honestly out of pure-stdlib
-scope"; it is not: baseline sequential Huffman is ~400 lines).
+"""REAL JPEG (JFIF) codec, pure stdlib + numpy — baseline sequential
+AND progressive (SOF2), the two container classes a real crawl hits
+(rounds 13-15 did WAV, BMP, PNG, GIF, baseline JPEG; round 16 retires
+the last image stub with the Annex-G progressive path).
 
-Decoder (`decode_jpeg`): general baseline-DCT path — marker walk
-(SOI / APP / DQT / SOF0 / DHT / SOS / EOI), DHT-driven canonical
+Decoder (`decode_jpeg`): general DCT path — marker walk with
+fill-byte and standalone-marker (TEM) handling per T.81 B.1.1.2
+(SOI / APP / DQT / SOF0|SOF2 / DHT / SOS / EOI), DHT-driven canonical
 Huffman decode of the entropy-coded segment (byte unstuffing, DC
 prediction, AC run-length + ZRL + EOB), dequantization, inverse
 zigzag, float separable IDCT, level shift + clamp; restart intervals
@@ -12,18 +13,26 @@ zigzag, float separable IDCT, level shift + clamp; restart intervals
 verified) and YCbCr color — both 4:4:4 and the dominant camera 4:2:0
 (16x16 MCUs: four full-resolution Y blocks + one half-resolution
 Cb/Cr pair, replicate-upsampled on output) — are fully supported, with
-per-component quant tables and DC predictors. Restrictions are
-declared, not silent: 8-bit baseline, 1 or 3 components, sampling
-all-1x1 or Y-2x2/chroma-1x1; SOF2 (progressive), other sampling
-layouts, and arithmetic coding return None so `decode_assets` can
+per-component quant tables and DC predictors. Progressive streams
+(SOF2, T.81 Annex G) decode through the multi-scan loop at
+`_decode_progressive`: spectral selection (per-band AC scans with
+EOBn block runs), successive approximation (DC bit scans; AC
+refinement with correction bits), inter-scan table redefinition, and
+restarts; coefficients accumulate per component and IDCT once at EOI.
+Restrictions are declared, not silent: 8-bit precision, 1 or 3
+components, sampling all-1x1 or Y-2x2/chroma-1x1; other layouts,
+lossless, and arithmetic coding return None so `decode_assets` can
 never misroute.
 
-Encoder (`encode_jpeg_gray` / `encode_jpeg_blocks`): writes every
-container byte per the spec — our own valid DHT tables (the decoder
-reads whatever tables the stream declares; nothing is shared between
-the two sides except the format), DQT in zigzag order, and a full
-(run, size) AC encoder with ZRL and EOB, so pytest can round-trip
-arbitrary coefficient blocks against an independent IDCT reference.
+Encoder (`encode_jpeg_gray` / `encode_jpeg_blocks` / the
+`encode_jpeg_progressive_*` family): writes every container byte per
+the spec — our own valid DHT tables (the decoder reads whatever
+tables the stream declares; nothing is shared between the two sides
+except the format), DQT in zigzag order, and a full (run, size) AC
+encoder with ZRL and EOB (progressive: EOBn runs, sign bits, buffered
+correction bits), so pytest can round-trip arbitrary coefficient
+blocks against an independent IDCT reference in every layout x scan
+mode.
 
 Oracle-exactness trick (the "uncompressed GIF" move, DCT edition): a
 SOLID 8x8 block has only a DC coefficient, 8·(v-128); with the uniform
@@ -524,6 +533,50 @@ def decode_jpeg(content: bytes):
         return None
 
 
+def _next_marker(content: bytes, pos: int) -> tuple[int, int] | None:
+    """Resolve the marker at `pos` per T.81 B.1.1.2: any number of
+    0xFF fill bytes may pad before the marker byte, and 0xFF00 is not
+    a marker (that escape belongs to entropy data only). Returns
+    (marker_byte, pos_of_the_final_0xFF) or None on malformed input."""
+    if pos + 2 > len(content) or content[pos] != 0xFF:
+        return None
+    while pos + 2 <= len(content) and content[pos + 1] == 0xFF:
+        pos += 1  # optional fill byte(s)
+    if pos + 2 > len(content) or content[pos + 1] == 0x00:
+        return None
+    return content[pos + 1], pos
+
+
+def _parse_dqt(seg: bytes, qt: dict[int, list[int]]) -> bool:
+    """DQT segment (possibly several tables); 8-bit precision only."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0xF
+        if pq != 0:  # 16-bit tables: out of declared scope
+            return False
+        qt[tq] = list(seg[p + 1 : p + 65])
+        if len(qt[tq]) != 64:
+            return False
+        p += 65
+    return True
+
+
+def _parse_dht(seg: bytes, huff: dict[tuple[int, int], dict]) -> bool:
+    p = 0
+    while p < len(seg):
+        if p + 17 > len(seg):
+            return False
+        cls, tid = seg[p] >> 4, seg[p] & 0xF
+        bits = list(seg[p + 1 : p + 17])
+        nvals = sum(bits)
+        values = list(seg[p + 17 : p + 17 + nvals])
+        if len(values) != nvals:
+            return False
+        huff[(cls, tid)] = _build_decoder(bits, values)
+        p += 17 + nvals
+    return True
+
+
 def _decode_jpeg_inner(content: bytes):
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         return None
@@ -531,49 +584,44 @@ def _decode_jpeg_inner(content: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
+    comp_ids: list[int] = []
     comp_qt = comp_dc = comp_ac = None
     restart_interval = 0
     while True:
-        if pos + 4 > len(content):
+        nm = _next_marker(content, pos)
+        if nm is None:
             return None
-        if content[pos] != 0xFF:
-            return None
-        marker = content[pos + 1]
+        marker, pos = nm
         if marker == 0xD9:  # EOI with no scan
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM / stray RSTn): no length payload
+            pos += 2
+            continue
+        if pos + 4 > len(content):
             return None
         (seglen,) = struct.unpack_from(">H", content, pos + 2)
         seg = content[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
             return None
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:  # 16-bit tables: out of declared scope
-                    return None
-                qt[tq] = list(seg[p + 1 : p + 65])
-                if len(qt[tq]) != 64:
-                    return None
-                p += 65
+            if not _parse_dqt(seg, qt):
+                return None
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                nvals = sum(bits)
-                values = list(seg[p + 17 : p + 17 + nvals])
-                if len(values) != nvals:
-                    return None
-                huff[(cls, tid)] = _build_decoder(bits, values)
-                p += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+            if not _parse_dht(seg, huff):
+                return None
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h_px, w_px, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or ncomp not in (1, 3) or w_px <= 0 or h_px <= 0:
                 return None  # gray or YCbCr (declared subset)
             comp_qt = []
             samp = []
+            comp_ids = []
             for ci in range(ncomp):
                 base = 6 + 3 * ci
+                comp_ids.append(seg[base])
                 samp.append((seg[base + 1] >> 4, seg[base + 1] & 0xF))
                 comp_qt.append(seg[base + 2])
             # declared subset: all-1x1 (gray / 4:4:4), or the standard
@@ -584,15 +632,22 @@ def _decode_jpeg_inner(content: bytes):
             ):
                 return None
             sof = (w_px, h_px, ncomp, samp)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             if seglen != 4:
                 return None
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
-            if sof is None or seg[0] != sof[2]:
+            if sof is None:
+                return None
+            if progressive:
+                return _decode_progressive(
+                    content, pos + 2 + seglen, seg, qt, huff,
+                    comp_ids, comp_qt, sof, restart_interval,
+                )
+            if seg[0] != sof[2]:
                 return None  # scan must cover all frame components
             ncomp_s = seg[0]
             comp_tabs = [
@@ -703,3 +758,651 @@ def _decode_jpeg_inner(content: bytes):
     if ncomp == 3:
         out["cb"], out["cr"] = cropped[1], cropped[2]
     return out
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+# Progressive decode accumulates QUANTIZED coefficients across scans
+# into per-component block arrays and runs dequant+IDCT once at EOI —
+# the natural architecture (each scan touches one band/bit-plane of
+# every block). The scan-level entropy coding follows T.81 Annex G:
+# DC scans are sequential-style Huffman diffs point-transformed by Al
+# (refinements send one raw bit per block); AC scans are
+# single-component with EOBn run symbols (r<<4, run of 2^r+ext blocks)
+# and, in refinement passes, interleaved correction bits for
+# already-nonzero coefficients.
+
+# progressive AC table: EOBn symbols (r<<4, r=0..14) join ZRL and the
+# (run, size) pairs; all codes length 9 (176 symbols in 512 slots, the
+# all-ones codeword unassigned)
+_AC_PROG_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[8] = len(_AC_PROG_SYMBOLS)
+_AC_PROG_ENC = _canonical_codes(_AC_PROG_BITS, _AC_PROG_SYMBOLS)
+
+# default scan script: spectral selection into two AC bands AND one
+# successive-approximation refinement pass for both DC and AC — covers
+# every Annex-G coding mode (EOBn, ZRL-in-refine, correction bits)
+_PROG_BANDS = ((1, 5), (6, 63))
+
+
+def _parse_scan_header(
+    seg: bytes, comp_ids: list[int]
+) -> tuple[list[tuple[int, int, int]], int, int, int, int]:
+    """SOS payload -> ([(comp_index, dc_tid, ac_tid)], Ss, Se, Ah, Al)."""
+    if len(seg) < 1:
+        raise ValueError("empty scan header")
+    ns = seg[0]
+    if not 1 <= ns <= 4 or len(seg) != 1 + 2 * ns + 3:
+        raise ValueError("bad scan header")
+    scomp = []
+    for si in range(ns):
+        cid = seg[1 + 2 * si]
+        if cid not in comp_ids:
+            raise ValueError("unknown scan component")
+        tt = seg[2 + 2 * si]
+        scomp.append((comp_ids.index(cid), tt >> 4, tt & 0xF))
+    o = 1 + 2 * ns
+    return scomp, seg[o], seg[o + 1], seg[o + 2] >> 4, seg[o + 2] & 0xF
+
+
+def _prog_dc_scan(content, pos, scomp, ah, al, coef, samp, nat,
+                  mcw, mch, huff, ri):
+    """One progressive DC scan: interleaved MCU order when the scan
+    lists several components, the component's own ceil(px/8) grid when
+    non-interleaved. Ah=0: Huffman-coded diffs stored << Al; Ah>0: one
+    raw bit per block sets bit Al."""
+    r = _BitReader(content, pos)
+    first = ah == 0
+    tabs = {}
+    if first:
+        for ci, td, _ta in scomp:
+            t = huff.get((0, td))
+            if t is None:
+                raise ValueError("missing DC table")
+            tabs[ci] = t
+
+    def one(blk, ci, pred):
+        if first:
+            s = _read_huff(r, tabs[ci])
+            if s > 11:
+                raise ValueError("DC category out of range")
+            diff = _extend(r.bits(s), s) if s else 0
+            pred = pred + diff
+            blk[0] = pred << al
+            return pred
+        if r.bit():
+            blk[0] |= 1 << al
+        return pred
+
+    rst = 0
+    if len(scomp) > 1:  # interleaved
+        prev = {ci: 0 for ci, _, _ in scomp}
+        total = mcw * mch
+        for mi in range(total):
+            my, mx = divmod(mi, mcw)
+            for ci, _td, _ta in scomp:
+                hi, vi = samp[ci]
+                for ty in range(vi):
+                    for tx in range(hi):
+                        prev[ci] = one(
+                            coef[ci][my * vi + ty, mx * hi + tx], ci,
+                            prev[ci],
+                        )
+            if ri and (mi + 1) % ri == 0 and mi + 1 < total:
+                r.restart(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev = {ci: 0 for ci, _, _ in scomp}
+    else:
+        ci = scomp[0][0]
+        bh, bw = nat[ci]
+        total = bh * bw
+        pred = 0
+        for i in range(total):
+            by, bx = divmod(i, bw)
+            pred = one(coef[ci][by, bx], ci, pred)
+            if ri and (i + 1) % ri == 0 and i + 1 < total:
+                r.restart(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = 0
+    return r.pos
+
+
+def _prog_ac_scan(content, pos, sc, ss, se, ah, al, coef, nat, huff, ri):
+    """One progressive AC scan (single component, T.81 G.1.2.2-3):
+    first pass decodes run/size symbols with EOBn block runs and stores
+    values << Al; refinement pass adds bit Al to already-nonzero
+    coefficients (one correction bit each, read in zigzag walk order)
+    and places newly-significant +-1<<Al values."""
+    ci, _td, ta = sc
+    act = huff.get((1, ta))
+    if act is None:
+        raise ValueError("missing AC table")
+    r = _BitReader(content, pos)
+    bh, bw = nat[ci]
+    total = bh * bw
+    eobrun = 0
+    rst = 0
+    p1 = 1 << al
+    for i in range(total):
+        by, bx = divmod(i, bw)
+        blk = coef[ci][by, bx]
+        if ah == 0:  # first scan of this band
+            if eobrun > 0:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    sym = _read_huff(r, act)
+                    rr, sz = sym >> 4, sym & 0xF
+                    if sz == 0:
+                        if rr < 15:  # EOBn: covers this block too
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se or sz > 10:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(r.bits(sz), sz) << al
+                    k += 1
+        else:  # refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_huff(r, act)
+                    rr, sz = sym >> 4, sym & 0xF
+                    newval = 0
+                    if sz == 0:
+                        if rr < 15:  # EOBn
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        # rr == 15: ZRL (skip 16 zero-history coefs)
+                    else:
+                        if sz != 1:
+                            raise ValueError("refinement size must be 1")
+                        newval = p1 if r.bit() else -p1
+                    # advance over rr zero-history coefficients,
+                    # applying correction bits to nonzero-history ones
+                    while k <= se:
+                        tc = int(blk[k])
+                        if tc != 0:
+                            if r.bit() and (tc & p1) == 0:
+                                blk[k] = tc + (p1 if tc >= 0 else -p1)
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB-covered remainder: correction bits only
+                while k <= se:
+                    tc = int(blk[k])
+                    if tc != 0:
+                        if r.bit() and (tc & p1) == 0:
+                            blk[k] = tc + (p1 if tc >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
+        if ri and (i + 1) % ri == 0 and i + 1 < total:
+            r.restart(0xD0 + rst)
+            rst = (rst + 1) % 8
+            eobrun = 0
+    return r.pos
+
+
+def _assemble_planes(coef, qt, comp_qt, sof, mcw, mch):
+    """Dequantize + IDCT every accumulated block once, after EOI."""
+    w_px, h_px, ncomp, samp = sof
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    cropped = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        q = qt.get(comp_qt[ci])
+        if q is None:
+            raise ValueError("missing quant table")
+        plane = np.full((mch * 8 * vi, mcw * 8 * hi), 128, dtype=np.int64)
+        for by in range(mch * vi):
+            for bx in range(mcw * hi):
+                cb = coef[ci][by, bx]
+                nz = np.nonzero(cb)[0]
+                if nz.size == 0:
+                    continue  # all-zero block IDCTs to flat 128
+                mat = np.zeros((8, 8))
+                for k in nz:
+                    zz = _ZZ[k]
+                    mat[zz // 8, zz % 8] = int(cb[k]) * q[k]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct_block(mat)
+                )
+        if (hi, vi) != (hmax, vmax):  # subsampled: replicate-upsample
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        cropped.append(plane[:h_px, :w_px].reshape(-1))
+    out = {
+        "width": w_px,
+        "height": h_px,
+        "n_blocks": mcw * mch,
+        "n_components": ncomp,
+        "progressive": True,
+        "luma": cropped[0],
+    }
+    if ncomp == 3:
+        out["cb"], out["cr"] = cropped[1], cropped[2]
+    return out
+
+
+def _decode_progressive(content, pos, sos_seg, qt, huff, comp_ids,
+                        comp_qt, sof, restart_interval):
+    """Multi-scan loop: decode the scan at `pos`, then walk markers
+    (tables may be redefined between scans) until the next SOS or EOI."""
+    w_px, h_px, ncomp, samp = sof
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcw = (w_px + 8 * hmax - 1) // (8 * hmax)
+    mch = (h_px + 8 * vmax - 1) // (8 * vmax)
+    coef = [
+        np.zeros((mch * s[1], mcw * s[0], 64), dtype=np.int64)
+        for s in samp
+    ]
+    # non-interleaved scans iterate the component's OWN ceil(px/8)
+    # grid, which can be smaller than the MCU-padded allocation
+    nat = []
+    for hi, vi in samp:
+        cw = (w_px * hi + hmax - 1) // hmax
+        ch = (h_px * vi + vmax - 1) // vmax
+        nat.append(((ch + 7) // 8, (cw + 7) // 8))
+    seg = sos_seg
+    while True:
+        scomp, ss, se, ah, al = _parse_scan_header(seg, comp_ids)
+        if not (
+            0 <= ss <= se <= 63 and al <= 13 and ah in (0, al + 1)
+        ):
+            raise ValueError("bad progressive scan parameters")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive scan mixes DC and AC")
+            pos = _prog_dc_scan(
+                content, pos, scomp, ah, al, coef, samp, nat,
+                mcw, mch, huff, restart_interval,
+            )
+        else:
+            if len(scomp) != 1:
+                raise ValueError("interleaved AC scan")
+            pos = _prog_ac_scan(
+                content, pos, scomp[0], ss, se, ah, al, coef, nat,
+                huff, restart_interval,
+            )
+        while True:  # inter-scan marker walk
+            nm = _next_marker(content, pos)
+            if nm is None:
+                raise ValueError("bad marker between scans")
+            marker, pos = nm
+            if marker == 0xD9:  # EOI
+                return _assemble_planes(coef, qt, comp_qt, sof, mcw, mch)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                raise ValueError("stray restart between scans")
+            if pos + 4 > len(content):
+                raise ValueError("truncated segment")
+            (seglen,) = struct.unpack_from(">H", content, pos + 2)
+            nseg = content[pos + 4 : pos + 2 + seglen]
+            if len(nseg) != seglen - 2:
+                raise ValueError("truncated segment")
+            if marker == 0xC4:
+                if not _parse_dht(nseg, huff):
+                    raise ValueError("bad DHT")
+            elif marker == 0xDB:
+                if not _parse_dqt(nseg, qt):
+                    raise ValueError("bad DQT")
+            elif marker == 0xDD:
+                if seglen != 4:
+                    raise ValueError("bad DRI")
+                (restart_interval,) = struct.unpack_from(">H", nseg, 0)
+            elif marker == 0xDA:
+                seg = nseg
+                pos += 2 + seglen
+                break
+            elif 0xC0 <= marker <= 0xCF:
+                raise ValueError("second frame")
+            else:  # APPn / COM: skip
+                pass
+            pos += 2 + seglen
+
+
+# --- progressive encoder -----------------------------------------------
+
+
+def _sos_header(comps, ss, se, ah, al):
+    """comps: list of (comp_id, dc_tid, ac_tid)."""
+    payload = bytes([len(comps)])
+    for cid, td, ta in comps:
+        payload += bytes([cid, (td << 4) | ta])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _enc_prog_dc(seq, per_mcu, first, al, ri):
+    """Encode one DC scan over `seq` = (comp_index, q_coeffs) pairs in
+    scan order, `per_mcu` entries per MCU (restart/prediction unit)."""
+    bwr = _BitWriter()
+    prev: dict[int, int] = {}
+    rst = 0
+    n_mcus = len(seq) // per_mcu
+    for mi in range(n_mcus):
+        for ci, blk in seq[mi * per_mcu : (mi + 1) * per_mcu]:
+            if first:
+                v = blk[0] >> al  # DC point transform: arithmetic shift
+                diff = v - prev.get(ci, 0)
+                prev[ci] = v
+                s = _category(diff)
+                code, ln = _DC_ENC[s]
+                bwr.write(code, ln)
+                if s:
+                    bwr.write(_amplitude_bits(diff, s), s)
+            else:
+                bwr.write((blk[0] >> al) & 1, 1)
+        if ri and (mi + 1) % ri == 0 and mi + 1 < n_mcus:
+            bwr.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev = {}
+    return bwr.flush()
+
+
+def _enc_prog_ac_first(blocks, ss, se, al, ri):
+    """First AC pass of one band: run/size coding with EOBn runs over
+    all-zero (point-transformed) bands; AC point transform truncates
+    toward zero per G.1.2.1."""
+    bwr = _BitWriter()
+    eobrun = 0
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = _AC_PROG_ENC[nb << 4]
+            bwr.write(code, ln)
+            if nb:
+                bwr.write(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for i, blk in enumerate(blocks):
+        band = [
+            (v >> al if v >= 0 else -((-v) >> al))
+            for v in (blk[k] for k in range(ss, se + 1))
+        ]
+        nz = [j for j, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+        else:
+            flush_eob()
+            run = 0
+            for j in range(nz[-1] + 1):
+                v = band[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_PROG_ENC[0xF0]
+                    bwr.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                if s > 10:
+                    raise ValueError(
+                        f"AC coefficient {v} exceeds size-10 table"
+                    )
+                code, ln = _AC_PROG_ENC[(run << 4) | s]
+                bwr.write(code, ln)
+                bwr.write(_amplitude_bits(v, s), s)
+                run = 0
+            if nz[-1] < len(band) - 1:
+                eobrun = 1  # trailing zeros fold into an EOB run
+        if ri and (i + 1) % ri == 0 and i + 1 < len(blocks):
+            flush_eob()
+            bwr.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+    flush_eob()
+    return bwr.flush()
+
+
+def _enc_prog_ac_refine(blocks, ss, se, al, ri):
+    """Refinement AC pass (G.1.2.3): newly-significant coefficients
+    (|v|>>Al == 1) emit (run,1)+sign; history-nonzero ones emit one
+    buffered correction bit each, attached after the symbol that ends
+    their run (the interoperable libjpeg bit-ordering)."""
+    bwr = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits owned by the pending EOB run
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = _AC_PROG_ENC[nb << 4]
+            bwr.write(code, ln)
+            if nb:
+                bwr.write(eobrun - (1 << nb), nb)
+            for b in be:
+                bwr.write(b, 1)
+            be = []
+            eobrun = 0
+
+    for i, blk in enumerate(blocks):
+        absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+        eob_pos = -1  # last newly-significant position in this block
+        for j, t in enumerate(absv):
+            if t == 1:
+                eob_pos = j
+        run = 0
+        br: list[int] = []  # correction bits within the current run
+        for j, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and j <= eob_pos:
+                flush_eob()
+                code, ln = _AC_PROG_ENC[0xF0]
+                bwr.write(code, ln)
+                run -= 16
+                for b in br:
+                    bwr.write(b, 1)
+                br = []
+            if t > 1:  # nonzero history: buffer its correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()  # newly significant: (run, 1) + sign
+            code, ln = _AC_PROG_ENC[(run << 4) | 1]
+            bwr.write(code, ln)
+            bwr.write(1 if blk[ss + j] >= 0 else 0, 1)
+            for b in br:
+                bwr.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF or len(be) > 900:
+                flush_eob()
+        if ri and (i + 1) % ri == 0 and i + 1 < len(blocks):
+            flush_eob()
+            bwr.emit_marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+    flush_eob()
+    return bwr.flush()
+
+
+def _prog_headers(w_px, h_px, comps, quants, restart_interval):
+    """SOI..DHT prefix shared by the progressive encoders. `comps` is
+    [(comp_id, samp_byte, qtab_id)], `quants` {qtab_id: qvalue}."""
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    for tid, qv in sorted(quants.items()):
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+            + bytes([tid]) + bytes([qv] * 64)
+        )
+    sof = bytes([8]) + struct.pack(">HH", h_px, w_px) + bytes([len(comps)])
+    for cid, samp_byte, qtab in comps:
+        sof += bytes([cid, samp_byte, qtab])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS)
+    out += _dht_segment(1, 0, _AC_PROG_BITS, _AC_PROG_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_jpeg_progressive_blocks(
+    q_blocks: list[list[int]],
+    bw: int,
+    bh: int,
+    quant: int = JPEG_Q,
+    restart_interval: int = 0,
+) -> bytes:
+    """Write a complete PROGRESSIVE (SOF2) grayscale JFIF stream from
+    QUANTIZED zigzag coefficient blocks. Scan script: DC first (Al=1),
+    two spectral AC bands first (Al=1), then DC and AC refinement
+    passes down to Al=0 — full fidelity, every Annex-G coding mode on
+    the wire (EOBn runs, ZRL, sign bits, correction bits)."""
+    if len(q_blocks) != bw * bh:
+        raise ValueError("block count mismatch")
+    out = _prog_headers(
+        8 * bw, 8 * bh, [(1, 0x11, 0)], {0: quant}, restart_interval
+    )
+    ri = restart_interval
+    seq = [(0, blk) for blk in q_blocks]
+    out += _sos_header([(1, 0, 0)], 0, 0, 0, 1)
+    out += _enc_prog_dc(seq, 1, True, 1, ri)
+    for ss, se in _PROG_BANDS:
+        out += _sos_header([(1, 0, 0)], ss, se, 0, 1)
+        out += _enc_prog_ac_first(q_blocks, ss, se, 1, ri)
+    out += _sos_header([(1, 0, 0)], 0, 0, 1, 0)
+    out += _enc_prog_dc(seq, 1, False, 0, ri)
+    for ss, se in _PROG_BANDS:
+        out += _sos_header([(1, 0, 0)], ss, se, 1, 0)
+        out += _enc_prog_ac_refine(q_blocks, ss, se, 0, ri)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_color_blocks(
+    comp_blocks: list[list[list[int]]],
+    bw: int,
+    bh: int,
+    quant_y: int = JPEG_Q,
+    quant_c: int = JPEG_Q,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive YCbCr 4:4:4: one interleaved DC scan (+ refinement),
+    per-component AC band scans (+ refinements) — the standard
+    progressive scan shape real encoders emit."""
+    if len(comp_blocks) != 3 or any(
+        len(c) != bw * bh for c in comp_blocks
+    ):
+        raise ValueError("component block count mismatch")
+    out = _prog_headers(
+        8 * bw, 8 * bh,
+        [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)],
+        {0: quant_y, 1: quant_c}, restart_interval,
+    )
+    ri = restart_interval
+    all_ids = [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    seq = [
+        (ci, comp_blocks[ci][bi])
+        for bi in range(bw * bh)
+        for ci in range(3)
+    ]
+    out += _sos_header(all_ids, 0, 0, 0, 1)
+    out += _enc_prog_dc(seq, 3, True, 1, ri)
+    for ci in range(3):
+        for ss, se in _PROG_BANDS:
+            out += _sos_header([(ci + 1, 0, 0)], ss, se, 0, 1)
+            out += _enc_prog_ac_first(comp_blocks[ci], ss, se, 1, ri)
+    out += _sos_header(all_ids, 0, 0, 1, 0)
+    out += _enc_prog_dc(seq, 3, False, 0, ri)
+    for ci in range(3):
+        for ss, se in _PROG_BANDS:
+            out += _sos_header([(ci + 1, 0, 0)], ss, se, 1, 0)
+            out += _enc_prog_ac_refine(comp_blocks[ci], ss, se, 0, ri)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_420_blocks(
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    mcw: int,
+    mch: int,
+    quant_y: int = JPEG_Q,
+    quant_c: int = JPEG_Q,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive 4:2:0 — the dominant real-crawl configuration:
+    interleaved DC scans walk each 16x16 MCU's four Y blocks then the
+    chroma pair; AC scans are non-interleaved over each component's
+    OWN grid (full-resolution for Y, half for chroma)."""
+    if len(y_blocks) != 4 * mcw * mch or len(cb_blocks) != mcw * mch \
+            or len(cr_blocks) != mcw * mch:
+        raise ValueError("block count mismatch")
+    out = _prog_headers(
+        16 * mcw, 16 * mch,
+        [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)],
+        {0: quant_y, 1: quant_c}, restart_interval,
+    )
+    ri = restart_interval
+    all_ids = [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    bw2 = 2 * mcw
+    seq = []
+    for mi in range(mcw * mch):
+        my, mx = divmod(mi, mcw)
+        for ty in range(2):
+            for tx in range(2):
+                seq.append((0, y_blocks[(2 * my + ty) * bw2 + 2 * mx + tx]))
+        seq.append((1, cb_blocks[mi]))
+        seq.append((2, cr_blocks[mi]))
+    comps_blocks = [y_blocks, cb_blocks, cr_blocks]
+    out += _sos_header(all_ids, 0, 0, 0, 1)
+    out += _enc_prog_dc(seq, 6, True, 1, ri)
+    for ci in range(3):
+        for ss, se in _PROG_BANDS:
+            out += _sos_header([(ci + 1, 0, 0)], ss, se, 0, 1)
+            out += _enc_prog_ac_first(comps_blocks[ci], ss, se, 1, ri)
+    out += _sos_header(all_ids, 0, 0, 1, 0)
+    out += _enc_prog_dc(seq, 6, False, 0, ri)
+    for ci in range(3):
+        for ss, se in _PROG_BANDS:
+            out += _sos_header([(ci + 1, 0, 0)], ss, se, 1, 0)
+            out += _enc_prog_ac_refine(comps_blocks[ci], ss, se, 0, ri)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_prog_gray(
+    vals: list[int], bw: int, bh: int, restart_interval: int = 0
+) -> bytes:
+    """Per-block-SOLID progressive grayscale JPEG (the exactness trick
+    of `encode_jpeg_gray`, SOF2 edition): even values, uniform q=16,
+    DC-only blocks — decoded pixels are exactly the even-ified inputs
+    while the stream exercises the full multi-scan progressive path."""
+    return encode_jpeg_progressive_blocks(
+        _solid_blocks(vals), bw, bh, restart_interval=restart_interval
+    )

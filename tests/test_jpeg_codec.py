@@ -118,7 +118,9 @@ def test_strict_rejects():
     assert decode_jpeg(b"notajpeg") is None
     assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no scan
     assert decode_jpeg(good[:-4]) is None  # truncated entropy/EOI
-    # progressive (SOF2) is out of the declared baseline scope
+    # flipping SOF0->SOF2 makes a MALFORMED progressive stream (its
+    # single scan spans Ss=0..Se=63, illegal in progressive): the
+    # decoder must reject it, not misdecode it as either mode
     prog = bytearray(good)
     prog[good.find(b"\xff\xc0") + 1] = 0xC2
     assert decode_jpeg(bytes(prog)) is None
@@ -395,5 +397,251 @@ def test_property_random_blocks_round_trip_all_layouts():
             2, axis=1,
         )
         assert (m["cb"].reshape(16, 16) == cw).all()
+
+    run()
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — round 16
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_solid_blocks_round_trip_exact():
+    """Per-block-solid progressive stream (the oracle's exactness
+    pattern): six scans — DC first/refine, two AC bands first/refine —
+    must reconstruct the even-ified inputs bit-for-bit."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_prog_gray,
+    )
+
+    vals = [130, 2, 254, 128, 76, 200]
+    m = decode_jpeg(encode_jpeg_prog_gray(vals, 3, 2))
+    assert m is not None and m.get("progressive") is True
+    assert (m["width"], m["height"], m["n_blocks"]) == (24, 16, 6)
+    grid = m["luma"].reshape(16, 24)
+    for bi, v in enumerate(vals):
+        by, bx = bi // 3, bi % 3
+        assert (grid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                == (v & ~1)).all(), (bi, v)
+
+
+def test_progressive_arbitrary_coefficients_match_reference():
+    """Arbitrary coefficients through the full successive-approximation
+    script (DC Al=1→0, AC bands Al=1→0) must equal the straight IDCT —
+    pins point transforms, newly-significant placement, correction-bit
+    ordering, and EOBn runs, with and without restart markers."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_progressive_blocks,
+    )
+
+    rng = np.random.default_rng(19)
+    blocks = []
+    for _ in range(6):
+        blk = [0] * 64
+        blk[0] = int(rng.integers(-200, 200))
+        for _k in range(10):
+            blk[int(rng.integers(1, 64))] = int(rng.integers(-500, 500))
+        blocks.append(blk)
+    want = _reference_pixels(blocks, 3, 2, 5)
+    for ri in (0, 1, 2, 5):
+        content = encode_jpeg_progressive_blocks(
+            blocks, 3, 2, quant=5, restart_interval=ri
+        )
+        assert b"\xff\xc2" in content  # really SOF2
+        m = decode_jpeg(content)
+        assert m is not None, ri
+        assert (m["luma"].reshape(16, 24) == want).all(), ri
+    # tampered restart index must fail closed in progressive scans too
+    content = encode_jpeg_progressive_blocks(
+        blocks, 3, 2, quant=5, restart_interval=1
+    )
+    i = content.find(b"\xff\xd0", content.find(b"\xff\xda"))
+    assert i > 0
+    assert decode_jpeg(content[:i] + b"\xff\xd1" + content[i + 2 :]) is None
+
+
+def test_progressive_dense_small_amplitudes():
+    """Bands dense with +-1..+-3 values maximise the hard refinement
+    interleavings (newly-significant next to history-nonzero inside
+    ZRL spans and EOB tails)."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_progressive_blocks,
+    )
+
+    rng = np.random.default_rng(23)
+    for _trial in range(10):
+        blocks = []
+        for _ in range(4):
+            blk = [int(rng.integers(-3, 4)) for _ in range(64)]
+            blk[0] = int(rng.integers(-60, 60))
+            blocks.append(blk)
+        m = decode_jpeg(
+            encode_jpeg_progressive_blocks(blocks, 2, 2, quant=3)
+        )
+        assert m is not None
+        assert (
+            m["luma"].reshape(16, 16) == _reference_pixels(blocks, 2, 2, 3)
+        ).all()
+
+
+def test_progressive_long_eob_runs():
+    """An EOBn run spanning 38 all-zero high bands (needs extension
+    bits: 38 = 2^5 + 6) must skip exactly that many blocks."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_progressive_blocks,
+    )
+
+    blocks = [[0] * 64 for _ in range(40)]
+    blocks[0][0] = 10
+    blocks[0][5] = 7
+    blocks[39][63] = -3
+    m = decode_jpeg(encode_jpeg_progressive_blocks(blocks, 8, 5))
+    assert m is not None
+    assert (
+        m["luma"].reshape(40, 64) == _reference_pixels(blocks, 8, 5, JPEG_Q)
+    ).all()
+
+
+def test_progressive_color_444_and_420():
+    """Progressive color: interleaved DC scans (per-component
+    predictors over MCU order) + per-component AC band scans, in both
+    4:4:4 and the camera-standard 4:2:0 (chroma compared after
+    replicate-upsample)."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_progressive_420_blocks,
+        encode_jpeg_progressive_color_blocks,
+    )
+
+    rng = np.random.default_rng(29)
+
+    def rand_blocks(n):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            blk[0] = int(rng.integers(-120, 120))
+            for _k in range(5):
+                blk[int(rng.integers(1, 64))] = int(rng.integers(-200, 200))
+            out.append(blk)
+        return out
+
+    comp_blocks = [rand_blocks(6) for _ in range(3)]
+    m = decode_jpeg(
+        encode_jpeg_progressive_color_blocks(
+            comp_blocks, 3, 2, quant_y=4, quant_c=9, restart_interval=2
+        )
+    )
+    assert m is not None and m["n_components"] == 3
+    for ci, (plane, qv) in enumerate((("luma", 4), ("cb", 9), ("cr", 9))):
+        assert (
+            m[plane].reshape(16, 24)
+            == _reference_pixels(comp_blocks[ci], 3, 2, qv)
+        ).all(), plane
+
+    yb, cbb, crb = rand_blocks(16), rand_blocks(4), rand_blocks(4)
+    m = decode_jpeg(
+        encode_jpeg_progressive_420_blocks(
+            yb, cbb, crb, 2, 2, quant_y=6, quant_c=11, restart_interval=1
+        )
+    )
+    assert m is not None
+    assert (m["luma"].reshape(32, 32) == _reference_pixels(yb, 4, 4, 6)).all()
+    for plane, blocks in (("cb", cbb), ("cr", crb)):
+        want = np.repeat(
+            np.repeat(_reference_pixels(blocks, 2, 2, 11), 2, axis=0),
+            2, axis=1,
+        )
+        assert (m[plane].reshape(32, 32) == want).all(), plane
+
+
+def test_progressive_rejects_malformed_scans():
+    """Fail-closed pins: a progressive scan mixing DC and AC bands, an
+    interleaved AC scan, and a truncated stream all return None."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_prog_gray,
+    )
+
+    good = encode_jpeg_prog_gray([10, 20, 30, 40], 2, 2)
+    assert decode_jpeg(good) is not None
+    assert decode_jpeg(good[:-4]) is None  # truncated
+    # corrupt the first SOS's spectral selection: Ss=0,Se=63 in a
+    # progressive frame is the mixed-band error branch
+    sos = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos + 2 + 2 + 1 + 2 + 1] = 63  # Se byte of the DC scan header
+    assert decode_jpeg(bytes(bad)) is None
+
+
+def test_header_fill_bytes_and_tem_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad any marker and TEM (0xFF01)
+    is a standalone marker — both must parse, in baseline and
+    progressive headers (the round-15 ADVICE item)."""
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_prog_gray,
+    )
+
+    for enc in (lambda v: encode_jpeg_gray(v, 2, 2),
+                lambda v: encode_jpeg_prog_gray(v, 2, 2)):
+        good = enc([10, 200, 30, 64])
+        base = decode_jpeg(good)
+        assert base is not None
+        i = good.find(b"\xff\xdb")
+        filled = good[:i] + b"\xff\xff\xff" + good[i:]
+        m = decode_jpeg(filled)
+        assert m is not None and (m["luma"] == base["luma"]).all()
+        tem = good[:i] + b"\xff\x01" + good[i:]
+        m = decode_jpeg(tem)
+        assert m is not None and (m["luma"] == base["luma"]).all()
+        both = good[:i] + b"\xff\xff\x01" + good[i:]
+        m = decode_jpeg(both)
+        assert m is not None and (m["luma"] == base["luma"]).all()
+
+
+def test_property_random_blocks_round_trip_progressive():
+    """Property: ANY quantized coefficient pattern round-trips exactly
+    through the progressive scan script, in grayscale and 4:4:4."""
+    from hypothesis import given, settings, strategies as st
+
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_progressive_blocks,
+        encode_jpeg_progressive_color_blocks,
+    )
+
+    coeff = st.integers(min_value=-1023, max_value=1023)
+    pos = st.integers(min_value=1, max_value=63)
+
+    @st.composite
+    def block(draw):
+        blk = [0] * 64
+        blk[0] = draw(st.integers(min_value=-256, max_value=256))
+        for p, c in draw(
+            st.lists(st.tuples(pos, coeff), min_size=0, max_size=8)
+        ):
+            blk[p] = c
+        return blk
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        blocks=st.lists(block(), min_size=4, max_size=4),
+        quant=st.integers(min_value=1, max_value=32),
+        ri=st.sampled_from([0, 1, 3]),
+    )
+    def run(blocks, quant, ri):
+        want = _reference_pixels(blocks, 2, 2, quant)
+        m = decode_jpeg(
+            encode_jpeg_progressive_blocks(
+                blocks, 2, 2, quant=quant, restart_interval=ri
+            )
+        )
+        assert m is not None and m.get("progressive") is True
+        assert (m["luma"].reshape(16, 16) == want).all()
+        m = decode_jpeg(
+            encode_jpeg_progressive_color_blocks(
+                [blocks, blocks, blocks], 2, 2,
+                quant_y=quant, quant_c=quant, restart_interval=ri,
+            )
+        )
+        assert m is not None
+        for plane in ("luma", "cb", "cr"):
+            assert (m[plane].reshape(16, 16) == want).all(), plane
 
     run()
