@@ -12,9 +12,23 @@ exercises that exact path end-to-end with Spark's built-in
 2. `read_media_dir` ingests the directory with
    `spark.read.format("binaryFile")` (path, length, content columns;
    at cluster scale the source splits the listing across tasks and
-   prunes by `pathGlobFilter`), parses the asset id and modality from
-   the file name, and hands the SAME (asset_id, modality, content)
-   frame to the existing decode chain.
+   prunes by `pathGlobFilter`), verifies the `_SUCCESS.count`
+   sentinel against the actual landing before building the frame
+   (a partial landing raises instead of censusing a truncated
+   corpus), parses the asset id and modality from the file name, and
+   hands the SAME (asset_id, modality, content) frame to the existing
+   decode chain.
+
+The write side goes through a `MediaStore` seam (round-16, the
+round-15 verdict's #4 ask): the per-partition put loop is identical
+whether the target is a shared filesystem or an object store — only
+the store object changes. `LocalFSMediaStore` is the local[32] /
+NFS / mounted-bucket implementation; a production S3/GCS store
+implements the same four methods with its SDK client (constructed
+INSIDE `put`, once per task, since the store is pickled into the
+closure) and everything downstream — sentinel, census, oracle —
+is untouched. tests/test_binary_assets.py pins the seam by injecting
+a store that records its calls.
 
 The oracle never sees the files: `multimodal_binaryfile_census` must
 hash-match the same closed-form census as the in-flight pipeline
@@ -24,6 +38,7 @@ write→list→read→decode loop moves a count between groups.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,23 +46,75 @@ from pyspark.sql import functions as F
 
 _EXT = {"image": "bmp", "audio": "wav", "video": "gif"}
 _MOD_OF_EXT = {v: k for k, v in _EXT.items()}
+_SENTINEL = "_SUCCESS.count"
+
+
+def _is_media_name(name: str) -> bool:
+    return name.rsplit(".", 1)[-1] in _MOD_OF_EXT
+
+
+class LocalFSMediaStore:
+    """Landing-zone writer for a filesystem every task can reach
+    (local mode, NFS, a FUSE-mounted bucket). `put` runs on EXECUTORS
+    inside `foreachPartition`; the other methods are driver-side
+    bookkeeping. An object-store implementation replaces `put` with
+    an SDK upload (client built lazily per task) and `list_names` /
+    `wipe` with bucket listing/delete — same seam, no downstream
+    change."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    # -- executor side ----------------------------------------------
+    def put(self, name: str, payload: bytes) -> None:
+        path = os.path.join(self.root, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic publish, crash-safe
+
+    # -- driver side --------------------------------------------------
+    def prepare(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+
+    def list_names(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(os.listdir(self.root))
+
+    def wipe(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+        os.makedirs(self.root, exist_ok=True)
+
+    def uri(self) -> str:
+        """The URI `spark.read.format("binaryFile")` ingests from."""
+        return self.root
 
 
 def media_dir_for(sf_dir: str) -> str:
-    """Deterministic per-SF landing dir under /tmp (same inputs →
-    same files; repeated materializations overwrite idempotently)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/pu_media_landing_{tag}"
+    """Deterministic per-fixture landing dir under /tmp (same inputs →
+    same files; repeated materializations overwrite idempotently).
+    Keyed on basename + a short hash of the ABSOLUTE path, so two
+    fixture trees sharing a basename (or concurrent sessions on
+    different checkouts) can never share — and never wipe — each
+    other's landing."""
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = os.path.basename(norm) or "sf"
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:8]
+    return f"/tmp/pu_media_landing_{tag}_{digest}"
 
 
-def materialize_media_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write one real container file per document from the executors.
-
-    `foreachPartition` keeps the write distributed (each task writes
-    its partition's files; payloads never visit the driver) — in
-    production the `open()` becomes an object-store put with the same
-    per-partition loop. Idempotent: files are rewritten in place, and
-    a `_SUCCESS.count` sentinel records the expected file count so
+def materialize_media_dir(
+    spark: SparkSession, sf_dir: str, store=None
+) -> str:
+    """Write one real container file per document from the executors
+    through the `MediaStore` seam (default: `LocalFSMediaStore` at
+    `media_dir_for(sf_dir)`). `foreachPartition` keeps the write
+    distributed — each task puts its partition's files; payloads never
+    visit the driver. Idempotent: files are rewritten in place, and a
+    `_SUCCESS.count` sentinel records the expected file count so
     `read_media_dir` can detect a partial landing."""
     from parallelutilities_jl_spark.operators.multimodal import (
         synthesize_media_from_docs,
@@ -60,8 +127,9 @@ def materialize_media_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     ensure_package_on_executors(spark)
-    out_dir = media_dir_for(sf_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    if store is None:
+        store = LocalFSMediaStore(media_dir_for(sf_dir))
+    store.prepare()
     assets = synthesize_media_from_docs(
         load_table_parallel(spark, sf_dir, "documents")
     )
@@ -69,17 +137,10 @@ def materialize_media_dir(spark: SparkSession, sf_dir: str) -> str:
     def write_part(rows) -> None:
         for r in rows:
             ext = _EXT[r.modality]
-            path = os.path.join(out_dir, f"{r.asset_id}.{ext}")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(bytes(r.content))
-            os.replace(tmp, path)  # atomic publish, crash-safe
+            store.put(f"{r.asset_id}.{ext}", bytes(r.content))
 
     def media_file_count() -> int:
-        return sum(
-            1 for f in os.listdir(out_dir)
-            if f.rsplit(".", 1)[-1] in _MOD_OF_EXT
-        )
+        return sum(1 for f in store.list_names() if _is_media_name(f))
 
     n_expected = assets.count()
     assets.foreachPartition(write_part)
@@ -89,24 +150,36 @@ def materialize_media_dir(spark: SparkSession, sf_dir: str) -> str:
         # from empty rather than census phantom assets (deployment
         # landing zones are ground truth and never take this path; it
         # exists because this dir is DERIVED from the fixtures)
-        import shutil
-
-        shutil.rmtree(out_dir)
-        os.makedirs(out_dir, exist_ok=True)
+        store.wipe()
         assets.foreachPartition(write_part)
     n = media_file_count()
-    with open(os.path.join(out_dir, "_SUCCESS.count"), "w") as f:
-        f.write(str(n))
-    return out_dir
+    store.put(_SENTINEL, str(n).encode())
+    return store.uri()
 
 
 def read_media_dir(spark: SparkSession, landing_dir: str) -> DataFrame:
     """Ingest the landing dir with the built-in `binaryFile` source and
     recover (asset_id, modality, content) from the file names — the
-    frame every downstream decode operator already accepts. Scale
-    shape: the source parallelizes over files (one split per file up
-    to maxPartitionBytes), filters prune on path, and `content` stays
-    a binary column end to end."""
+    frame every downstream decode operator already accepts. Before
+    building the frame, the `_SUCCESS.count` sentinel (when present
+    and the landing is a locally listable directory) is checked
+    against the actual media-file count: a partial landing raises
+    rather than silently censusing a truncated corpus. Scale shape:
+    the source parallelizes over files (one split per file up to
+    maxPartitionBytes), filters prune on path, and `content` stays a
+    binary column end to end."""
+    sentinel = os.path.join(landing_dir, _SENTINEL)
+    if os.path.isdir(landing_dir) and os.path.exists(sentinel):
+        with open(sentinel) as f:
+            expected = int(f.read())
+        actual = sum(
+            1 for f in os.listdir(landing_dir) if _is_media_name(f)
+        )
+        if actual != expected:
+            raise ValueError(
+                f"partial media landing at {landing_dir}: sentinel "
+                f"promises {expected} files, found {actual}"
+            )
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{bmp,wav,gif}")

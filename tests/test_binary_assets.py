@@ -60,3 +60,89 @@ def test_materialize_reclaims_stale_files(spark, sf_dir):
         n = int(f.read())
     got = read_media_dir(spark, landing).count()
     assert got == n
+
+
+def test_landing_dir_keys_on_absolute_path():
+    """Two fixture trees sharing a basename must get DISTINCT landing
+    dirs (the round-15 ADVICE hazard: one run's stale-rebuild rmtree
+    destroying another's files mid-census)."""
+    a = media_dir_for("/root/testdata/sf0.001")
+    b = media_dir_for("/some/other/checkout/sf0.001")
+    assert a != b
+    assert a == media_dir_for("/root/testdata/sf0.001")  # deterministic
+    # and relative/absolute spellings of the SAME dir agree
+    import os
+
+    cwd = os.getcwd()
+    try:
+        os.chdir("/root/testdata")
+        assert media_dir_for("sf0.001") == a
+    finally:
+        os.chdir(cwd)
+
+
+def test_partial_landing_raises(spark, sf_dir):
+    """read_media_dir must refuse a landing whose file census does not
+    match the _SUCCESS.count sentinel — a truncated corpus is an error,
+    not a smaller census."""
+    import pytest
+
+    landing = materialize_media_dir(spark, sf_dir)
+    victim = next(
+        f for f in os.listdir(landing) if f.endswith((".bmp", ".wav", ".gif"))
+    )
+    os.remove(os.path.join(landing, victim))
+    with pytest.raises(ValueError, match="partial media landing"):
+        read_media_dir(spark, landing)
+    # re-materializing heals the landing and the read succeeds again
+    materialize_media_dir(spark, sf_dir)
+    assert read_media_dir(spark, landing).count() > 0
+
+
+def test_media_store_seam_is_honored(spark, sf_dir):
+    """Injecting a MediaStore reroutes every write — file puts AND the
+    sentinel — through the store object, and the binaryFile census over
+    the store's target matches the default path's. This is the
+    object-store hook: a production S3 store swaps in here with zero
+    changes downstream."""
+    from parallelutilities_jl_spark.sources.binary_assets import (
+        LocalFSMediaStore,
+    )
+
+    class RecordingStore(LocalFSMediaStore):
+        """LocalFS store that also journals driver-side lifecycle calls
+        (put runs on executors in other processes, so the journal
+        covers the driver-side seam; the puts themselves are proven by
+        the files landing under the injected root)."""
+
+        def __init__(self, root: str) -> None:
+            super().__init__(root)
+            self.calls: list[str] = []
+
+        def prepare(self) -> None:
+            self.calls.append("prepare")
+            super().prepare()
+
+        def list_names(self) -> list[str]:
+            self.calls.append("list")
+            return super().list_names()
+
+    root = media_dir_for(sf_dir) + "_injected"
+    store = RecordingStore(root)
+    landing = materialize_media_dir(spark, sf_dir, store=store)
+    assert landing == root
+    assert "prepare" in store.calls and "list" in store.calls
+    assert os.path.exists(os.path.join(root, "_SUCCESS.count"))
+    default = materialize_media_dir(spark, sf_dir)
+    got = sorted(
+        (r.asset_id, r.modality, bytes(r.content))
+        for r in read_media_dir(spark, landing).collect()
+    )
+    want = sorted(
+        (r.asset_id, r.modality, bytes(r.content))
+        for r in read_media_dir(spark, default).collect()
+    )
+    assert got == want and len(got) >= 3
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
