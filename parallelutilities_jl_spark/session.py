@@ -218,14 +218,26 @@ def block_scope(spark: SparkSession):
     "evicted": n_cache_entries_dropped}."""
     jsc = spark.sparkContext._jsc
     before = {int(k) for k in jsc.getPersistentRDDs().keys()}
-    cache_snapshot = [(c, set(c.keys())) for c in _SCOPED_CACHES]
+    # snapshot (key, id(value)): an entry OVERWRITTEN under a
+    # pre-existing key during the scope must be evicted too — its new
+    # checkpoint blocks are about to be unpersisted, and keeping the
+    # handle would leave a dangling truncated-lineage frame (the
+    # check-then-return memoizers never overwrite today; this enforces
+    # the invariant rather than assuming it)
+    cache_snapshot = [
+        (c, {k: id(v) for k, v in c.items()}) for c in _SCOPED_CACHES
+    ]
     stats: dict[str, int] = {}
     try:
         yield stats
     finally:
         evicted = 0
         for cache, had in cache_snapshot:
-            for k in [k for k in cache if k not in had]:
+            stale = [
+                k for k in cache
+                if k not in had or id(cache[k]) != had[k]
+            ]
+            for k in stale:
                 cache.pop(k, None)
                 evicted += 1
         released = 0

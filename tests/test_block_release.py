@@ -161,3 +161,26 @@ def test_every_module_cache_dict_is_registered():
     for _m, _n, d in found:
         d.pop("__lint_sentinel__", None)
     assert not uncleared, f"caches not cleared by any cleaner: {uncleared}"
+
+
+def test_block_scope_evicts_overwritten_entries(spark):
+    """Round-15 ADVICE: an entry OVERWRITTEN under a pre-existing key
+    during the scope must be evicted on exit (its replacement's blocks
+    are unpersisted; a surviving handle would dangle), while untouched
+    pre-existing entries survive. Pinned with a synthetic registered
+    cache so the invariant is enforced even though today's
+    check-then-return memoizers never overwrite."""
+    from parallelutilities_jl_spark import session as sess
+
+    cache: dict = {"keep": object(), "clobber": object()}
+    sess._SCOPED_CACHES.append(cache)
+    try:
+        with sess.block_scope(spark) as stats:
+            cache["clobber"] = object()  # overwrite under existing key
+            cache["fresh"] = object()  # plain scope-added entry
+        assert stats["evicted"] >= 2
+        assert "keep" in cache  # untouched pre-existing entry survives
+        assert "clobber" not in cache  # overwritten: evicted
+        assert "fresh" not in cache  # scope-added: evicted
+    finally:
+        sess._SCOPED_CACHES.remove(cache)
