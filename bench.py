@@ -224,6 +224,9 @@ LATE_ADDITIONS = [
     # round-16: the progressive (SOF2) JPEG round trip — multi-scan
     # spectral-selection + successive-approximation decode
     "multimodal_jpeg_prog_decode",
+    # round-16: the G.711 mu-law/A-law round trip — the second real
+    # audio codec family on the WAV container path
+    "multimodal_g711_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -129,38 +129,120 @@ def _wav_pcm16(content: bytes):
     )
 
 
+# --- G.711 companding (round-16: second real audio codec family) -----
+# The telephony-standard 8-bit log-PCM encodings WAVE carries as
+# audio_format 7 (mu-law) and 6 (A-law). Expansion follows ITU-T G.711
+# exactly (the classic CCITT reference arithmetic): pure integer
+# closed forms a SQL oracle can replay per byte.
+
+
+def _mulaw_expand_byte(b: int) -> int:
+    """mu-law byte -> linear sample (full-scale 16-bit range, max
+    |32124|). Stored complemented per the spec."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _alaw_expand_byte(b: int) -> int:
+    """A-law byte -> linear sample (max |32256|). Stored with the
+    even-bit 0x55 inversion per the spec; sign bit SET means
+    positive."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def _mulaw_compress(x: int) -> int:
+    """Linear sample -> mu-law byte: exact inverse of
+    `_mulaw_expand_byte` on its quantization lattice (pinned for all
+    256 bytes in tests), truncating quantizer off-lattice."""
+    sign = 0x00 if x >= 0 else 0x80
+    t = min((x if x >= 0 else -x) + 0x84, 252 << 7)
+    exp = min(7, max(0, t.bit_length() - 8))
+    mant = max(0, min(15, ((t >> exp) - 0x84) >> 3))
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def _alaw_compress(x: int) -> int:
+    """Linear sample -> A-law byte: exact inverse of
+    `_alaw_expand_byte` on its lattice."""
+    sign = 0x80 if x > 0 else 0x00
+    t = min(x if x > 0 else -x, 504 << 6)
+    if t < 256:
+        seg = 0
+        mant = max(0, (t - 8) >> 4)
+    else:
+        seg = min(7, t.bit_length() - 8)
+        mant = max(0, min(15, ((t >> (seg - 1)) - 0x108) >> 4))
+    return (sign | (seg << 4) | mant) ^ 0x55
+
+
+_ULAW_TABLE = [_mulaw_expand_byte(b) for b in range(256)]
+_ALAW_TABLE = [_alaw_expand_byte(b) for b in range(256)]
+
+
+def _g711_expand(data: bytes, law: str):
+    """Vectorized expansion of a companded byte stream to linear
+    int32 samples (one table gather per Arrow batch)."""
+    import numpy as np
+
+    table = np.asarray(
+        _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE, dtype=np.int32
+    )
+    return table[np.frombuffer(data, dtype=np.uint8)]
+
+
 def _decode_wav(content: bytes) -> dict | None:
-    """REAL decoder for RIFF/WAVE PCM: strict header parse + chunk walk
-    + PCM16 sample stats, pure stdlib/numpy — no external codec needed
-    (the reason WAV retires the stub while MP4 keeps it). Returns
-    None unless `content` is a structurally valid PCM WAV (RIFF magic,
-    WAVE form, a 16-byte `fmt ` chunk with audio_format=1, then a
-    `data` chunk — spec order enforced, first chunk of each kind wins,
-    and the walk STOPS at the data chunk so duplicate chunks or
-    trailing RIFF-shaped bytes can't rewrite the stats), so the
-    dispatch in `decode_assets` can never misroute non-WAV bytes here.
+    """REAL decoder for RIFF/WAVE: strict header parse + chunk walk
+    + sample stats, pure stdlib/numpy — no external codec needed
+    (the reason WAV retires the stub while MP4 keeps it). Handles
+    linear PCM (audio_format=1) and the G.711 log-PCM pair — mu-law
+    (7) and A-law (6), expanded to linear through the ITU tables.
+    Returns None unless `content` is a structurally valid WAV (RIFF
+    magic, WAVE form, a 16-byte `fmt ` chunk with a supported
+    audio_format, then a `data` chunk — spec order enforced, first
+    chunk of each kind wins, and the walk STOPS at the data chunk so
+    duplicate chunks or trailing RIFF-shaped bytes can't rewrite the
+    stats), so the dispatch in `decode_assets` can never misroute
+    non-WAV bytes here.
 
     Returned fields: sample_rate / n_channels / bits straight from the
     fmt chunk; n_frames = data_size // block_align (the header math);
-    peak_abs = max |sample| over the PCM16 data (little-endian by
-    spec — explicit '<i2' dtype, widened to int32 so |−32768| doesn't
-    overflow), None when there are no whole samples."""
+    peak_abs = max |sample| over the decoded data (PCM16:
+    little-endian '<i2', widened to int32 so |−32768| doesn't
+    overflow; G.711: over the expanded linear samples), None when
+    there are no whole samples."""
     fd = _wav_fmt_data(content)
     if fd is None:
         return None
     fmt, data = fd
     audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1 or block_align == 0:  # PCM only
+    if audio_format not in (1, 6, 7) or block_align == 0:
         return None
+    if audio_format in (6, 7) and bits != 8:
+        return None  # G.711 is 8-bit by definition
     n_frames = len(data) // block_align
     peak_abs = None
-    if bits == 16 and len(data) >= 2:
+    if audio_format == 1 and bits == 16 and len(data) >= 2:
         import numpy as np
 
         samples = np.frombuffer(
             data[: len(data) - (len(data) % 2)], dtype="<i2"
         )
         peak_abs = int(np.abs(samples.astype(np.int32)).max())
+    elif audio_format in (6, 7) and len(data) >= 1:
+        import numpy as np
+
+        law = "alaw" if audio_format == 6 else "ulaw"
+        peak_abs = int(np.abs(_g711_expand(data, law)).max())
     return {
         "sample_rate": int(sample_rate),
         "n_channels": int(n_channels),
@@ -168,6 +250,22 @@ def _decode_wav(content: bytes) -> dict | None:
         "n_frames": int(n_frames),
         "peak_abs": peak_abs,
     }
+
+
+def _g711_samples(content: bytes):
+    """Sample extraction for mono G.711 WAV: (linear int32 samples,
+    law) or None if the container is invalid or not mono 8-bit
+    G.711 — the decode layer under `multimodal_g711_decode`."""
+    fd = _wav_fmt_data(content)
+    if fd is None:
+        return None
+    fmt, data = fd
+    audio_format, n_ch, _sr, _br, block_align, bits = fmt
+    if audio_format not in (6, 7) or bits != 8 or n_ch != 1 \
+            or block_align != 1:
+        return None
+    law = "alaw" if audio_format == 6 else "ulaw"
+    return _g711_expand(data, law), law
 
 
 def _decode_stub(content: bytes, modality: str) -> dict:
@@ -479,6 +577,178 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(decode, out_schema)
+
+
+def _g711_wav_container_bytes(doc_id: int, text: str) -> bytes:
+    """REAL RIFF/WAVE G.711 container for one document: mono 8-bit,
+    8 kHz (the telephony standard), audio_format 7 (mu-law, even
+    doc_id) or 6 (A-law, odd), data chunk = first `WAV_DATA_CAP`
+    UTF-8 bytes of the text AS the companded stream (the G.711
+    edition of the exactness trick: the stored bytes are the
+    subject, and the oracle replays the ITU expansion per byte).
+    Odd-length data gets the RIFF word-alignment pad byte (outside
+    the chunk size, per spec)."""
+    import struct
+
+    law = 7 if doc_id % 2 == 0 else 6
+    raw = text.encode("utf-8")[:WAV_DATA_CAP]
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(raw) + (len(raw) % 2))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, law, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(raw))
+    )
+    return hdr + raw + (b"\x00" if len(raw) % 2 else b"")
+
+
+def q_multimodal_g711_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second REAL audio codec family (round-16, the round-15
+    verdict's #6 ask): G.711 mu-law and A-law WAV — the 8-bit log-PCM
+    telephony encodings — through a genuine encode→decode round trip.
+    Each document synthesizes a conformant container (mu-law for even
+    doc_ids, A-law for odd; companded stream = the text's UTF-8
+    bytes), `_decode_wav` parses the header and `_g711_samples`
+    expands every byte to linear PCM through the ITU tables; the query
+    emits exact integer stats (peak, sum, energy) over the EXPANDED
+    samples. The oracle replays the full G.711 expansion arithmetic
+    per byte in SQL — a wrong complement, segment shift, or sign
+    convention in either law hash-mismatches. Scale shape: two chained
+    mapInPandas passes, zero shuffles; the expansion is one 256-entry
+    table gather per Arrow batch."""
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "content": [
+                        _g711_wav_container_bytes(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, content binary")
+
+    out_schema = (
+        "asset_id long, law string, n_bytes long, sample_rate int, "
+        "n_frames int, peak_abs int, sample_sum long, energy_sum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "law", "n_bytes", "sample_rate", "n_frames",
+                "peak_abs", "sample_sum", "energy_sum",
+            )}
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                c = bytes(c)
+                m = _decode_wav(c)
+                g = _g711_samples(c)
+                if m is None or g is None or m["bits"] != 8:
+                    raise ValueError(
+                        f"invalid G.711 payload for asset {aid}"
+                    )
+                s, law = g
+                s64 = s.astype("int64")
+                empty = len(s) == 0
+                rows["law"].append(law)
+                rows["n_bytes"].append(len(c))
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["n_frames"].append(m["n_frames"])
+                rows["peak_abs"].append(
+                    None if empty else int(abs(s64).max())
+                )
+                rows["sample_sum"].append(
+                    None if empty else int(s64.sum())
+                )
+                rows["energy_sum"].append(
+                    None if empty else int((s64 * s64).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "law": rows["law"],
+                    "n_bytes": rows["n_bytes"],
+                    "sample_rate": pd.array(
+                        rows["sample_rate"], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int32"),
+                    "peak_abs": pd.array(rows["peak_abs"], dtype="Int32"),
+                    "sample_sum": pd.array(
+                        rows["sample_sum"], dtype="Int64"
+                    ),
+                    "energy_sum": pd.array(
+                        rows["energy_sum"], dtype="Int64"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(decode, out_schema)
+
+
+def _oracle_g711_decode() -> str:
+    """Closed-form replay of the G.711 round trip: every companded
+    byte comes from the text's UTF-8 hex; the expansion is the exact
+    ITU arithmetic — mu-law (complement, bias-132 mantissa shift,
+    sign from bit 7 of the complemented byte) for even asset_ids,
+    A-law (0x55 inversion, segment-0/1 special cases, sign bit SET
+    means positive) for odd."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS hx,
+         LEAST(octet_length(encode(text)), {WAV_DATA_CAP}) AS rawlen
+  FROM documents WHERE text IS NOT NULL),
+bytes AS (
+  SELECT b.asset_id,
+         ('0x' || substring(b.hx, 2 * t.i - 1, 2))::INT AS by
+  FROM base b, range(1, {WAV_DATA_CAP} + 1) t(i) WHERE t.i <= b.rawlen),
+expanded AS (
+  SELECT asset_id,
+         CASE WHEN asset_id % 2 = 0 THEN
+           CASE WHEN (((255 - by) & 128) != 0)
+                THEN 132 - (((((255 - by) & 15) << 3) + 132)
+                            << (((255 - by) >> 4) & 7))
+                ELSE (((((255 - by) & 15) << 3) + 132)
+                      << (((255 - by) >> 4) & 7)) - 132 END
+         ELSE
+           (CASE WHEN ((xor(by, 85) & 128) != 0) THEN 1 ELSE -1 END) *
+           (CASE WHEN ((xor(by, 85) >> 4) & 7) = 0
+                 THEN ((xor(by, 85) & 15) << 4) + 8
+                 WHEN ((xor(by, 85) >> 4) & 7) = 1
+                 THEN ((xor(by, 85) & 15) << 4) + 264
+                 ELSE (((xor(by, 85) & 15) << 4) + 264)
+                      << (((xor(by, 85) >> 4) & 7) - 1) END)
+         END AS s
+  FROM bytes),
+agg AS (
+  SELECT asset_id, MAX(ABS(s)) AS peak_abs, SUM(s) AS sample_sum,
+         SUM(s * s) AS energy_sum
+  FROM expanded GROUP BY asset_id)
+SELECT b.asset_id,
+       CASE WHEN b.asset_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(44 + b.rawlen + b.rawlen % 2 AS BIGINT) AS n_bytes,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(b.rawlen AS INT) AS n_frames,
+       CAST(a.peak_abs AS INT) AS peak_abs,
+       CAST(a.sample_sum AS BIGINT) AS sample_sum,
+       CAST(a.energy_sum AS BIGINT) AS energy_sum
+FROM base b LEFT JOIN agg a USING (asset_id)
+"""
 
 
 # energy envelope geometry: the PCM stream splits into this many
@@ -3351,6 +3621,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_shard_manifest": q_multimodal_shard_manifest,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_g711_decode": q_multimodal_g711_decode,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_bmp_resize": q_multimodal_bmp_resize,
@@ -3379,6 +3650,7 @@ ORACLES["multimodal_bmp_resize"] = _oracle_bmp_resize()
 ORACLES["multimodal_decode_census"] = _oracle_decode_census()
 ORACLES["multimodal_gif_decode"] = _oracle_gif()
 ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
+ORACLES["multimodal_g711_decode"] = _oracle_g711_decode()
 ORACLES["multimodal_jpeg_decode"] = _oracle_jpeg_decode()
 # the progressive round trip must land on the SAME pixels as the
 # baseline one — identical closed-form oracle, different wire format
