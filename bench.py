@@ -230,6 +230,22 @@ LATE_ADDITIONS = [
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 
+# Round-16 (verdict item 5): FULL-roster coverage. Every registered
+# qname not in the curated headline set above is measured too — at ONE
+# rep after the warm run (they are sub-second relational/plans/window
+# heads; a median would cost 5x for little signal) — so a plan
+# regression in an un-benched head can no longer land silently.
+# Cheap-tier heads are excluded from the headline total and the
+# r06-common like-for-like totals; they appear in the queries map and
+# BENCH_DETAIL.json (median/spread/canary_before) and are gated per
+# head against BENCH_ACCEPTED like everything else.
+CHEAP_REPS = 1
+
+
+def _cheap_tier(registered) -> list[str]:
+    head = set(HEADLINE)
+    return sorted(q for q in registered if q not in head)
+
 
 # Cross-boot throughput canary (round-10 verdict task 7): this rig's
 # wall clocks drift ~15% between boots with identical code, so the
@@ -266,15 +282,17 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     global HEADLINE
+    qs = entrymod.queries()
+    cheap = _cheap_tier(qs)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         # selective run for profiling / contract smoke tests; the driver
         # never sets this, so its per-round numbers stay the full set
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         HEADLINE = [q for q in HEADLINE if q in wanted]
+        cheap = [q for q in cheap if q in wanted]
 
     spark = get_spark(app_name="pu_bench")
-    qs = entrymod.queries()
     # warmup: JVM + parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -295,10 +313,12 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     canary_before: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    headline_set = set(HEADLINE)
+    for name in HEADLINE + cheap:
         fn = qs.get(name)
         if fn is None:
             continue
+        n_reps = REPS if name in headline_set else min(REPS, CHEAP_REPS)
         # isolate: drop EVERYTHING left by EARLIER queries so each entry
         # is measured from its own state only (its warm run below
         # re-creates any cache the query itself maintains — the
@@ -330,7 +350,7 @@ def main() -> None:
         # (BASELINE.md: "timings after precompilation")
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         reps: list[float] = []
-        for _ in range(REPS):
+        for _ in range(n_reps):
             # GC between reps too, not only between queries: an
             # allocation-heavy query's own earlier reps otherwise leave
             # garbage whose collection lands mid-rep — the residual
@@ -347,7 +367,8 @@ def main() -> None:
         dt = round(statistics.median(reps), 3)
         timings[name] = dt
         spread[name] = [min(reps), max(reps)]
-        total += dt
+        if name in headline_set:
+            total += dt
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -356,7 +377,13 @@ def main() -> None:
     # Full detail — including per-query [min, max] spread — goes to a
     # committed artifact so round-over-round comparison never needs
     # forensic reconstruction of a truncated line.
-    common = {n: t for n, t in timings.items() if n not in LATE_ADDITIONS}
+    common = {
+        n: t for n, t in timings.items()
+        if n in headline_set and n not in LATE_ADDITIONS
+    }
+    cheap_total = round(
+        sum(t for n, t in timings.items() if n not in headline_set), 3
+    )
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -377,6 +404,11 @@ def main() -> None:
             if canary
             else None
         ),
+        # full-roster cheap tier (round-16): single-rep walls for every
+        # registered head outside the curated set — coverage, not a
+        # trend total (excluded from value/r06_common_total)
+        "cheap_tier_n": sum(1 for n in timings if n not in headline_set),
+        "cheap_tier_total": cheap_total,
     }
     print(json.dumps(summary))
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or (
