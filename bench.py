@@ -227,6 +227,9 @@ LATE_ADDITIONS = [
     # round-16: the G.711 mu-law/A-law round trip — the second real
     # audio codec family on the WAV container path
     "multimodal_g711_decode",
+    # round-16: the real MP4/ISO-BMFF container metadata probe (frame
+    # decode stays honestly stubbed; the box walk is fully real)
+    "multimodal_mp4_probe",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -275,9 +275,10 @@ def _decode_stub(content: bytes, modality: str) -> dict:
     4:4:4 / 4:2:0 AND progressive SOF2 (`jpeg.decode_jpeg`) — all have
     REAL pure-stdlib/numpy decoders that `decode_assets` dispatches to
     by modality + container sniff; only rows whose bytes fail their
-    modality's strict parses land here (e.g. MP4, which genuinely
-    needs external libraries not in this container). Deterministic
-    fake: metadata
+    modality's strict parses land here (e.g. MP4 frame decode, which
+    genuinely needs external codec libraries not in this container —
+    the MP4 CONTAINER walk itself is real, see operators/mp4.py and
+    `multimodal_mp4_probe`). Deterministic fake: metadata
     derived from the byte stream so tests are reproducible. Replace
     with the real external decoder in deployment."""
     if modality not in ("image", "audio", "video"):
@@ -748,6 +749,138 @@ SELECT b.asset_id,
        CAST(a.sample_sum AS BIGINT) AS sample_sum,
        CAST(a.energy_sum AS BIGINT) AS energy_sum
 FROM base b LEFT JOIN agg a USING (asset_id)
+"""
+
+
+# MP4 probe geometry: samples per file capped (stsz entries = the
+# text's UTF-8 byte values, so the oracle replays byte totals from
+# hex), dims from a closed-form per-doc algebra
+MP4_SAMPLE_CAP = 64
+
+
+def q_multimodal_mp4_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL MP4/ISO-BMFF container metadata extraction (round-16): the
+    ffprobe-shaped path a video crawl runs per file — frame DECODE
+    stays honestly stubbed (H.264 needs external codecs), but the
+    container walk is pure size/type framing and fully real
+    (operators/mp4.py). Each document synthesizes a structurally valid
+    single-video-track MP4 (ftyp, mdat, full moov chain with real
+    chunk offsets; per-sample stsz sizes = the text's UTF-8 byte
+    values, dims from a closed-form algebra) and `probe_mp4` walks the
+    box tree back: brand, mvhd timescale/duration, track census, tkhd
+    16.16-fixed dimensions, exact stsz byte totals, mdat payload size.
+    The oracle replays every field from the parquet inputs — a wrong
+    box offset, fixed-point shift, or stsz summation hash-mismatches.
+    Scale shape: two chained mapInPandas passes, zero shuffles."""
+    from parallelutilities_jl_spark.operators.mp4 import (
+        MP4_SAMPLE_DELTA,
+        MP4_TIMESCALE,
+        encode_mp4,
+        probe_mp4,
+    )
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                sizes = list(t.encode("utf-8")[:MP4_SAMPLE_CAP])
+                contents.append(
+                    encode_mp4(
+                        sizes,
+                        16 * (1 + i % 4),
+                        16 * (1 + (i // 4) % 3),
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, content binary")
+
+    out_schema = (
+        "asset_id long, brand string, timescale int, duration long, "
+        "n_tracks int, width int, height int, n_samples int, "
+        "media_bytes long, mdat_bytes long"
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [probe_mp4(bytes(c)) for c in pdf["content"]]
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None:
+                    raise ValueError(
+                        f"invalid MP4 payload for asset {aid}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "brand": [m["brand"] for m in metas],
+                    "timescale": pd.array(
+                        [m["timescale"] for m in metas], dtype="Int32"
+                    ),
+                    "duration": [m["duration"] for m in metas],
+                    "n_tracks": pd.array(
+                        [m["n_tracks"] for m in metas], dtype="Int32"
+                    ),
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [m["n_samples"] for m in metas], dtype="Int32"
+                    ),
+                    "media_bytes": [m["media_bytes"] for m in metas],
+                    "mdat_bytes": [m["mdat_bytes"] for m in metas],
+                }
+            )
+
+    return assets.mapInPandas(probe, out_schema)
+
+
+def _oracle_mp4_probe() -> str:
+    """Closed-form replay of the MP4 probe: sample count and byte
+    totals from the UTF-8 hex (stsz entries ARE the byte values),
+    duration = count x sample delta, dims from the doc_id algebra."""
+    from parallelutilities_jl_spark.operators.mp4 import (
+        MP4_SAMPLE_DELTA,
+        MP4_TIMESCALE,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS hx,
+         LEAST(octet_length(encode(text)), {MP4_SAMPLE_CAP}) AS n
+  FROM documents WHERE text IS NOT NULL),
+sz AS (
+  SELECT b.asset_id,
+         SUM(('0x' || substring(b.hx, 2 * t.i - 1, 2))::INT) AS total
+  FROM base b, range(1, {MP4_SAMPLE_CAP} + 1) t(i) WHERE t.i <= b.n
+  GROUP BY b.asset_id)
+SELECT b.asset_id,
+       'isom' AS brand,
+       CAST({MP4_TIMESCALE} AS INT) AS timescale,
+       CAST(b.n * {MP4_SAMPLE_DELTA} AS BIGINT) AS duration,
+       CAST(1 AS INT) AS n_tracks,
+       CAST(16 * (1 + b.asset_id % 4) AS INT) AS width,
+       CAST(16 * (1 + (b.asset_id // 4) % 3) AS INT) AS height,
+       CAST(b.n AS INT) AS n_samples,
+       CAST(COALESCE(s.total, 0) AS BIGINT) AS media_bytes,
+       CAST(COALESCE(s.total, 0) AS BIGINT) AS mdat_bytes
+FROM base b LEFT JOIN sz s USING (asset_id)
 """
 
 
@@ -3622,6 +3755,7 @@ QUERIES = {
     "multimodal_shard_manifest": q_multimodal_shard_manifest,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_g711_decode": q_multimodal_g711_decode,
+    "multimodal_mp4_probe": q_multimodal_mp4_probe,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_bmp_resize": q_multimodal_bmp_resize,
@@ -3651,6 +3785,7 @@ ORACLES["multimodal_decode_census"] = _oracle_decode_census()
 ORACLES["multimodal_gif_decode"] = _oracle_gif()
 ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
 ORACLES["multimodal_g711_decode"] = _oracle_g711_decode()
+ORACLES["multimodal_mp4_probe"] = _oracle_mp4_probe()
 ORACLES["multimodal_jpeg_decode"] = _oracle_jpeg_decode()
 # the progressive round trip must land on the SAME pixels as the
 # baseline one — identical closed-form oracle, different wire format
