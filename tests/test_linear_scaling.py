@@ -63,3 +63,29 @@ def test_dedup_scales_linearly(spark, fn, data_ratio, max_ratio):
         f"(ratio {ratio:.1f}x for {data_ratio}x data; bound {max_ratio}x). "
         "Super-linear blowup — check for an uncapped bucket or all-pairs join."
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "multimodal_jpeg_prog_decode",
+        "multimodal_g711_decode",
+        "multimodal_mp4_probe",
+    ],
+)
+def test_new_decode_heads_scale_linearly(spark, qname):
+    """Round-16 codec heads: per-doc mapInPandas chains must stay
+    ~linear in documents (10x rows sf0.01 -> sf0.1; the loose 35x
+    bound only trips a driver-side collect or quadratic creep)."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[qname]
+    _timed(fn, spark, SF_SMALL)  # warm
+    t_small = _timed(fn, spark, SF_SMALL)
+    t_big = _timed(fn, spark, SF_BIG)
+    ratio = t_big / max(t_small, 0.1)
+    assert ratio <= 35.0, (
+        f"{qname}: {t_small:.2f}s @ sf0.01 -> {t_big:.2f}s @ sf0.1 "
+        f"(ratio {ratio:.1f}x for 10x docs)"
+    )
