@@ -189,6 +189,20 @@ def test_decode_assets_routes_image_jpeg():
     assert _decode_bmp(content) is None and _decode_png(content) is None
     m = decode_jpeg(content)
     assert (m["width"], m["height"]) == (24, 16)
+    # progressive streams route through the same chain (round-16: the
+    # crawl's ~10-20% SOF2 files get real dims, not the stub's)
+    from parallelutilities_jl_spark.operators.jpeg import (
+        encode_jpeg_prog_gray,
+    )
+    from parallelutilities_jl_spark.operators.multimodal import (
+        _decode_image_any,
+    )
+
+    prog = encode_jpeg_prog_gray([10, 200, 30, 64, 90, 128], 3, 2)
+    assert _decode_bmp(prog) is None and _decode_png(prog) is None
+    m = _decode_image_any(prog)
+    assert m is not None and m.get("progressive") is True
+    assert (m["width"], m["height"]) == (24, 16)
 
 
 def test_color_solid_planes_round_trip_exact():
