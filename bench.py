@@ -230,6 +230,9 @@ LATE_ADDITIONS = [
     # round-16: the real MP4/ISO-BMFF container metadata probe (frame
     # decode stays honestly stubbed; the box walk is fully real)
     "multimodal_mp4_probe",
+    # round-16: the real FLAC round trip — CRC-verified frames,
+    # FIXED-predictor subframes with partitioned-Rice residuals
+    "multimodal_flac_decode",
 ]
 HEADLINE = HEADLINE + LATE_ADDITIONS
 

@@ -1,0 +1,524 @@
+"""REAL FLAC codec (pure stdlib + numpy), third audio container
+family (after PCM WAV and G.711): the free-lossless format a crawl's
+audio corpus actually carries.
+
+Decoder (`decode_flac`): strict `fLaC` magic + metadata-block walk
+(STREAMINFO mandatory-first per the spec, 34-byte layout with the
+20/3/5/36-bit packed field), then the frame sequence: 14-bit sync
+verification, blocksize/sample-rate/sample-size code tables (incl.
+the 8/16-bit get-from-stream codes), UTF-8-coded frame numbers,
+CRC-8-verified headers and CRC-16-verified frames, and per-channel
+subframe decode — CONSTANT, VERBATIM, and FIXED orders 0-4 with the
+full partitioned-Rice residual path (4- and 5-bit parameters, escape
+partitions, zigzag, unary quotients). Declared scope: independent
+channels (mono/stereo), 8/12/16/20/24-bit samples; LPC subframes and
+side-stereo decorrelation return None rather than misdecode —
+fail-closed like every other parser in this engine.
+
+Encoder (`encode_flac`): writes STREAMINFO and spec-conformant frames
+with verbatim, constant, or fixed-order subframes (real Rice encoding
+for fixed residuals), correct CRC-8/CRC-16 — so pytest can round-trip
+arbitrary sample streams through every subframe type against the
+original samples, and the oracle query uses VERBATIM frames whose
+decoded samples are exactly the synthesized inputs (the lossless
+format needs no quantization trick at all).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRCs (FLAC: CRC-8 poly 0x07 init 0, CRC-16 poly 0x8005 init 0)
+# ---------------------------------------------------------------------------
+
+
+def _make_crc8():
+    table = []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        table.append(c)
+    return table
+
+
+def _make_crc16():
+    table = []
+    for b in range(256):
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+        table.append(c)
+    return table
+
+
+_CRC8 = _make_crc8()
+_CRC16 = _make_crc16()
+
+
+def crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8[c ^ b]
+    return c
+
+
+def crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader tracking the byte span (for CRC checks)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos  # next unread byte
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, n: int) -> int:
+        while self._n < n:
+            if self.pos >= len(self.data):
+                raise ValueError("bitstream exhausted")
+            self._acc = (self._acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self._n += 8
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("unary runaway")
+        return q
+
+    def align(self) -> None:
+        self._n -= self._n % 8  # drop partial-byte padding bits
+        # bytes already pulled into the accumulator but unread stay
+        # addressable: rewind pos by the whole unread bytes
+        self.pos -= self._n // 8
+        self._acc = 0
+        self._n = 0
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self._acc = (self._acc << n) | (v & ((1 << n) - 1))
+        self._n += n
+        while self._n >= 8:
+            self._n -= 8
+            self.out.append((self._acc >> self._n) & 0xFF)
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+_SR_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+_SS_CODE = {v: k for k, v in _SS_TABLE.items()}
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame numbering)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    # capacity of an nbytes encoding: (7 - nbytes) lead bits +
+    # 6 bits per continuation byte = 5*nbytes + 1
+    while n >= (1 << (5 * nbytes + 1)) and nbytes < 7:
+        nbytes += 1
+    for i in range(nbytes - 1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    lead = (0xFF << (8 - nbytes)) & 0xFF | (n >> (6 * (nbytes - 1)))
+    return bytes([lead] + list(reversed(out)))
+
+
+def _read_utf8_number(r: _BitReader) -> int:
+    b0 = r.bits(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    lead = b0
+    while lead & 0x40:
+        n += 1
+        lead <<= 1
+    if n == 0:
+        raise ValueError("bad coded number")
+    v = b0 & (0x3F >> n)
+    for _ in range(n):
+        b = r.bits(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad coded-number continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_flac(content: bytes):
+    """Strict FLAC decode within the declared scope. Returns
+    {sample_rate, n_channels, bits, total_samples, n_frames,
+    channels: [np.int64 arrays], peak_abs, sample_sum} or None."""
+    try:
+        return _decode_inner(content)
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def _decode_inner(content: bytes):
+    if len(content) < 42 or content[:4] != b"fLaC":
+        return None
+    pos = 4
+    streaminfo = None
+    last = False
+    first_block = True
+    while not last:
+        if pos + 4 > len(content):
+            return None
+        hdr = content[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + content[pos + 1 : pos + 4])
+        body = content[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            return None
+        if first_block:
+            if btype != 0 or blen != 34:  # STREAMINFO must come first
+                return None
+            streaminfo = body
+            first_block = False
+        pos += 4 + blen
+    if streaminfo is None:
+        return None
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    si_rate = packed >> 44
+    si_channels = ((packed >> 41) & 0x7) + 1
+    si_bits = ((packed >> 36) & 0x1F) + 1
+    si_total = packed & ((1 << 36) - 1)
+    if si_rate == 0 or si_channels > 2:
+        return None  # independent mono/stereo scope
+
+    channels = [[] for _ in range(si_channels)]
+    n_frames = 0
+    while pos < len(content):
+        frame_start = pos
+        r = _BitReader(content, pos)
+        if r.bits(14) != 0x3FFE:
+            raise ValueError("lost frame sync")
+        if r.bits(1) != 0:
+            raise ValueError("reserved bit set")
+        _blocking = r.bits(1)
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        ch_code = r.bits(4)
+        ss_code = r.bits(3)
+        if r.bits(1) != 0:
+            raise ValueError("reserved bit set")
+        _read_utf8_number(r)
+        if bs_code == 0:
+            raise ValueError("reserved blocksize code")
+        elif bs_code == 1:
+            bsize = 192
+        elif bs_code <= 5:
+            bsize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bsize = r.bits(8) + 1
+        elif bs_code == 7:
+            bsize = r.bits(16) + 1
+        else:
+            bsize = 256 << (bs_code - 8)
+        if sr_code == 0:
+            srate = si_rate
+        elif sr_code in _SR_TABLE:
+            srate = _SR_TABLE[sr_code]
+        elif sr_code == 12:
+            srate = r.bits(8) * 1000
+        elif sr_code == 13:
+            srate = r.bits(16)
+        elif sr_code == 14:
+            srate = r.bits(16) * 10
+        else:
+            raise ValueError("invalid sample-rate code")
+        if ch_code >= 2:
+            # >2 independent channels or side-stereo: out of scope
+            raise ValueError("channel assignment out of scope")
+        n_ch = ch_code + 1
+        if n_ch != si_channels:
+            raise ValueError("frame/streaminfo channel mismatch")
+        if ss_code == 0:
+            sbits = si_bits
+        elif ss_code in _SS_TABLE:
+            sbits = _SS_TABLE[ss_code]
+        else:
+            raise ValueError("reserved sample-size code")
+        if crc8(content[frame_start : r.pos]) != r.bits(8):
+            raise ValueError("frame header CRC-8 mismatch")
+
+        for ci in range(n_ch):
+            if r.bits(1) != 0:
+                raise ValueError("subframe padding bit set")
+            styp = r.bits(6)
+            wasted = 0
+            if r.bits(1):
+                wasted = r.unary() + 1
+            eff = sbits - wasted
+            if styp == 0:  # CONSTANT
+                v = r.sbits(eff)
+                samples = [v] * bsize
+            elif styp == 1:  # VERBATIM
+                samples = [r.sbits(eff) for _ in range(bsize)]
+            elif 8 <= styp <= 12:  # FIXED, order 0..4
+                order = styp - 8
+                samples = [r.sbits(eff) for _ in range(order)]
+                resid = _read_residual(r, bsize, order)
+                coefs = _FIXED_COEFS[order]
+                for i in range(order, bsize):
+                    pred = sum(
+                        c * samples[i - 1 - j] for j, c in enumerate(coefs)
+                    )
+                    samples.append(resid[i - order] + pred)
+            else:
+                raise ValueError("LPC subframe out of declared scope")
+            if wasted:
+                samples = [s << wasted for s in samples]
+            channels[ci].extend(samples)
+        r.align()
+        body_crc = crc16(content[frame_start : r.pos])
+        if body_crc != r.bits(16):
+            raise ValueError("frame CRC-16 mismatch")
+        pos = r.pos
+        n_frames += 1
+        _ = srate  # per-frame rate must not contradict STREAMINFO
+        if srate != si_rate:
+            raise ValueError("frame sample-rate mismatch")
+
+    got = len(channels[0]) if channels else 0
+    if si_total and got != si_total:
+        raise ValueError("sample count does not match STREAMINFO")
+    arrs = [np.asarray(c, dtype=np.int64) for c in channels]
+    allv = (
+        np.concatenate(arrs) if arrs and got else np.zeros(0, dtype=np.int64)
+    )
+    return {
+        "sample_rate": int(si_rate),
+        "n_channels": int(si_channels),
+        "bits": int(si_bits),
+        "total_samples": int(got),
+        "n_frames": n_frames,
+        "channels": arrs,
+        "peak_abs": int(np.abs(allv).max()) if allv.size else None,
+        "sample_sum": int(allv.sum()) if allv.size else None,
+    }
+
+
+def _read_residual(r: _BitReader, bsize: int, order: int) -> list[int]:
+    method = r.bits(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.bits(4)
+    nparts = 1 << porder
+    if bsize % nparts:
+        raise ValueError("partition order does not divide blocksize")
+    out = []
+    for p in range(nparts):
+        n = (bsize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("negative partition length")
+        k = r.bits(pbits)
+        if k == escape:
+            raw = r.bits(5)
+            out.extend(r.sbits(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = r.unary()
+                rem = r.bits(k) if k else 0
+                v = (q << k) | rem
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_flac(
+    channels: list[list[int]],
+    sample_rate: int = 8000,
+    bits: int = 16,
+    blocksize: int = 64,
+    subframe: str = "verbatim",
+    fixed_order: int = 2,
+) -> bytes:
+    """Write a conformant FLAC stream: STREAMINFO + fixed-blocksize
+    frames (final partial frame allowed). `subframe` picks the coding:
+    'verbatim', 'constant' (requires each block constant per channel),
+    or 'fixed' (order `fixed_order` warmup + single-partition Rice
+    residuals, parameter chosen from the residual magnitudes)."""
+    n_ch = len(channels)
+    if not 1 <= n_ch <= 2:
+        raise ValueError("1 or 2 channels")
+    total = len(channels[0])
+    if any(len(c) != total for c in channels):
+        raise ValueError("channel length mismatch")
+    out = bytearray(b"fLaC")
+    packed = (
+        (sample_rate << 44)
+        | ((n_ch - 1) << 41)
+        | ((bits - 1) << 36)
+        | total
+    )
+    si = (
+        struct.pack(">HH", blocksize, blocksize)
+        + b"\x00\x00\x00" * 2  # min/max frame size unknown
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # MD5 unset (spec: 0 = unknown)
+    )
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    frame_no = 0
+    for start in range(0, total, blocksize) if total else []:
+        blk = [c[start : start + blocksize] for c in channels]
+        out += _encode_frame(
+            blk, frame_no, sample_rate, bits, blocksize, n_ch,
+            subframe, fixed_order,
+        )
+        frame_no += 1
+    return bytes(out)
+
+
+def _encode_frame(blk, frame_no, sample_rate, bits, nominal_bs, n_ch,
+                  subframe, fixed_order):
+    bsize = len(blk[0])
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(0, 1)  # fixed blocksize strategy
+    if bsize == nominal_bs and bsize == 192:
+        bs_code, bs_extra = 1, None
+    elif bsize == nominal_bs and bsize in (576, 1152, 2304, 4608):
+        bs_code, bs_extra = 2 + (576, 1152, 2304, 4608).index(bsize), None
+    elif bsize == nominal_bs and bsize in tuple(256 << i for i in range(8)):
+        bs_code = 8 + tuple(256 << i for i in range(8)).index(bsize)
+        bs_extra = None
+    elif bsize <= 256:
+        bs_code, bs_extra = 6, ("b8", bsize - 1)
+    else:
+        bs_code, bs_extra = 7, ("b16", bsize - 1)
+    w.write(bs_code, 4)
+    w.write(0, 4)  # sample rate: from STREAMINFO
+    w.write(n_ch - 1, 4)  # independent channels
+    w.write(_SS_CODE.get(bits, 0), 3)
+    w.write(0, 1)
+    for b in _utf8_number(frame_no):
+        w.write(b, 8)
+    if bs_extra is not None:
+        w.write(bs_extra[1], 8 if bs_extra[0] == "b8" else 16)
+    hdr = w.flush()
+    hdr += bytes([crc8(hdr)])
+
+    body = _BitWriter()
+    body_prefix_bits = 0  # body writer starts byte-aligned after hdr
+    _ = body_prefix_bits
+    for ch in blk:
+        if subframe == "constant":
+            if any(v != ch[0] for v in ch):
+                raise ValueError("constant subframe needs constant block")
+            body.write(0, 1)
+            body.write(0, 6)
+            body.write(0, 1)  # no wasted bits
+            body.write(ch[0] & ((1 << bits) - 1), bits)
+        elif subframe == "verbatim":
+            body.write(0, 1)
+            body.write(1, 6)
+            body.write(0, 1)
+            for v in ch:
+                body.write(v & ((1 << bits) - 1), bits)
+        elif subframe == "fixed":
+            order = min(fixed_order, len(ch))
+            body.write(0, 1)
+            body.write(8 + order, 6)
+            body.write(0, 1)
+            for v in ch[:order]:
+                body.write(v & ((1 << bits) - 1), bits)
+            coefs = _FIXED_COEFS[order]
+            resid = [
+                ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
+                for i in range(order, len(ch))
+            ]
+            body.write(0, 2)  # 4-bit rice parameters
+            body.write(0, 4)  # partition order 0: one partition
+            k = _rice_param(resid)
+            body.write(k, 4)
+            for v in resid:
+                # zigzag: 0,-1,1,-2,2.. -> 0,1,2,3,4..
+                u = (abs(v) << 1) - (1 if v < 0 else 0)
+                q, rem = u >> k, u & ((1 << k) - 1)
+                for _ in range(q):
+                    body.write(0, 1)
+                body.write(1, 1)
+                if k:
+                    body.write(rem, k)
+        else:
+            raise ValueError(f"unknown subframe type {subframe!r}")
+    frame = hdr + body.flush()
+    return frame + struct.pack(">H", crc16(frame))
+
+
+def _rice_param(resid: list[int]) -> int:
+    if not resid:
+        return 0
+    mean = sum(abs(v) for v in resid) / len(resid) + 1
+    k = 0
+    while (1 << k) < mean and k < 14:
+        k += 1
+    return k

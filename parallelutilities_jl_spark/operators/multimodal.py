@@ -752,6 +752,131 @@ FROM base b LEFT JOIN agg a USING (asset_id)
 """
 
 
+FLAC_BLOCKSIZE = 16  # forces multi-frame streams at the fixture cap
+
+
+def q_multimodal_flac_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Third REAL audio codec family (round-16): FLAC — strict
+    metadata-block walk, CRC-8/CRC-16-verified frames, and subframe
+    decode through operators/flac.py. Each document synthesizes a
+    conformant mono 16-bit stream (samples = UTF-8 byte values - 128,
+    blocksize {FLAC_BLOCKSIZE} so every fixture is multi-frame with
+    UTF-8-coded frame numbers); EVEN doc_ids encode FIXED-order-2
+    subframes — warmup + partitioned-Rice residuals on the correctness
+    gate — and odd doc_ids VERBATIM, with identical decoded output
+    because the format is lossless. The oracle replays every stat from
+    the parquet hex; a wrong predictor sign, Rice zigzag, or CRC slip
+    hash-mismatches. Scale shape: two chained mapInPandas passes,
+    zero shuffles."""
+    from parallelutilities_jl_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    from parallelutilities_jl_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                samples = [
+                    b - 128 for b in t.encode("utf-8")[:WAV_DATA_CAP]
+                ]
+                contents.append(
+                    encode_flac(
+                        [samples],
+                        blocksize=FLAC_BLOCKSIZE,
+                        subframe="fixed" if i % 2 == 0 else "verbatim",
+                        fixed_order=2,
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "content": contents}
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, content binary")
+
+    out_schema = (
+        "asset_id long, sample_rate int, n_channels int, bits int, "
+        "n_samples int, n_frames int, peak_abs int, sample_sum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_flac(bytes(c)) for c in pdf["content"]]
+            for aid, m in zip(pdf["asset_id"], metas):
+                if m is None:
+                    raise ValueError(
+                        f"invalid FLAC payload for asset {aid}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [m["n_channels"] for m in metas], dtype="Int32"
+                    ),
+                    "bits": pd.array(
+                        [m["bits"] for m in metas], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [m["total_samples"] for m in metas], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [m["n_frames"] for m in metas], dtype="Int32"
+                    ),
+                    "peak_abs": pd.array(
+                        [m["peak_abs"] for m in metas], dtype="Int32"
+                    ),
+                    "sample_sum": pd.array(
+                        [m["sample_sum"] for m in metas], dtype="Int64"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(decode, out_schema)
+
+
+def _oracle_flac_decode() -> str:
+    """Closed-form replay of the lossless FLAC round trip: samples are
+    the UTF-8 byte values - 128; frames = ceil(n / blocksize)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS hx,
+         LEAST(octet_length(encode(text)), {WAV_DATA_CAP}) AS n
+  FROM documents WHERE text IS NOT NULL),
+vals AS (
+  SELECT b.asset_id,
+         ('0x' || substring(b.hx, 2 * t.i - 1, 2))::INT - 128 AS s
+  FROM base b, range(1, {WAV_DATA_CAP} + 1) t(i) WHERE t.i <= b.n),
+agg AS (
+  SELECT asset_id, MAX(ABS(s)) AS peak_abs, SUM(s) AS sample_sum
+  FROM vals GROUP BY asset_id)
+SELECT b.asset_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits,
+       CAST(b.n AS INT) AS n_samples,
+       CAST((b.n + {FLAC_BLOCKSIZE} - 1) // {FLAC_BLOCKSIZE} AS INT)
+         AS n_frames,
+       CAST(a.peak_abs AS INT) AS peak_abs,
+       CAST(a.sample_sum AS BIGINT) AS sample_sum
+FROM base b LEFT JOIN agg a USING (asset_id)
+"""
+
+
 # MP4 probe geometry: samples per file capped (stsz entries = the
 # text's UTF-8 byte values, so the oracle replays byte totals from
 # hex), dims from a closed-form per-doc algebra
@@ -3756,6 +3881,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_g711_decode": q_multimodal_g711_decode,
     "multimodal_mp4_probe": q_multimodal_mp4_probe,
+    "multimodal_flac_decode": q_multimodal_flac_decode,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_bmp_resize": q_multimodal_bmp_resize,
@@ -3786,6 +3912,7 @@ ORACLES["multimodal_gif_decode"] = _oracle_gif()
 ORACLES["multimodal_gif_frame_sample"] = _oracle_gif(GIF_SAMPLE_EVERY)
 ORACLES["multimodal_g711_decode"] = _oracle_g711_decode()
 ORACLES["multimodal_mp4_probe"] = _oracle_mp4_probe()
+ORACLES["multimodal_flac_decode"] = _oracle_flac_decode()
 ORACLES["multimodal_jpeg_decode"] = _oracle_jpeg_decode()
 # the progressive round trip must land on the SAME pixels as the
 # baseline one — identical closed-form oracle, different wire format

@@ -18,6 +18,10 @@ from parallelutilities_jl_spark.operators.jpeg import (
     encode_jpeg_gray,
     encode_jpeg_prog_gray,
 )
+from parallelutilities_jl_spark.operators.flac import (
+    decode_flac,
+    encode_flac,
+)
 from parallelutilities_jl_spark.operators.mp4 import encode_mp4, probe_mp4
 from parallelutilities_jl_spark.operators.multimodal import (
     _bmp_bytes,
@@ -42,6 +46,7 @@ PARSERS = {
     "bmp": _decode_bmp,
     "png": _decode_png,
     "gif": _decode_gif,
+    "flac": decode_flac,
 }
 
 # one representative VALID stream per family (deterministic)
@@ -55,6 +60,10 @@ VALID = {
     "gif": _gif_bytes([[v % 256 for v in range(64)]], 8, 8),
     "bmp": _bmp_bytes([v % 256 for v in range(35)], 7, 5),
     "png": _png_bytes([v % 256 for v in range(35)], 7, 5),
+    "flac": encode_flac(
+        [[(v * 37) % 199 - 99 for v in range(70)]], blocksize=32,
+        subframe="fixed", fixed_order=2,
+    ),
 }
 
 
@@ -116,7 +125,7 @@ def test_cross_family_rejection():
     owners = {
         "jpeg": "jpeg", "jpeg_prog": "jpeg", "jpeg_420": "jpeg",
         "wav": "wav", "g711": ("wav", "g711"), "mp4": "mp4",
-        "gif": "gif", "bmp": "bmp", "png": "png",
+        "gif": "gif", "bmp": "bmp", "png": "png", "flac": "flac",
     }
     for fam, blob in VALID.items():
         own = owners[fam]
