@@ -123,3 +123,58 @@ def test_v1_fullbox_offsets():
     # fixed-size stsz: media_bytes = sample_size * count
     assert m["n_samples"] == 7 and m["media_bytes"] == 700
     assert m["mdat_bytes"] == 0  # no mdat box in this fixture
+
+
+def test_unknown_boxes_and_multi_track():
+    """Real files carry free/skip padding and non-video tracks: the
+    walk must skip unknown boxes at every level, count ALL tracks, and
+    take dimensions from the FIRST video track (hdlr 'vide'), not from
+    an audio track that happens to come first."""
+    from parallelutilities_jl_spark.operators.mp4 import (
+        _UNITY_MATRIX,
+        _box,
+        _full,
+    )
+
+    def track(handler: bytes, w: int, h: int, n_samples: int):
+        tkhd = _full(
+            b"tkhd", 0,
+            struct.pack(">II", 0, 0) + struct.pack(">I", 1) + b"\x00" * 4
+            + struct.pack(">I", 0) + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0) + _UNITY_MATRIX
+            + struct.pack(">II", w << 16, h << 16),
+            flags=3,
+        )
+        hdlr = _full(
+            b"hdlr", 0,
+            struct.pack(">I", 0) + handler + b"\x00" * 12 + b"x\x00",
+        )
+        stsz = _full(b"stsz", 0, struct.pack(">II", 10, n_samples))
+        stbl = _box(b"stbl", stsz)
+        minf = _box(b"minf", _box(b"free", b"pad") + stbl)
+        mdia = _box(b"mdia", hdlr + _box(b"skip", b"") + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 555)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+    moov = _box(
+        b"moov",
+        mvhd + _box(b"udta", b"meta!")  # unknown moov child: skipped
+        + track(b"soun", 0, 0, 4)  # audio track first
+        + track(b"vide", 320, 240, 9),
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    data = ftyp + _box(b"free", b"\x00" * 13) + moov
+    m = probe_mp4(data)
+    assert m is not None
+    assert m["n_tracks"] == 2
+    # dims come from the VIDEO track even though audio came first
+    assert (m["width"], m["height"]) == (320, 240)
+    # stsz totals sum over ALL tracks (fixed-size form: 10*4 + 10*9)
+    assert m["n_samples"] == 13 and m["media_bytes"] == 130
+    assert m["timescale"] == 1000 and m["duration"] == 555
