@@ -335,8 +335,7 @@ def _decode_inner(content: bytes):
             raise ValueError("frame CRC-16 mismatch")
         pos = r.pos
         n_frames += 1
-        _ = srate  # per-frame rate must not contradict STREAMINFO
-        if srate != si_rate:
+        if srate != si_rate:  # per-frame rate must match STREAMINFO
             raise ValueError("frame sample-rate mismatch")
 
     got = len(channels[0]) if channels else 0
@@ -466,9 +465,7 @@ def _encode_frame(blk, frame_no, sample_rate, bits, nominal_bs, n_ch,
     hdr = w.flush()
     hdr += bytes([crc8(hdr)])
 
-    body = _BitWriter()
-    body_prefix_bits = 0  # body writer starts byte-aligned after hdr
-    _ = body_prefix_bits
+    body = _BitWriter()  # starts byte-aligned after the header CRC
     for ch in blk:
         if subframe == "constant":
             if any(v != ch[0] for v in ch):

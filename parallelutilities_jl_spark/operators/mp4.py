@@ -60,8 +60,12 @@ def _boxes(data: bytes, start: int, end: int):
         raise ValueError("trailing bytes after final box")
 
 
-def _fullbox(data: bytes, p: int) -> tuple[int, int]:
-    """(version, payload_start_after_version_flags)."""
+def _fullbox(data: bytes, p: int, q: int, need: int) -> tuple[int, int]:
+    """(version, payload_start_after_version_flags); raises unless the
+    box payload [p, q) holds the 4 version/flags bytes plus `need`
+    more — fixed-offset reads must never spill into a sibling box."""
+    if p + 4 + need > q:
+        raise ValueError("fullbox payload too short")
     return data[p], p + 4
 
 
@@ -93,7 +97,7 @@ def _probe_inner(content: bytes):
         nonlocal n_samples, media_bytes
         for t, p, q in _boxes(content, p0, p1):
             if t == b"stsz":
-                ver, fp = _fullbox(content, p)
+                ver, fp = _fullbox(content, p, q, 8)
                 if ver != 0:
                     raise ValueError("stsz version")
                 sample_size, count = struct.unpack_from(">II", content, fp)
@@ -114,16 +118,18 @@ def _probe_inner(content: bytes):
         tk_w = tk_h = None
         for t, p, q in _boxes(content, p0, p1):
             if t == b"tkhd":
-                ver, fp = _fullbox(content, p)
+                ver, fp = _fullbox(content, p, q, 92 if content[p] else 80)
                 if ver == 0:  # widths at fixed offsets per 14496-12
                     (w_fx, h_fx) = struct.unpack_from(">II", content, fp + 72)
-                else:  # v1: 64-bit times shift the tail by 12
+                elif ver == 1:  # v1: 64-bit times shift the tail by 12
                     (w_fx, h_fx) = struct.unpack_from(">II", content, fp + 84)
+                else:
+                    raise ValueError("tkhd version")
                 tk_w, tk_h = w_fx >> 16, h_fx >> 16
             elif t == b"mdia":
                 for t2, p2, q2 in _boxes(content, p, q):
                     if t2 == b"hdlr":
-                        _ver, fp2 = _fullbox(content, p2)
+                        _ver, fp2 = _fullbox(content, p2, q2, 8)
                         handler = content[fp2 + 4 : fp2 + 8]
                     elif t2 == b"minf":
                         for t3, p3, q3 in _boxes(content, p2, q2):
@@ -140,23 +146,31 @@ def _probe_inner(content: bytes):
             brand = content[p : p + 4].decode("ascii", "replace")
             first = False
         elif typ == b"mdat":
-            mdat_bytes = q - p
+            # multi-mdat files (progressive-download layouts) are
+            # legal: the media payload is the SUM of the payloads
+            mdat_bytes = (mdat_bytes or 0) + (q - p)
         elif typ == b"moov":
+            if saw_moov:
+                raise ValueError("second moov box")
             saw_moov = True
             for t, pp, qq in _boxes(content, p, q):
                 if t == b"mvhd":
-                    ver, fp = _fullbox(content, pp)
+                    ver, fp = _fullbox(
+                        content, pp, qq, 28 if content[pp] else 16
+                    )
                     if ver == 0:
                         timescale, duration = struct.unpack_from(
                             ">II", content, fp + 8
                         )
-                    else:
+                    elif ver == 1:
                         (timescale,) = struct.unpack_from(
                             ">I", content, fp + 16
                         )
                         (duration,) = struct.unpack_from(
                             ">Q", content, fp + 20
                         )
+                    else:
+                        raise ValueError("mvhd version")
                 elif t == b"trak":
                     walk_trak(pp, qq)
     if not saw_moov or timescale is None:

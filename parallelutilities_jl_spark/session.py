@@ -218,15 +218,16 @@ def block_scope(spark: SparkSession):
     "evicted": n_cache_entries_dropped}."""
     jsc = spark.sparkContext._jsc
     before = {int(k) for k in jsc.getPersistentRDDs().keys()}
-    # snapshot (key, id(value)): an entry OVERWRITTEN under a
+    # snapshot (key, value REFERENCE): an entry OVERWRITTEN under a
     # pre-existing key during the scope must be evicted too — its new
     # checkpoint blocks are about to be unpersisted, and keeping the
     # handle would leave a dangling truncated-lineage frame (the
     # check-then-return memoizers never overwrite today; this enforces
-    # the invariant rather than assuming it)
-    cache_snapshot = [
-        (c, {k: id(v) for k, v in c.items()}) for c in _SCOPED_CACHES
-    ]
+    # the invariant rather than assuming it). Holding the reference —
+    # not id() — matters: a del-then-recompute inside the scope frees
+    # the old value first, and CPython can hand its address to the
+    # replacement, defeating an id-only comparison.
+    cache_snapshot = [(c, dict(c)) for c in _SCOPED_CACHES]
     stats: dict[str, int] = {}
     try:
         yield stats
@@ -235,7 +236,7 @@ def block_scope(spark: SparkSession):
         for cache, had in cache_snapshot:
             stale = [
                 k for k in cache
-                if k not in had or id(cache[k]) != had[k]
+                if k not in had or cache[k] is not had[k]
             ]
             for k in stale:
                 cache.pop(k, None)

@@ -184,3 +184,22 @@ def test_block_scope_evicts_overwritten_entries(spark):
         assert "fresh" not in cache  # scope-added: evicted
     finally:
         sess._SCOPED_CACHES.remove(cache)
+
+
+def test_block_scope_evicts_del_then_recompute(spark):
+    """Round-16 review finding: an entry DELETED and RECOMPUTED inside
+    the scope must be evicted on exit even if CPython hands the
+    replacement the freed object's address — the snapshot must hold
+    value references and compare identity, not id() integers."""
+    from parallelutilities_jl_spark import session as sess
+
+    cache: dict = {"k": object()}
+    sess._SCOPED_CACHES.append(cache)
+    try:
+        with sess.block_scope(spark) as stats:
+            del cache["k"]
+            cache["k"] = object()  # may reuse the freed address
+        assert stats["evicted"] >= 1
+        assert "k" not in cache
+    finally:
+        sess._SCOPED_CACHES.remove(cache)

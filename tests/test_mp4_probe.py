@@ -178,3 +178,50 @@ def test_unknown_boxes_and_multi_track():
     # stsz totals sum over ALL tracks (fixed-size form: 10*4 + 10*9)
     assert m["n_samples"] == 13 and m["media_bytes"] == 130
     assert m["timescale"] == 1000 and m["duration"] == 555
+
+
+def test_truncated_inner_boxes_fail_closed():
+    """Round-16 review finding: a well-framed file whose tkhd/stsz/
+    mvhd payload is SHORTER than its fixed layout must return None —
+    fixed-offset reads may never spill into a sibling box and report
+    confident garbage."""
+    from parallelutilities_jl_spark.operators.mp4 import _box, _full
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+
+    def movie(trak_children: bytes, mvhd: bytes | None = None) -> bytes:
+        if mvhd is None:
+            mvhd = _full(
+                b"mvhd", 0,
+                struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 5)
+                + b"\x00" * 80,
+            )
+        return ftyp + _box(b"moov", mvhd + _box(b"trak", trak_children))
+
+    # tkhd with a 12-byte payload (v0 needs 80): must reject
+    short_tkhd = _full(b"tkhd", 0, b"\x00" * 8)
+    assert probe_mp4(movie(short_tkhd)) is None
+    # stsz with a 4-byte payload (needs 8): must reject
+    hdlr = _full(
+        b"hdlr", 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    short_stsz = _full(b"stsz", 0, struct.pack(">I", 0))
+    mdia = _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", short_stsz)))
+    ok_tkhd = _full(b"tkhd", 0, b"\x00" * 80)
+    assert probe_mp4(movie(ok_tkhd + mdia)) is None
+    # mvhd with an 8-byte payload (v0 needs 16): must reject
+    short_mvhd = _full(b"mvhd", 0, b"\x00" * 4)
+    assert probe_mp4(movie(ok_tkhd, mvhd=short_mvhd)) is None
+
+
+def test_multi_mdat_sums_and_double_moov_rejects():
+    good = encode_mp4([5, 6, 7], 32, 16)
+    ft_end = struct.unpack(">I", good[:4])[0]
+    md_size = struct.unpack(">I", good[ft_end : ft_end + 4])[0]
+    mdat = good[ft_end : ft_end + md_size]
+    moov = good[ft_end + md_size :]
+    # progressive-download layout: two mdat boxes -> payloads SUM
+    m = probe_mp4(good[:ft_end] + mdat + mdat + moov)
+    assert m is not None and m["mdat_bytes"] == 2 * (md_size - 8)
+    # a second moov is rejected, not double-counted
+    assert probe_mp4(good + moov) is None
