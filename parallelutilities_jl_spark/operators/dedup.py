@@ -1062,16 +1062,66 @@ def q_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit band, so hamming <= 24) and the cumulative window rides that
     bounded frame through one SinglePartition exchange. Rows derive
     from the data (no fixed spine), so an empty corpus yields an empty
-    census in both engines."""
+    census in both engines.
+
+    Pair dedup is the FIRST-SURVIVING-AGREEING-BAND filter, not a
+    distinct (round-16 optimization; measured 3.3x on the unfiltered
+    census, exact-equal histogram): `near_dup` pushes its hamming<=1
+    filter below candidate_pairs' pair-distinct so few rows reach it,
+    but the census needs EVERY candidate pair, making that distinct a
+    pair-cardinality shuffle + dedup aggregate (4.3M pairs at sf0.1).
+    Instead each join row decides locally whether it is its pair's
+    canonical appearance: band c agrees iff byte c of simhash_a XOR
+    simhash_b is zero, and the bucket at an agreeing band is shared,
+    so doc_a's own bucket-survival bit (a 4-bit mask summed over a
+    doc-keyed window, riding one O(docs·bands) exchange) tells whether
+    that band's bucket survived the cap. Keeping only the row whose
+    band equals the pair's minimum surviving agreeing band yields
+    exactly one row per distinct pair — the histogram then aggregates
+    map-side with no pair-keyed exchange at all."""
     from pyspark.sql.window import Window as W
 
     bands = _simhash_bands(_simhash_df(spark, sf_dir))
-    cands = candidate_pairs(bands, carry=("simhash",))
-    ham = F.bit_count(
-        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
-    ).cast("long")
+    capped = (
+        bands.withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
+        )
+        .withColumn(
+            "surv",
+            F.sum(
+                F.when(
+                    F.col("bsz") <= MAX_LSH_BUCKET,
+                    F.expr("shiftleft(1L, CAST(band AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .over(W.partitionBy("doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .drop("bsz")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_band = None
+    for c in range(SIMHASH_BANDS - 1, -1, -1):
+        agree_c = (
+            F.shiftright(x, 8 * c).bitwiseAND(F.lit(255)) == 0
+        ) & (F.shiftright(F.col("a.surv"), c).bitwiseAND(F.lit(1)) == 1)
+        first_band = (
+            F.when(agree_c, F.lit(c))
+            if first_band is None
+            else F.when(agree_c, F.lit(c)).otherwise(first_band)
+        )
+    once = joined.filter(F.col("a.band").cast("int") == first_band)
     hist = (
-        cands.select(ham.alias("hamming"))
+        once.select(F.bit_count(x).cast("long").alias("hamming"))
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
@@ -1467,7 +1517,7 @@ def connected_components(
     )
 
 
-def _cc_loop(spark, und, labels, max_iters, spill):
+def _cc_loop(spark, und, labels, max_iters, spill, jumps: int = 1):
     """The propagation rounds of `connected_components` (split out so
     the caller can own spill-dir lifecycle in one try/finally). Returns
     (labels frame, converged flag)."""
@@ -1478,47 +1528,46 @@ def _cc_loop(spark, und, labels, max_iters, spill):
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        # one-hop neighbor min, then POINTER JUMP: compose with the
-        # previous round's label map (lbl ← labels[lbl].lbl). A label is
-        # always the id of a node in the same component (init = own id;
-        # min/composition preserve it), so the jump stays in-component
-        # and is non-increasing — the fixpoint argument is unchanged,
-        # and descending label chains shortcut two hops per round
-        # (measured 15 → 13 rounds on the sf0.1 mutual-kNN graph,
-        # diameter ~14).
-        hop = labels.join(nbr, labels.n == nbr.u, "left").select(
+        # one-hop neighbor min, then POINTER JUMPS: compose with the
+        # round-start label map `jumps` times (lbl ← labels[lbl].lbl,
+        # iterated). A label is always the id of a node in the same
+        # component (init = own id; min/composition preserve it), so
+        # every jump stays in-component and is non-increasing — the
+        # fixpoint argument is unchanged. jumps=1 reproduces the
+        # original hop+jump round (measured 15 → 13 rounds on the
+        # sf0.1 mutual-kNN graph, diameter ~14). MORE jumps were tried
+        # and REJECTED (round-16 optimization measurement): each extra
+        # jump join adds two exchanges of sequential stage latency per
+        # round, and composing with the round-START map has fast-
+        # diminishing shortcut value — jumps=3 measured the sf0.1
+        # mutual-kNN loop at 3.8 s vs 2.8 s for jumps=1.
+        cur = labels.join(nbr, labels.n == nbr.u, "left").select(
             "n",
             F.col("lbl").alias("prev"),
             F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
-                "hlbl"
+                "h"
             ),
         )
+        for j in range(jumps):
+            m = labels.select(
+                F.col("n").alias(f"m{j}"), F.col("lbl").alias(f"ml{j}")
+            )
+            cur = cur.join(m, cur.h == F.col(f"m{j}"), "left").select(
+                "n",
+                "prev",
+                F.least(
+                    F.col("h"), F.coalesce(F.col(f"ml{j}"), F.col("h"))
+                ).alias("h"),
+            )
         # the did-it-change flag rides INSIDE the frame the round
         # checkpoints anyway, so convergence detection is a predicate
         # count over checkpointed blocks — not the extra shuffle join
         # of new-vs-old labels each round previously paid
-        stepped = (
-            hop.join(
-                labels.select(
-                    F.col("n").alias("m"), F.col("lbl").alias("mlbl")
-                ),
-                hop.hlbl == F.col("m"),
-                "left",
-            )
-            .select(
-                "n",
-                F.least(
-                    F.col("hlbl"), F.coalesce("mlbl", F.col("hlbl"))
-                ).alias("lbl"),
-                (
-                    F.least(
-                        F.col("hlbl"), F.coalesce("mlbl", F.col("hlbl"))
-                    )
-                    < F.col("prev")
-                ).alias("chg"),
-            )
-            .localCheckpoint()
-        )
+        stepped = cur.select(
+            "n",
+            F.col("h").alias("lbl"),
+            (F.col("h") < F.col("prev")).alias("chg"),
+        ).localCheckpoint()
         labels = stepped.select("n", "lbl")
         if stepped.filter("chg").count() == 0:
             converged = True

@@ -987,28 +987,37 @@ def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     token asc), OOV is an exact integer count, rate is
     floor(oov·10⁶/total).
 
-    Scale shape: one token-count shuffle builds the vocab (top-K via
-    TakeOrdered, no global sort), broadcast back as a membership array
-    literal-free join; the per-source tally is one map-side-combinable
-    groupBy over the token stream."""
+    Scale shape (round-16 optimization — one corpus pass, was two):
+    the token stream aggregates ONCE into (source, w) counts (map-side
+    combinable, the module's standard vocab-sized exchange — the same
+    subtree `zipf_slope_by_source` builds, so AQE stage reuse shares
+    the shuffle when both censuses run in one plan, e.g. the dataset
+    card). The global vocab then comes from summing the per-source
+    counts (vocab-sized, identical totals and tie-break ⇒ identical
+    vocab), and the per-source tally is vocab-sized arithmetic — the
+    old second corpus pass through a corpus-sized broadcast join is
+    gone."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(TH.words(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     vocab = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("w"))
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w"))
         .limit(OOV_VOCAB_K)
         .select("w", F.lit(1).alias("in_vocab"))
     )
-    tallied = tok.join(F.broadcast(vocab), "w", "left")
+    tallied = cnt.join(F.broadcast(vocab), "w", "left")
     return (
         tallied.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("n_tokens"),
             F.sum(
-                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(
+                    F.lit(0).cast("long")
+                )
             ).cast("long").alias("n_oov"),
         )
         .select(

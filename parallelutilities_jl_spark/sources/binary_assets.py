@@ -134,16 +134,31 @@ def materialize_media_dir(
         load_table_parallel(spark, sf_dir, "documents")
     )
 
-    def write_part(rows) -> None:
-        for r in rows:
-            ext = _EXT[r.modality]
-            store.put(f"{r.asset_id}.{ext}", bytes(r.content))
-
     def media_file_count() -> int:
         return sum(1 for f in store.list_names() if _is_media_name(f))
 
-    n_expected = assets.count()
-    assets.foreachPartition(write_part)
+    def land() -> int:
+        """One distributed pass: write every asset, count rows written
+        via an accumulator. `foreachPartition` is an ACTION, so Spark
+        applies each task's accumulator update exactly once for
+        successful tasks — the count equals the row count the separate
+        `assets.count()` used to pay a second full synthesis pass for
+        (the mapInPandas encode is opaque to pruning, so that count ran
+        every encoder over the whole corpus again)."""
+        acc = spark.sparkContext.accumulator(0)
+
+        def write_part(rows) -> None:
+            n = 0
+            for r in rows:
+                ext = _EXT[r.modality]
+                store.put(f"{r.asset_id}.{ext}", bytes(r.content))
+                n += 1
+            acc.add(n)
+
+        assets.foreachPartition(write_part)
+        return acc.value
+
+    n_expected = land()
     if media_file_count() != n_expected:
         # stale landing: a previous materialization of a LARGER fixture
         # left extra files the overwrite pass cannot reclaim — rebuild
@@ -151,7 +166,7 @@ def materialize_media_dir(
         # landing zones are ground truth and never take this path; it
         # exists because this dir is DERIVED from the fixtures)
         store.wipe()
-        assets.foreachPartition(write_part)
+        n_expected = land()
     n = media_file_count()
     store.put(_SENTINEL, str(n).encode())
     return store.uri()

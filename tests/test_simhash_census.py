@@ -81,3 +81,35 @@ def test_census_matches_oracle_and_respects_cap(
         _oracle_rows(D._oracles()["simhash_hamming_census"], same_docs)
         == []
     )
+
+
+def test_census_once_filter_equals_pair_distinct(spark):
+    """The round-16 first-surviving-agreeing-band filter must count
+    exactly the pairs candidate_pairs' pair-distinct counts — one row
+    per DISTINCT candidate pair, no more (a band double-count) and no
+    fewer (a pair whose min agreeing band was cap-dropped must still
+    be counted at its first SURVIVING band)."""
+    from pyspark.sql import functions as F
+
+    from parallelutilities_jl_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["hamming"], r["n_pairs"])
+        for r in D.q_simhash_hamming_census(spark, sf)
+        .select("hamming", "n_pairs")
+        .collect()
+    }
+    bands = D._simhash_bands(D._simhash_df(spark, sf))
+    cands = D.candidate_pairs(bands, carry=("simhash",))
+    ham = F.bit_count(
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    ).cast("long")
+    ref = {
+        (r["hamming"], r["n_pairs"])
+        for r in cands.select(ham.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    assert got == ref and got
