@@ -1393,6 +1393,45 @@ def _pq_codes_col(cb: dict) -> F.Column:
     return F.array(*per_s)
 
 
+def _pq_cb_df(spark: SparkSession, cb: dict) -> DataFrame:
+    """The fitted codebook as DATA — a one-row broadcastable frame
+    whose `cbs` column holds every (s, code, sub-centroid) entry,
+    sorted by (s, code). Round-16 optimization: embedding the codebook
+    as literal expressions (`_pq_codes_col` / per-entry `_pq_sq_dist`
+    folds) made every q_ann_pq_* plan carry thousands of literal
+    nodes, and Catalyst re-analyzed them on EVERY query build —
+    measured 2.5 s of driver time per bench rep against 0.5 s of
+    execution. As a crossJoin'd broadcast row the model values live in
+    data, the HOFs reference a column, the analysis cost is O(1) in
+    M·K, and the executed arithmetic (same zip_with lambda, same
+    int64 fold, same struct-min tiebreak) is bit-identical."""
+    entries = [
+        (int(s), int(cid), [float(v) for v in cent])
+        for (s, cid), cent in sorted(cb.items())
+    ]
+    return spark.createDataFrame(
+        [(entries,)],
+        "cbs array<struct<s: long, code: long, cent: array<double>>>",
+    )
+
+
+def _pq_hof_dist(sub: F.Column, cent: F.Column) -> F.Column:
+    """Quantized squared L2 between two array<double> COLUMNS — the
+    column-column twin of `_pq_sq_dist` (identical lambda, identical
+    fold, bit-identical int64)."""
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            cent,
+            lambda x, c: F.floor(
+                ((x - c) * (x - c)) * F.lit(float(DOT_SCALE))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _pq_sliced(emb: DataFrame) -> DataFrame:
     """Project the per-subspace slice columns once so every distance
     fold references a column instead of re-embedding the slice."""
@@ -1443,23 +1482,56 @@ def q_ann_pq_topk(
             F.lit(0).cast("long").alias("adist"),
             F.lit(0).cast("long").alias("rnk"),
         ).filter(F.lit(False))
-    codes = emb.select(
-        "vec_id", F.posexplode(_pq_codes_col(cb)).alias("s", "code")
+    # codebook rides as a broadcast DATA row (see _pq_cb_df): the
+    # in-row encode/LUT arithmetic is unchanged, only where the model
+    # values live moved — out of the expression tree
+    cbr = F.broadcast(_pq_cb_df(spark, cb))
+    sub_of = lambda e: F.slice(  # noqa: E731 — row's subspace slice
+        F.col("emb"), (e.getField("s") * PQ_SUBDIM + 1).cast("int"), PQ_SUBDIM
+    )
+    # nearest sub-centroid per subspace, ties to the lowest code id:
+    # per codebook entry struct(d, code), struct-min within subspace
+    code_entries = F.transform(
+        F.col("cbs"),
+        lambda e: F.struct(
+            e.getField("s").alias("s"),
+            _pq_hof_dist(sub_of(e), e.getField("cent")).alias("d"),
+            e.getField("code").alias("code"),
+        ),
+    )
+    codes = (
+        emb.crossJoin(cbr)
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda s: F.array_min(
+                        F.filter(code_entries, lambda e: e.getField("s") == s)
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("vec_id", F.col("e.s").alias("s"), F.col("e.code").alias("code"))
     )
     # per-query distance lookup table over the final codebook
-    lut_entries = [
-        F.struct(
-            F.lit(s).cast("long").alias("s"),
-            F.lit(cid).cast("long").alias("code"),
-            _pq_sq_dist(F.col(f"sub{s}"), cb[(s, cid)]).alias("ld"),
-        )
-        for (s, cid) in sorted(cb)
-    ]
     lut = (
         emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .crossJoin(cbr)
         .select(
             F.col("vec_id").alias("qid"),
-            F.explode(F.array(*lut_entries)).alias("e"),
+            F.explode(
+                F.transform(
+                    F.col("cbs"),
+                    lambda e: F.struct(
+                        e.getField("s").alias("s"),
+                        e.getField("code").alias("code"),
+                        _pq_hof_dist(sub_of(e), e.getField("cent")).alias(
+                            "ld"
+                        ),
+                    ),
+                )
+            ).alias("e"),
         )
         .select("qid", "e.s", "e.code", "e.ld")
     )
@@ -1755,29 +1827,48 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps Catalyst planning O(1) in k_eff instead of re-walking the
     # assignment subtree inside the join tree)
     assign = _assign(emb_all, centroids).localCheckpoint()
-    return _semdedup_prune_census(emb_all.join(assign, "vec_id"))
+    return _semdedup_prune_census(
+        emb_all.join(assign, "vec_id"), n_cells=len(centroids)
+    )
 
 
-def _semdedup_prune_census(emb: DataFrame) -> DataFrame:
+def _semdedup_prune_census(emb: DataFrame, n_cells: int = 0) -> DataFrame:
     """Within-cluster cosine prune + retention census over an assigned
-    frame (vec_id, emb, cluster) — shared by both SemDeDup variants."""
+    frame (vec_id, emb, cluster) — shared by both SemDeDup variants.
+
+    SALTED pair join (round-16 optimization, guide-§2.5 shape): the
+    pair join keys on `cluster`, so with fewer cells than cores the
+    stage runs at k_eff-way parallelism and leaves most of the machine
+    idle — at bench scale k_eff = 8 on 32 cores measured the census at
+    2.6 s with 0.8 s of actual pair work. Side `a` therefore also keys
+    on salt = vec_id % s (deterministic, retry-safe) and side `b`
+    replicates s ways, spreading each cell's pair block over s tasks;
+    every (ia, ib) pair still appears exactly once (ia owns one salt).
+    s derives from the MEASURED cell count vs the session's cores and
+    collapses to 1 as k_eff grows past the core count — at production
+    cell counts the plan is bit-identical to the unsalted one, so the
+    replication factor never touches a corpus-sized shuffle at scale."""
     from parallelutilities_jl_spark.operators.similarity import dot, norm
 
+    cores = emb.sparkSession.sparkContext.defaultParallelism
+    s = max(1, min(32, (4 * cores) // max(1, n_cells)))
     emb = emb.withColumn("nrm", norm(F.col("emb")))
     a = emb.select(
         "cluster",
         F.col("vec_id").alias("ia"),
         F.col("emb").alias("ea"),
         F.col("nrm").alias("na"),
+        F.pmod(F.col("vec_id"), F.lit(s)).alias("salt"),
     )
     b = emb.select(
         "cluster",
         F.col("vec_id").alias("ib"),
         F.col("emb").alias("eb"),
         F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("salt"),
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "salt"])
         .filter(F.col("ia") < F.col("ib"))
         .select(
             "cluster",
@@ -1934,13 +2025,16 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     init ids) differ from the flat variant's by construction; the
     oracle (`_oracle_semantic_scaled`) replays sample, fit, grouping,
     both argmin levels, and the prune bit-for-bit."""
-    emb_all, assign = _sampled_fit_assign(spark, sf_dir)
+    emb_all, centroids = _sampled_fit(spark, sf_dir)
+    assign = _two_level_pick(emb_all, centroids)
     # materialize the (vec_id, cluster) assignment before the
     # within-cell self-join for the same reason as _build_mutual_edges:
     # keeps Catalyst planning O(1) in k_eff instead of re-walking the
     # k_eff-centroid argmin expression inside the join tree
     assign = assign.localCheckpoint()
-    return _semdedup_prune_census(emb_all.join(assign, "vec_id"))
+    return _semdedup_prune_census(
+        emb_all.join(assign, "vec_id"), n_cells=len(centroids)
+    )
 
 
 def _semdedup_census_ctes(ctes: list[str], asg: str) -> str:
