@@ -58,6 +58,13 @@ BNLJ_ALLOWED = {
     "lsh_banding_plan",
     "ann_nprobe_plan",
 
+    # round-16 optimization: the fitted PQ codebook rides as a 1-row
+    # broadcast frame crossed onto the embedding scan (plan size O(1)
+    # in M·K instead of a literal forest Catalyst re-analyzes per
+    # build); the build side is exactly one row by construction
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+
     "mixture_weighted_sample",
     "quality_curriculum",
     "sequence_packing",
