@@ -1037,51 +1037,36 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle exactly cross-engine-checkable."""
 
     bands = _simhash_bands(_simhash_df(spark, sf_dir))
-    cands = candidate_pairs(bands, carry=("simhash",))
-    ham = F.bit_count(
-        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
-    ).cast("long")
+    once, x = _simhash_once_pairs(bands)
     return (
-        cands.select("doc_a", "doc_b", ham.alias("hamming"))
+        once.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(x).cast("long").alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
     )
 
 
-def q_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SIMHASH_HAM_MAX tuning table: the hamming-distance histogram
-    of the banded candidate pairs, with a cumulative column — row h's
-    `cum_pairs` is exactly how many pairs a near-dup pass at threshold
-    h would accept (`simhash_near_dup` is the cum row at h={SIMHASH_HAM_MAX}).
-    Scoped to DETECTED candidates, stated as such: banding recall is
-    exact only at hamming <= 1 here, so high-h rows are a lower bound —
-    still the number the threshold knob is turned by, since the same
-    banding serves every threshold.
-
-    Scale shape: identical to `simhash_near_dup` through the capped
-    band self-join; the histogram is <= 25 rows (candidates agree on an
-    8-bit band, so hamming <= 24) and the cumulative window rides that
-    bounded frame through one SinglePartition exchange. Rows derive
-    from the data (no fixed spine), so an empty corpus yields an empty
-    census in both engines.
-
-    Pair dedup is the FIRST-SURVIVING-AGREEING-BAND filter, not a
-    distinct (round-16 optimization; measured 3.3x on the unfiltered
-    census, exact-equal histogram): `near_dup` pushes its hamming<=1
-    filter below candidate_pairs' pair-distinct so few rows reach it,
-    but the census needs EVERY candidate pair, making that distinct a
-    pair-cardinality shuffle + dedup aggregate (4.3M pairs at sf0.1).
-    Instead each join row decides locally whether it is its pair's
-    canonical appearance: band c agrees iff byte c of simhash_a XOR
-    simhash_b is zero, and the bucket at an agreeing band is shared,
-    so doc_a's own bucket-survival bit (a 4-bit mask summed over a
-    doc-keyed window, riding one O(docs·bands) exchange) tells whether
-    that band's bucket survived the cap. Keeping only the row whose
-    band equals the pair's minimum surviving agreeing band yields
-    exactly one row per distinct pair — the histogram then aggregates
-    map-side with no pair-keyed exchange at all."""
+def _simhash_once_pairs(bands: DataFrame):
+    """The capped band self-join with exactly ONE row per distinct
+    candidate pair — the first-surviving-agreeing-band filter shared by
+    `simhash_near_dup` and `simhash_hamming_census` (round-16
+    optimization; measured 3.3x on the unfiltered census, exact-equal
+    output). `candidate_pairs`' pair-distinct is a pair-cardinality
+    shuffle + dedup aggregate (4.3M pairs at sf0.1); instead each join
+    row decides locally whether it is its pair's canonical appearance:
+    band c agrees iff byte c of simhash_a XOR simhash_b is zero, and
+    the bucket at an agreeing band is shared, so doc_a's own
+    bucket-survival bit (a 4-bit mask summed over a doc-keyed window,
+    riding one O(docs·bands) exchange) tells whether that band's
+    bucket survived the cap. Keeping only the row whose band equals
+    the pair's minimum surviving agreeing band yields exactly one row
+    per distinct pair — downstream aggregates then combine map-side
+    with no pair-keyed exchange at all. Returns (frame, xor column);
+    the frame keeps the a./b. aliases for the caller's projection."""
     from pyspark.sql.window import Window as W
 
-    bands = _simhash_bands(_simhash_df(spark, sf_dir))
     capped = (
         bands.withColumn(
             "bsz", F.count(F.lit(1)).over(W.partitionBy("band", "key"))
@@ -1119,7 +1104,35 @@ def q_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             if first_band is None
             else F.when(agree_c, F.lit(c)).otherwise(first_band)
         )
-    once = joined.filter(F.col("a.band").cast("int") == first_band)
+    return joined.filter(F.col("a.band").cast("int") == first_band), x
+
+
+def q_simhash_hamming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIMHASH_HAM_MAX tuning table: the hamming-distance histogram
+    of the banded candidate pairs, with a cumulative column — row h's
+    `cum_pairs` is exactly how many pairs a near-dup pass at threshold
+    h would accept (`simhash_near_dup` is the cum row at h={SIMHASH_HAM_MAX}).
+    Scoped to DETECTED candidates, stated as such: banding recall is
+    exact only at hamming <= 1 here, so high-h rows are a lower bound —
+    still the number the threshold knob is turned by, since the same
+    banding serves every threshold.
+
+    Scale shape: identical to `simhash_near_dup` through the capped
+    band self-join; the histogram is <= 25 rows (candidates agree on an
+    8-bit band, so hamming <= 24) and the cumulative window rides that
+    bounded frame through one SinglePartition exchange. Rows derive
+    from the data (no fixed spine), so an empty corpus yields an empty
+    census in both engines.
+
+    Pair dedup is the FIRST-SURVIVING-AGREEING-BAND filter, not a
+    distinct (`_simhash_once_pairs`, shared with `simhash_near_dup`):
+    one row per distinct pair leaves the band self-join, so the
+    histogram aggregates map-side with no pair-keyed exchange at
+    all."""
+    from pyspark.sql.window import Window as W
+
+    bands = _simhash_bands(_simhash_df(spark, sf_dir))
+    once, x = _simhash_once_pairs(bands)
     hist = (
         once.select(F.bit_count(x).cast("long").alias("hamming"))
         .groupBy("hamming")

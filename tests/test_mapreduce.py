@@ -150,6 +150,43 @@ def test_pmapreduce_dense_elsum(spark, n_parts):
     assert np.all(out == sum(range(10)))
 
 
+def test_dense_elsum_long_narrow_dtype_identical(spark):
+    # round-16: the sink twin accumulates/ships int16 (4x fewer
+    # shuffled bytes) and casts to float64 only at the output column —
+    # rows must be identical to the float64 pipeline, and the
+    # periodic-base generation identity (i·j) mod 13 ==
+    # ((i mod 13)·(j mod 13)) mod 13 must hold exactly
+    import numpy as np
+
+    from parallelutilities_jl_spark.operators.mapreduce import (
+        pmapreduce_dense_elsum_long,
+    )
+
+    npix = 600
+    base = (np.arange(npix, dtype=np.int64) % 13).astype(np.int16)
+    for i in (0, 1, 12, 13, 31):
+        direct = (i * np.arange(npix, dtype=np.int64)) % 13
+        periodic = (base * np.int16(i % 13)) % np.int16(13)
+        assert np.array_equal(direct, periodic.astype(np.int64))
+
+    def gen_f8(i):
+        return ((i * np.arange(npix, dtype=np.int64)) % 13).astype(
+            np.float64
+        ).reshape(20, 30)
+
+    def gen_i2(i):
+        return ((base * np.int16(i % 13)) % np.int16(13)).reshape(20, 30)
+
+    ref = pmapreduce_dense_elsum_long(
+        spark, 10, gen_f8, num_partitions=4, n_chunks=4
+    ).collect()
+    got = pmapreduce_dense_elsum_long(
+        spark, 10, gen_i2, num_partitions=4, n_chunks=4,
+        ship_dtype="int16",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
 def test_flip_swaps_arguments():
     from parallelutilities_jl_spark.operators.reductions import ReduceOp, flip
 
