@@ -1146,7 +1146,22 @@ def q_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     on `source` — at any corpus size the join inputs are
     source-cardinality aggregates, so the composition is free. The
     card is the showcase that the per-source statistics compose
-    WITHOUT a new corpus pass."""
+    WITHOUT a new corpus pass.
+
+    Concurrency (round-16 optimization): `dedup_rate_by_source` runs
+    its connected-components propagation EAGERLY at build time (a
+    sequence of small bounded shuffles that underfills the cluster),
+    while the other four components are lazy until the caller's one
+    action. Serially that is dead time; instead the four lazy
+    components materialize (localCheckpoint, S rows each) on a second
+    job-submitting thread WHILE the CC loop runs — Spark schedules
+    jobs from both threads onto the same executor pool, so the
+    tokenize/quality scans soak the cores the propagation rounds
+    leave idle. The final action then only joins five S-row frames.
+    Results are unchanged (same component frames, same join), and the
+    four-way lazy subtree still shares its tokenize exchange via AQE
+    stage reuse because it stays ONE plan."""
+    import threading
     from parallelutilities_jl_spark.operators.dedup import (
         q_dedup_rate_by_source,
     )
@@ -1159,9 +1174,6 @@ def q_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang = q_lang_mix_entropy(spark, sf_dir).select(
         "source", "n_docs", "n_langs", "entropy_q"
     )
-    dup = q_dedup_rate_by_source(spark, sf_dir).select(
-        "source", "n_redundant", "dup_rate_e6"
-    )
     oov = q_oov_rate_by_source(spark, sf_dir).select(
         "source", "n_tokens", "oov_rate_e6"
     )
@@ -1171,11 +1183,42 @@ def q_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = q_quality_threshold_plan(spark, sf_dir).select(
         "source", "threshold_milli", "keep_ppm"
     )
-    return (
-        lang.join(dup, "source")
-        .join(oov, "source")
-        .join(zipf, "source")
-        .join(qual, "source")
+    rest = (
+        lang.join(oov, "source").join(zipf, "source").join(qual, "source")
+    )
+    box: dict = {}
+
+    def _materialize_rest() -> None:
+        try:
+            box["rest"] = rest.localCheckpoint()
+        except BaseException as e:  # propagate to the caller thread
+            box["err"] = e
+
+    t = threading.Thread(
+        target=_materialize_rest, name="card_lazy_components"
+    )
+    t.start()
+    try:
+        dup = q_dedup_rate_by_source(spark, sf_dir).select(
+            "source", "n_redundant", "dup_rate_e6"
+        )
+    finally:
+        t.join()
+    if "err" in box:
+        raise box["err"]
+    # same column order as the original lang→dup→oov→zipf→qual join
+    return box["rest"].join(dup, "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "entropy_q",
+        "n_redundant",
+        "dup_rate_e6",
+        "n_tokens",
+        "oov_rate_e6",
+        "zipf_slope_e6",
+        "threshold_milli",
+        "keep_ppm",
     )
 
 
