@@ -76,7 +76,13 @@ def test_components_nonconvergence_raises(spark):
 
     ids = [(i * 31) % 97 + 1000 for i in range(40)]
     pairs = [(ids[i], ids[i + 1]) for i in range(39)]
-    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    # one edge per partition defeats the partition-local union-find
+    # contraction, so the propagation loop sees the full path diameter
+    # (the contraction would otherwise solve a co-partitioned path in
+    # phase 1 and the bound under test would never bind)
+    edges = spark.createDataFrame(
+        pairs, "doc_a long, doc_b long"
+    ).repartition(39)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
 
@@ -102,7 +108,11 @@ def test_components_spill_honors_checkpoint_dir_and_cleans_up(
     try:
         ids = [(i * 31) % 97 + 1000 for i in range(40)]
         pairs = [(ids[i], ids[i + 1]) for i in range(39)]
-        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        # single-edge partitions keep the contracted graph a full-
+        # diameter path, so the loop still crosses the spill rounds
+        edges = spark.createDataFrame(
+            pairs, "doc_a long, doc_b long"
+        ).repartition(39)
         got = {
             r["doc_id"]: r["component_id"]
             for r in connected_components(edges).collect()
@@ -151,7 +161,11 @@ def test_components_spill_cleaned_up_on_exception(spark):
     before = set(glob.glob(tempfile.gettempdir() + "/pu_cc_spill_*"))
     ids = [(i * 31) % 97 + 1000 for i in range(40)]
     pairs = [(ids[i], ids[i + 1]) for i in range(39)]
-    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    # single-edge partitions defeat the contraction (see above) so the
+    # loop crosses the round-6 spill before the forced non-convergence
+    edges = spark.createDataFrame(
+        pairs, "doc_a long, doc_b long"
+    ).repartition(39)
     # max_iters=8 crosses the round-6 spill, then fails to converge
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=8)
@@ -197,3 +211,40 @@ def test_fit_cache_evicts_foreign_application(spark, sf_dir):
     assert all(
         k[0] == spark.sparkContext.applicationId for k in C._FIT_CACHE
     )
+
+
+def test_components_partitioning_invariance(spark):
+    """Round-16: the partition-local union-find contraction must give
+    the identical min-member labeling under ANY edge partitioning —
+    fully co-partitioned (phase 1 solves everything), one edge per
+    partition (contraction is a no-op), and in between."""
+    pairs = (
+        [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+        + [(100 + i, 101 + i) for i in range(7)]
+        + [(5, 200 + i) for i in range(6)]
+        + [(9000, 8999)]
+    )
+    from parallelutilities_jl_spark.operators import dedup
+
+    want = _truth(pairs)
+    # force the contraction path (the fixture graph is far below the
+    # production _CC_CONTRACT_MIN_ROWS gate) and also run the flat
+    # path once — both must land on the identical labeling
+    old_gate = dedup._CC_CONTRACT_MIN_ROWS
+    try:
+        for gate, parts in [
+            (0, (1, 3, 17, len(pairs))),  # contraction under every split
+            (old_gate, (3,)),  # production gate -> flat path
+        ]:
+            dedup._CC_CONTRACT_MIN_ROWS = gate
+            for n_parts in parts:
+                edges = spark.createDataFrame(
+                    pairs, "doc_a long, doc_b long"
+                ).repartition(n_parts)
+                got = {
+                    r["doc_id"]: r["component_id"]
+                    for r in dedup.connected_components(edges).collect()
+                }
+                assert got == want, (gate, n_parts)
+    finally:
+        dedup._CC_CONTRACT_MIN_ROWS = old_gate
