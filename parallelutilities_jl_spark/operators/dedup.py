@@ -163,6 +163,7 @@ def lsh_bands(
     bands: int = BANDS,
     rows: int = ROWS_PER_BAND,
     keep_sig: bool = False,
+    carry: tuple = (),
 ) -> DataFrame:
     """(doc_id, band, key): band key = md5 of the band's signature rows.
 
@@ -171,7 +172,10 @@ def lsh_bands(
     once per band. keep_sig=True carries the h0.. signature columns on
     every band row (the streaming ingest-dedup operator needs the
     signature AT the band-bucket key it is grouped by; a join-back is
-    not stream-safe)."""
+    not stream-safe). `carry` names additional sig columns to ride the
+    band rows (round-16: a consumer that needs a doc attribute at the
+    bucket key — fuzzy_contamination's `source` — previously paid a
+    doc-keyed join-back exchange for it)."""
     entries = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
@@ -196,10 +200,11 @@ def lsh_bands(
         else []
     )
     return sig.select(
-        "doc_id", *carried, F.explode(F.array(*entries)).alias("e")
+        "doc_id", *carried, *carry, F.explode(F.array(*entries)).alias("e")
     ).select(
         "doc_id",
         *carried,
+        *carry,
         F.col("e.band").alias("band"),
         F.col("e.key").alias("key"),
     )

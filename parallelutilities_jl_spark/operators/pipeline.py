@@ -1868,10 +1868,9 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         minhash_per_doc(spark, sf_dir).join(src, "doc_id").localCheckpoint()
     )
-    bands = lsh_bands(per_doc)
-    bands = bands.join(
-        per_doc.select("doc_id", "source"), "doc_id"
-    )
+    # source rides the band explode (round-16): the doc-keyed
+    # join-back exchange the old two-step paid is gone
+    bands = lsh_bands(per_doc, carry=("source",))
     eb = (
         bands.filter(F.col("source") == EVAL_SOURCE)
         .select("band", "key", F.col("doc_id").alias("eval_doc"))
