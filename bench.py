@@ -245,7 +245,15 @@ HEADLINE = HEADLINE + LATE_ADDITIONS
 # r06-common like-for-like totals; they appear in the queries map and
 # BENCH_DETAIL.json (median/spread/canary_before) and are gated per
 # head against BENCH_ACCEPTED like everything else.
-CHEAP_REPS = 1
+# Env-overridable (round-16): the regression gate takes each head's
+# BEST rep, and at 1 rep a single multi-second host stall (the rig's
+# documented episodic freezes — a closed-form no-scan head measured
+# 6.6x its accepted ref in one such window) lands unfiltered in the
+# committed artifact. The driver's default stays 1; a local run that
+# needs stall robustness sets SPARK_GRAFT_BENCH_CHEAP_REPS=3 and the
+# gate's min-of-reps then filters isolated stalls, exactly the
+# medians-not-samples rationale the headline tier already applies.
+CHEAP_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_CHEAP_REPS", "1"))
 
 
 def _cheap_tier(registered) -> list[str]:
