@@ -48,9 +48,32 @@ _EXT = {"image": "bmp", "audio": "wav", "video": "gif"}
 _MOD_OF_EXT = {v: k for k, v in _EXT.items()}
 _SENTINEL = "_SUCCESS.count"
 
+# Landing-zone prefix sharding (round-17, guide §5/§6 write contention):
+# media files land under _N_SHARDS fixed subdirectories keyed on a hash
+# of the file NAME, not in one flat directory. On a local/NFS filesystem
+# every create/rename takes the parent directory's inode lock, so 32
+# concurrent writer tasks into ONE directory serialize — measured 3.5 s
+# for the sf0.1 landing's 5000 files at 32 writers vs 0.64 s with 32
+# shards (the 8-core driver run beating the 32-core run on this head was
+# the tell). On an object store the same layout is the standard key-
+# prefix sharding that spreads request-rate limits. The shard is a pure
+# function of the name, so the layout is deterministic and idempotent
+# re-puts overwrite in place exactly as before.
+_N_SHARDS = 32
+
 
 def _is_media_name(name: str) -> bool:
     return name.rsplit(".", 1)[-1] in _MOD_OF_EXT
+
+
+def _shard_of(name: str) -> str | None:
+    """Subdirectory (relative to the landing root) a name lands in, or
+    None for root-level bookkeeping files (the sentinel)."""
+    if not _is_media_name(name):
+        return None
+    import zlib
+
+    return f"s{zlib.crc32(name.encode()) % _N_SHARDS:02d}"
 
 
 class LocalFSMediaStore:
@@ -67,26 +90,43 @@ class LocalFSMediaStore:
 
     # -- executor side ----------------------------------------------
     def put(self, name: str, payload: bytes) -> None:
-        path = os.path.join(self.root, name)
+        shard = _shard_of(name)
+        d = self.root if shard is None else os.path.join(self.root, shard)
+        path = os.path.join(d, name)
         tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
+        try:
+            f = open(tmp, "wb")
+        except FileNotFoundError:
+            # shard dir missing (store used without prepare()); create
+            # lazily — a one-time cost per task per shard
+            os.makedirs(d, exist_ok=True)
+            f = open(tmp, "wb")
+        with f:
             f.write(payload)
         os.replace(tmp, path)  # atomic publish, crash-safe
 
     # -- driver side --------------------------------------------------
-    def prepare(self) -> None:
+    def _make_dirs(self) -> None:
         os.makedirs(self.root, exist_ok=True)
+        for s in range(_N_SHARDS):
+            os.makedirs(os.path.join(self.root, f"s{s:02d}"), exist_ok=True)
+
+    def prepare(self) -> None:
+        self._make_dirs()
 
     def list_names(self) -> list[str]:
         if not os.path.isdir(self.root):
             return []
-        return sorted(os.listdir(self.root))
+        names: list[str] = []
+        for _dir, _sub, files in os.walk(self.root):
+            names.extend(files)
+        return sorted(names)
 
     def wipe(self) -> None:
         import shutil
 
         shutil.rmtree(self.root, ignore_errors=True)
-        os.makedirs(self.root, exist_ok=True)
+        self._make_dirs()
 
     def uri(self) -> str:
         """The URI `spark.read.format("binaryFile")` ingests from."""
@@ -188,7 +228,10 @@ def read_media_dir(spark: SparkSession, landing_dir: str) -> DataFrame:
         with open(sentinel) as f:
             expected = int(f.read())
         actual = sum(
-            1 for f in os.listdir(landing_dir) if _is_media_name(f)
+            1
+            for _d, _s, files in os.walk(landing_dir)
+            for f in files
+            if _is_media_name(f)
         )
         if actual != expected:
             raise ValueError(
@@ -198,6 +241,9 @@ def read_media_dir(spark: SparkSession, landing_dir: str) -> DataFrame:
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{bmp,wav,gif}")
+        # media files land under the store's fixed shard subdirs (the
+        # single-directory write-contention fix; see _N_SHARDS)
+        .option("recursiveFileLookup", "true")
         .load(landing_dir)
     )
     ext = F.element_at(F.split(F.col("path"), r"\."), -1)

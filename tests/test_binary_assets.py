@@ -89,14 +89,42 @@ def test_partial_landing_raises(spark, sf_dir):
 
     landing = materialize_media_dir(spark, sf_dir)
     victim = next(
-        f for f in os.listdir(landing) if f.endswith((".bmp", ".wav", ".gif"))
+        os.path.join(d, f)
+        for d, _s, files in os.walk(landing)
+        for f in files
+        if f.endswith((".bmp", ".wav", ".gif"))
     )
-    os.remove(os.path.join(landing, victim))
+    os.remove(victim)
     with pytest.raises(ValueError, match="partial media landing"):
         read_media_dir(spark, landing)
     # re-materializing heals the landing and the read succeeds again
     materialize_media_dir(spark, sf_dir)
     assert read_media_dir(spark, landing).count() > 0
+
+
+def test_landing_layout_is_shard_prefixed(spark, sf_dir):
+    """Media files land under the store's fixed shard subdirectories
+    (the single-directory write-contention fix), the shard is a pure
+    function of the file name, and the sentinel stays at the root."""
+    from parallelutilities_jl_spark.sources.binary_assets import (
+        _is_media_name,
+        _shard_of,
+    )
+
+    landing = materialize_media_dir(spark, sf_dir)
+    root_entries = os.listdir(landing)
+    assert not any(_is_media_name(f) for f in root_entries)
+    assert "_SUCCESS.count" in root_entries
+    n_sharded = 0
+    for d, _s, files in os.walk(landing):
+        if d == landing:
+            continue
+        shard = os.path.basename(d)
+        for f in files:
+            assert _shard_of(f) == shard  # deterministic placement
+            n_sharded += 1
+    assert n_sharded >= 3
+    assert _shard_of("_SUCCESS.count") is None
 
 
 def test_media_store_seam_is_honored(spark, sf_dir):
