@@ -734,39 +734,103 @@ def q_lsh_banding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ppm literal). More bands → more recall AND more candidates;
     this emits the actual tradeoff table instead of the folklore.
 
-    Scale shape: the signature frame is computed once (zero-shuffle
-    narrow map, localCheckpoint shared by all four geometries — the
-    explode/groupBy/self-join per config would otherwise recompute the
-    minhash folds 8x); per config it's the same banding explode +
-    (band, key) hash-agg + capped bucket self-join `minhash_near_dup`
-    runs, reduced to a 1-row aggregate — 4 configs, 4 rows out."""
+    Scale shape (round-17 fusion, guide §2.4 — share one exchange):
+    the signature frame is computed once (zero-shuffle narrow map,
+    localCheckpoint shared by all four geometries), and ALL FOUR
+    geometries ride ONE config-tagged band frame — a single explode of
+    the 16+8+4+2 (cfg, band, key) entries — so the whole planner is one
+    (cfg, band, key) exchange feeding the bucket stats, the capped
+    bucket self-join, and the per-config aggregates, instead of four
+    independent explode/exchange/self-join pipelines (8 sub-second
+    stages of almost pure scheduling overhead at sf0.1; same shuffled
+    rows either way, since the union of the four band frames IS this
+    frame). The cap, bucket identity (md5 band key), and distinct-pair
+    count are unchanged per config; a 4-row literal spine keeps the
+    all-four-rows output contract even on an empty corpus (the old
+    global aggregates emitted a zero row per config)."""
+    from pyspark.sql.window import Window as W
+
     sig = minhash_per_doc(spark, sf_dir).localCheckpoint()
-    out = None
+    entries = [
+        F.struct(
+            F.lit(bands).cast("long").alias("cfg"),
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("key"),
+        )
+        for bands, rows in _BANDING_CONFIGS
+        for b in range(bands)
+    ]
+    bdf = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.cfg", "e.band", "e.key")
+    bsz = bdf.groupBy("cfg", "band", "key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bstats = bsz.groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+    )
+    # capped bucket self-join over every config at once — the same
+    # count-over-window cap `candidate_pairs` applies, keyed (cfg,
+    # band, key) so the window rides the one exchange above
+    capped = (
+        bdf.withColumn(
+            "bsz",
+            F.count(F.lit(1)).over(W.partitionBy("cfg", "band", "key")),
+        )
+        .filter(F.col("bsz") <= MAX_LSH_BUCKET)
+        .drop("bsz")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cstats = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    )
+    spine = None
     for bands, rows in _BANDING_CONFIGS:
-        bdf = lsh_bands(sig, bands, rows)
-        bstats = (
-            bdf.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .agg(
-                F.count(F.lit(1)).alias("n_buckets"),
-                F.max("sz").alias("max_bucket"),
-            )
-        )
-        cstats = candidate_pairs(bdf).agg(
-            F.count(F.lit(1)).alias("n_candidate_pairs")
-        )
-        row = bstats.crossJoin(cstats).select(
+        row = spark.range(1).select(
+            F.lit(bands).cast("long").alias("cfg"),
             F.lit(bands).cast("long").alias("bands"),
             F.lit(rows).cast("long").alias("rows_per_band"),
-            "n_buckets",
-            "max_bucket",
-            "n_candidate_pairs",
             F.lit(_banding_recall_e6(bands, rows))
             .cast("long")
             .alias("est_recall_tau03_e6"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        spine = row if spine is None else spine.unionByName(row)
+    return (
+        spine.join(bstats, "cfg", "left")
+        .join(cstats, "cfg", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_buckets", F.lit(0)).cast("long").alias(
+                "n_buckets"
+            ),
+            "max_bucket",
+            F.coalesce("n_candidate_pairs", F.lit(0)).cast("long").alias(
+                "n_candidate_pairs"
+            ),
+            "est_recall_tau03_e6",
+        )
+    )
 
 
 def _oracle_lsh_banding() -> str:
