@@ -1467,6 +1467,13 @@ _CC_STATS_RESET_EVERY = 6
 # few rounds cost less than the contraction's two extra
 # materializations (same-boot A/B, round-16; see the inline comment)
 _CC_CONTRACT_MIN_ROWS = 4096
+# ...and below this many rows, skip the distributed loop entirely: the
+# whole edge list fits ONE task, where the contraction's union-find is
+# already the exact global answer (round-17 tiny-graph fast path; same
+# 4096 default, so the flat loop band is empty in production — it stays
+# reachable for tests that pin the loop/spill machinery by setting this
+# to 0)
+_CC_TINY_MAX_ROWS = 4096
 
 
 def _cc_spill_dir(spark: SparkSession) -> tuple[str, bool]:
@@ -1600,7 +1607,28 @@ def connected_components(
                 {"n": nodes, "r": [find(x) for x in nodes]}
             )
 
-    contract = und.count() > _CC_CONTRACT_MIN_ROWS
+    n_und = und.count()
+    if n_und <= _CC_TINY_MAX_ROWS:
+        # TINY-GRAPH FAST PATH (round-17): below the gate the whole
+        # (already-materialized) edge list fits one task, so a single-
+        # partition run of the SAME union-find used for contraction IS
+        # the exact global fixpoint — union-by-min makes every final
+        # root the component's min member. The propagation loop's 3-5
+        # rounds of fixed per-round cost (two joins + checkpoint +
+        # convergence count, ~0.3-0.5 s each at any data size) collapse
+        # to one narrow Arrow pass. Same unique labeling (min member
+        # id), pinned by test_components_partitioning_invariance across
+        # all three paths; the gate is a row count, so any real corpus
+        # graph takes the contraction+loop path below untouched.
+        return (
+            und.coalesce(1)
+            .mapInPandas(_local_uf, "n long, r long")
+            .select(
+                F.col("n").alias("doc_id"),
+                F.col("r").alias("component_id"),
+            )
+        )
+    contract = n_und > _CC_CONTRACT_MIN_ROWS
     if contract:
         app = und.mapInPandas(
             _local_uf, "n long, r long"

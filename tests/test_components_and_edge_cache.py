@@ -74,17 +74,26 @@ def test_components_nonconvergence_raises(spark):
         connected_components,
     )
 
+    from parallelutilities_jl_spark.operators import dedup
+
     ids = [(i * 31) % 97 + 1000 for i in range(40)]
     pairs = [(ids[i], ids[i + 1]) for i in range(39)]
     # one edge per partition defeats the partition-local union-find
     # contraction, so the propagation loop sees the full path diameter
     # (the contraction would otherwise solve a co-partitioned path in
-    # phase 1 and the bound under test would never bind)
+    # phase 1 and the bound under test would never bind); the tiny-graph
+    # gate is pinned to 0 so the single-task fast path (which cannot
+    # fail to converge) does not bypass the loop under test
     edges = spark.createDataFrame(
         pairs, "doc_a long, doc_b long"
     ).repartition(39)
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=2)
+    old_tiny = dedup._CC_TINY_MAX_ROWS
+    try:
+        dedup._CC_TINY_MAX_ROWS = 0
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iters=2)
+    finally:
+        dedup._CC_TINY_MAX_ROWS = old_tiny
 
 
 def test_components_spill_honors_checkpoint_dir_and_cleans_up(
@@ -101,11 +110,15 @@ def test_components_spill_honors_checkpoint_dir_and_cleans_up(
         connected_components,
     )
 
+    from parallelutilities_jl_spark.operators import dedup
+
     ckpt = str(tmp_path / "ckpt")
     sc = spark.sparkContext
     old = sc._jsc.sc().getCheckpointDir()
     sc.setCheckpointDir(ckpt)
+    old_tiny = dedup._CC_TINY_MAX_ROWS
     try:
+        dedup._CC_TINY_MAX_ROWS = 0  # pin the loop path under test
         ids = [(i * 31) % 97 + 1000 for i in range(40)]
         pairs = [(ids[i], ids[i + 1]) for i in range(39)]
         # single-edge partitions keep the contracted graph a full-
@@ -126,6 +139,7 @@ def test_components_spill_honors_checkpoint_dir_and_cleans_up(
         ]
         assert leftovers == []
     finally:
+        dedup._CC_TINY_MAX_ROWS = old_tiny
         if old.isDefined():
             sc.setCheckpointDir(old.get())
         else:
@@ -158,6 +172,8 @@ def test_components_spill_cleaned_up_on_exception(spark):
         connected_components,
     )
 
+    from parallelutilities_jl_spark.operators import dedup
+
     before = set(glob.glob(tempfile.gettempdir() + "/pu_cc_spill_*"))
     ids = [(i * 31) % 97 + 1000 for i in range(40)]
     pairs = [(ids[i], ids[i + 1]) for i in range(39)]
@@ -166,9 +182,14 @@ def test_components_spill_cleaned_up_on_exception(spark):
     edges = spark.createDataFrame(
         pairs, "doc_a long, doc_b long"
     ).repartition(39)
-    # max_iters=8 crosses the round-6 spill, then fails to converge
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=8)
+    old_tiny = dedup._CC_TINY_MAX_ROWS
+    try:
+        dedup._CC_TINY_MAX_ROWS = 0  # pin the loop path under test
+        # max_iters=8 crosses the round-6 spill, then fails to converge
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iters=8)
+    finally:
+        dedup._CC_TINY_MAX_ROWS = old_tiny
     after = set(glob.glob(tempfile.gettempdir() + "/pu_cc_spill_*"))
     assert after == before
 
@@ -227,15 +248,19 @@ def test_components_partitioning_invariance(spark):
     from parallelutilities_jl_spark.operators import dedup
 
     want = _truth(pairs)
-    # force the contraction path (the fixture graph is far below the
-    # production _CC_CONTRACT_MIN_ROWS gate) and also run the flat
-    # path once — both must land on the identical labeling
+    # all THREE paths — tiny single-task union-find (production gate:
+    # this fixture is under it), contraction (both gates pinned to 0),
+    # and the flat loop (tiny gate 0, contraction gate at default) —
+    # must land on the identical labeling under every edge partitioning
     old_gate = dedup._CC_CONTRACT_MIN_ROWS
+    old_tiny = dedup._CC_TINY_MAX_ROWS
     try:
-        for gate, parts in [
-            (0, (1, 3, 17, len(pairs))),  # contraction under every split
-            (old_gate, (3,)),  # production gate -> flat path
+        for tiny, gate, parts in [
+            (old_tiny, old_gate, (1, 3, 17)),  # tiny fast path
+            (0, 0, (1, 3, 17, len(pairs))),  # contraction, every split
+            (0, old_gate, (3,)),  # flat loop
         ]:
+            dedup._CC_TINY_MAX_ROWS = tiny
             dedup._CC_CONTRACT_MIN_ROWS = gate
             for n_parts in parts:
                 edges = spark.createDataFrame(
@@ -245,6 +270,7 @@ def test_components_partitioning_invariance(spark):
                     r["doc_id"]: r["component_id"]
                     for r in dedup.connected_components(edges).collect()
                 }
-                assert got == want, (gate, n_parts)
+                assert got == want, (tiny, gate, n_parts)
     finally:
         dedup._CC_CONTRACT_MIN_ROWS = old_gate
+        dedup._CC_TINY_MAX_ROWS = old_tiny
