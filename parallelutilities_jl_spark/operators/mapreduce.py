@@ -266,6 +266,30 @@ def pmapreduce_rdd(
     return df.rdd.map(f).treeReduce(op, depth)
 
 
+def _check_int_headroom(v) -> None:
+    """Narrow-integer wrap guard (round-16 advisor): a caller that
+    accumulates in an integer dtype promises its sums fit — but
+    `np.add(..., out=...)` wraps silently, so a broken promise would
+    produce wrong sums with no error anywhere. Verify the folded
+    chunk's extrema sit inside HALF the dtype's range: every correct
+    intermediate then has headroom for one more add, while a wrap
+    almost always lands near the boundaries and trips this. Float
+    accumulations (inf-safe by IEEE saturation semantics) skip it."""
+    import numpy as np
+
+    if v.size == 0 or not np.issubdtype(v.dtype, np.integer):
+        return
+    info = np.iinfo(v.dtype)
+    lo, hi = int(v.min()), int(v.max())
+    if lo < info.min // 2 or hi > info.max // 2:
+        raise OverflowError(
+            f"dense-elsum chunk extrema [{lo}, {hi}] exceed the safe "
+            f"headroom of {v.dtype} ([{info.min // 2}, {info.max // 2}]) "
+            "— the narrow accumulation dtype is too small for these "
+            "values; use a wider ship dtype."
+        )
+
+
 def pmapreduce_dense_elsum(
     spark: SparkSession,
     n_tasks: int,
@@ -326,6 +350,8 @@ def pmapreduce_dense_elsum(
                 pv = prev[1]
                 out = pv if pv.flags.writeable else v
                 acc[k] = (shape, np.add(pv, v, out=out))
+        for k, (shape, v) in acc.items():
+            _check_int_headroom(v)
         return iter(acc.items())
 
     parts = (
@@ -405,6 +431,8 @@ def pmapreduce_dense_elsum_long(
                     acc[k] = (start, np.add(pv, v, out=pv))
                 else:
                     acc[k] = (start, pv + v)
+        for k, (start, v) in acc.items():
+            _check_int_headroom(v)
         return iter(acc.items())
 
     folded = (
@@ -572,9 +600,10 @@ def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones, elementwise-summed; emits shape + corner + total.
 
     At bench scale (sf ≥ 0.1) the per-task array is the reference's
-    published shape — 10_000×1_000 doubles (reference
-    docs/src/index.md:22-46, 2.17 s on 56 cores) — so BENCH times the
-    apples-to-apples workload. The sf0.01 correctness sweep uses
+    published shape — 10_000×1_000 (reference docs/src/index.md:22-46,
+    2.17 s on 56 cores), generated int8 since the ones-sum is exact in
+    any dtype (see inline note) — so BENCH times the apples-to-apples
+    workload. The sf0.01 correctness sweep uses
     1000×1000 (16× less work; the oracle constants below match that
     shape, and the driver contract pins the oracle run to sf=0.01)."""
     import numpy as np
@@ -593,10 +622,20 @@ def q_dense_elsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # faster AND far tighter-variance than 8 under bench-sequence JVM
     # pressure (median 1.17 s, max 1.34 s vs median 1.61 s, max 2.61 s).
     par = spark.sparkContext.defaultParallelism
+    # ones sum EXACTLY: every element of the reduced array is the task
+    # count (32) and every partial is <= 32, so the whole pipeline —
+    # generate, in-place accumulate, chunk shuffle, driver collect —
+    # runs in int8, 8x narrower than the float64 it used to ship
+    # (guide §2.3 narrower types; the sink twin's int16 move, round 16).
+    # The dtype is make_array's to choose — the operator is
+    # dtype-agnostic — and the emitted row casts back to the same
+    # float64 values (32 and 32*npix are exact in int8/int64/float64),
+    # with the fold's integer headroom guard catching any future
+    # task-count change that could wrap.
     out = pmapreduce_dense_elsum(
         spark,
         32,
-        lambda i: np.ones(shape),
+        lambda i: np.ones(shape, dtype=np.int8),
         num_partitions=max(2, min(32, par // 8)) if full else None,
         n_chunks=16 if full else 8,
     )

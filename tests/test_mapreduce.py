@@ -187,6 +187,53 @@ def test_dense_elsum_long_narrow_dtype_identical(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
 
 
+def test_dense_elsum_collect_narrow_dtype_identical(spark):
+    # round-17: the collect twin's ones workload generates/accumulates/
+    # ships int8 (the operator is dtype-agnostic — the dtype is
+    # make_array's) — the reduced array must be elementwise identical
+    # to the float64 pipeline after the final cast
+    import numpy as np
+
+    from parallelutilities_jl_spark.operators.mapreduce import (
+        pmapreduce_dense_elsum,
+    )
+
+    ref = pmapreduce_dense_elsum(
+        spark, 10, lambda i: np.ones((20, 30)), num_partitions=4,
+        n_chunks=4,
+    )
+    got = pmapreduce_dense_elsum(
+        spark, 10, lambda i: np.ones((20, 30), dtype=np.int8),
+        num_partitions=4, n_chunks=4,
+    )
+    assert got.shape == ref.shape
+    assert np.array_equal(got.astype(np.float64), ref)
+    assert float(got.sum()) == float(ref.sum()) == 6000.0
+
+
+def test_dense_elsum_int_overflow_raises(spark):
+    # round-16 advisor: a narrow integer accumulation without headroom
+    # must raise, not silently risk wrong sums — 10 tasks of int8(12)
+    # sum to 120, inside int8's range but past the half-range guard
+    # band (63), i.e. one more add could wrap; the fold's headroom
+    # guard must trip BEFORE any wrap corrupts data (OverflowError
+    # surfaces through Spark as a PythonException naming it)
+    import numpy as np
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from parallelutilities_jl_spark.operators.mapreduce import (
+        pmapreduce_dense_elsum,
+    )
+
+    with pytest.raises((PythonException, Py4JJavaError)) as ei:
+        pmapreduce_dense_elsum(
+            spark, 10, lambda i: np.full((20, 30), 12, dtype=np.int8),
+            num_partitions=4, n_chunks=4,
+        )
+    assert "headroom" in str(ei.value)
+
+
 def test_flip_swaps_arguments():
     from parallelutilities_jl_spark.operators.reductions import ReduceOp, flip
 
