@@ -2535,8 +2535,10 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     transpose self-join). Cosine is the quantized int64 dot
     (DOT_SCALE) shared with every ANN tier, and floor(x·y·S) =
     floor(y·x·S) exactly, so the symmetric pair carries one
-    well-defined score in both engines; a pair meeting in both probe
-    cells computes the identical double, so the max-dedup is exact.
+    well-defined score in both engines; a pair meeting in several
+    probe cells is scored once, in its minimum shared cell — the row
+    set is identical to a max()-dedup because every duplicate row
+    would carry the identical bit-exact cosine.
     The oracle replays sample, fit, grouping, and both argmin levels
     bit-for-bit (`_oracle_knn_mutual`)."""
     from parallelutilities_jl_spark.operators.similarity import (
@@ -2556,9 +2558,25 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10× tier (k_eff=80) vs 0.8 s to just run it. Planning cost must
     # stay O(1) in k_eff: k_eff ∝ N makes an inlined expression a
     # planning-time scale bomb long before execution hurts.
-    probes = _two_level_probes(
-        emb_all, centroids, KNN_GRAPH_NPROBE
-    ).localCheckpoint()
+    # Each row additionally carries the vector's full sorted probe-cell
+    # set (nprobe longs): the pair join below keeps a joined row only
+    # when its cell is the pair's FIRST (minimum) shared probe cell —
+    # the simhash census's first-agreeing-band trick (round 17). A pair
+    # sharing 2-3 probe cells then survives exactly once BEFORE the
+    # cosine is computed, so the duplicate dot work disappears and the
+    # pair-keyed max() dedup exchange (O(pairs) rows) is deleted
+    # outright (guide §2.3/§2.4). Measured at sf0.1: 2.28 M scored
+    # rows -> 1 per distinct pair; interleaved same-boot duel
+    # 3.33/2.54 s -> 2.22/2.17 s.
+    pset = (
+        _two_level_probes(emb_all, centroids, KNN_GRAPH_NPROBE)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_set("cluster")).alias("pcells"))
+        .localCheckpoint()
+    )
+    probes = pset.select(
+        "vec_id", "pcells", F.explode("pcells").alias("cluster")
+    )
     emb = emb_all.withColumn("nrm", norm(F.col("emb"))).join(
         probes, "vec_id"
     )
@@ -2577,20 +2595,34 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("cell"),
         F.col("emb").alias("qe"),
         F.col("nrm").alias("qn"),
+        F.col("pcells").alias("qcells"),
     ).repartition(spark.sparkContext.defaultParallelism, "qid")
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("cluster").alias("cell"),
         F.col("emb").alias("ce"),
         F.col("nrm").alias("cn"),
+        F.col("pcells").alias("ccells"),
     )
-    # score each UNORDERED pair once (qid < cid) and mirror the row —
-    # cosine is symmetric bit-exactly (floor(x·y·S) = floor(y·x·S)), so
-    # this halves the dominant per-cell dot work vs scoring both
-    # directions of the expanded join
-    scored = (
+    # score each UNORDERED pair once (qid < cid), in its FIRST shared
+    # probe cell only (cell == min(qcells ∩ ccells): exactly one of a
+    # pair's shared cells satisfies it, so one row per distinct pair
+    # survives — the filter runs before the projection, so duplicate
+    # rows never pay the dot), and mirror the row — cosine is symmetric
+    # bit-exactly (floor(x·y·S) = floor(y·x·S)), so this halves the
+    # dominant per-cell dot work vs scoring both directions of the
+    # expanded join
+    half = (
         a.join(c, "cell")
-        .filter(F.col("qid") < F.col("cid"))
+        .filter(
+            (F.col("qid") < F.col("cid"))
+            & (
+                F.col("cell")
+                == F.array_min(
+                    F.array_intersect(F.col("qcells"), F.col("ccells"))
+                )
+            )
+        )
         .select(
             "qid",
             "cid",
@@ -2600,10 +2632,6 @@ def _build_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    # a pair sharing BOTH probe cells appears twice with the identical
-    # bit-exact cosine — max() is pure dedup, and the (qid, cid) agg
-    # is map-side combinable before the window's qid shuffle
-    half = scored.groupBy("qid", "cid").agg(F.max("cos").alias("cos"))
     # Mirror via explode, NOT a self-union: a union's two branches each
     # re-plan the entire scored chain (round-10 verdict: duplicated
     # SortMergeJoin subtrees) — AQE stage reuse dedupes the SHUFFLES at
