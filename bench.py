@@ -437,9 +437,14 @@ def main() -> None:
     )
     if detail_path:
         with open(detail_path, "w") as f:
+            # cheap_reps recorded so cross-round comparisons are
+            # like-for-like (round-16 advisor: a 3-rep cheap-tier
+            # artifact vs 1-rep accepted refs is asymmetric — the
+            # artifact now declares which protocol measured it)
             json.dump({**summary, "median": timings, "spread": spread,
                        "canary_before": canary_before,
-                       "reps": REPS}, f, indent=1, sort_keys=True)
+                       "reps": REPS, "cheap_reps": CHEAP_REPS},
+                      f, indent=1, sort_keys=True)
             f.write("\n")
     spark.stop()
 

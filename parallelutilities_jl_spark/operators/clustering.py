@@ -30,6 +30,8 @@ An empty cluster drops out of the mean agg on both engines alike.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,6 +68,16 @@ def _sq_dist(cent: list[float]) -> F.Column:
     builder calls this once per centroid. `repr(float)` is the
     shortest round-trip form and Spark's double literal parser
     recovers the identical IEEE value (measured-equal results)."""
+    # non-finite components would render as 'infD'/'nanD' and fail the
+    # SQL parse — surface the data problem (a corrupt embedding
+    # propagated through a Lloyd mean) descriptively instead (round-16
+    # advisor)
+    for v in cent:
+        if not math.isfinite(float(v)):
+            raise ValueError(
+                f"non-finite centroid component {v!r} — corrupt "
+                "embedding data reached the k-means model"
+            )
     arr = ",".join(repr(float(v)) + "D" for v in cent)
     return F.expr(
         f"aggregate(zip_with(emb, array({arr}), "
@@ -1834,7 +1846,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_prune_census(emb: DataFrame, n_cells: int = 0) -> DataFrame:
+def _semdedup_prune_census(
+    emb: DataFrame, n_cells: int | None = None
+) -> DataFrame:
     """Within-cluster cosine prune + retention census over an assigned
     frame (vec_id, emb, cluster) — shared by both SemDeDup variants.
 
@@ -1853,7 +1867,15 @@ def _semdedup_prune_census(emb: DataFrame, n_cells: int = 0) -> DataFrame:
     from parallelutilities_jl_spark.operators.similarity import dot, norm
 
     cores = emb.sparkSession.sparkContext.defaultParallelism
-    s = max(1, min(32, (4 * cores) // max(1, n_cells)))
+    # no-information default is the SAFE s=1 (unsalted): a caller that
+    # omits the cell count must not silently pay a 32x b-side blow-up
+    # on a corpus-sized frame (round-16 advisor); salting only engages
+    # when a real measured cell count is passed
+    s = (
+        1
+        if not n_cells
+        else max(1, min(32, (4 * cores) // n_cells))
+    )
     emb = emb.withColumn("nrm", norm(F.col("emb")))
     a = emb.select(
         "cluster",

@@ -1131,7 +1131,14 @@ def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-source DATASET CARD — the one-table summary a data team
+    """EAGER-BUILD contract: constructing this DataFrame runs nearly
+    the whole computation — the CC component executes at build time
+    and the four lazy components materialize via localCheckpoint on a
+    side thread (round-16 overlap optimization), pinning their blocks
+    until released; callers needing a lazy plan must compose the
+    component queries themselves.
+
+    The per-source DATASET CARD — the one-table summary a data team
     publishes with a corpus release, composed from five already-
     verified per-source censuses: language diversity
     (`lang_mix_entropy`), near-dup redundancy (`dedup_rate_by_source`),
