@@ -144,6 +144,7 @@ def test_connected_components_chain_and_nonconvergence(spark):
     """A chain graph converges to one component (min-label propagation
     needs diameter-many rounds), and an under-capped run raises instead
     of silently returning intermediate (wrong) labels."""
+    from parallelutilities_jl_spark.operators import dedup
     from parallelutilities_jl_spark.operators.dedup import (
         connected_components,
     )
@@ -156,8 +157,17 @@ def test_connected_components_chain_and_nonconvergence(spark):
     rows = comp.collect()
     assert len(rows) == n + 1
     assert {r["component_id"] for r in rows} == {0}
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=3).collect()
+    # the tiny-graph gate is pinned to 0 so the single-task fast path
+    # (which cannot fail to converge) does not bypass the loop bound
+    # under test (the graph stays under the contraction gate, so the
+    # flat loop sees the full chain diameter as before)
+    old_tiny = dedup._CC_TINY_MAX_ROWS
+    try:
+        dedup._CC_TINY_MAX_ROWS = 0
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iters=3).collect()
+    finally:
+        dedup._CC_TINY_MAX_ROWS = old_tiny
 
 
 def test_quality_canonical_differs_from_min_id(spark):
