@@ -68,22 +68,40 @@ def _bm25_contrib_sql(*, spark: bool) -> str:
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for a fixed 3-term query.
 
-    Plan shape: tokenize → filter to query terms (nothing else survives
-    the explode) → (doc, term) tf hash-agg → broadcast-join the 3-row
-    df table and the 1-row corpus stats → integer contribution → per-doc
-    SUM → TakeOrderedAndProject top-k. Two small keyed shuffles; the
-    corpus is scanned once."""
+    Plan shape: ONE tokenize pass → per-doc (dl, query-term
+    occurrences) projection, materialized (localCheckpoint at build)
+    because the corpus stats and the postings both consume it →
+    (doc, term) tf hash-agg → broadcast-join the 3-row df table and
+    the 1-row corpus stats → integer contribution → per-doc SUM →
+    TakeOrderedAndProject top-k. Two small keyed shuffles; the corpus
+    is scanned and tokenized exactly once."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", TH.words(F.col("text")).alias("ws")
-    ).select("doc_id", F.size("ws").cast("long").alias("dl"), "ws")
+    # ONE tokenize pass feeds both consumers (round-17, guide §1.2):
+    # the stats aggregate and the postings previously each re-ran the
+    # corpus tokenize (narrow map — no exchange for the planner to
+    # reuse). The per-doc projection keeps only the doc length and the
+    # query-term occurrences (duplicates preserved — tf counts them),
+    # so the checkpointed frame is N rows of a few scalars, never the
+    # full token arrays. Identical rows: dl and the surviving tokens
+    # are the same per document; filter(NULL) stays NULL and
+    # explode(NULL) emits nothing, exactly like the old explode+isin.
+    qarr = F.array(*[F.lit(t) for t in BM25_QUERY])
+    base = (
+        docs.select("doc_id", TH.words(F.col("text")).alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("dl"),
+            F.filter(
+                "ws", lambda w: F.array_contains(qarr, w)
+            ).alias("qws"),
+        )
+        .localCheckpoint()
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
     )
-    tok = base.select(
-        "doc_id", "dl", F.explode("ws").alias("w")
-    ).filter(F.col("w").isin(*BM25_QUERY))
+    tok = base.select("doc_id", "dl", F.explode("qws").alias("w"))
     tf = tok.groupBy("doc_id", "dl", "w").agg(
         F.count(F.lit(1)).alias("tf")
     )
